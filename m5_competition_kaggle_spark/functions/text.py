@@ -1,0 +1,136 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond the reference's surface (it has no text ops) — these are the
+first-class extension ops (SURVEY §7.2 step 6): tokenization, quality
+scoring, language-ID heuristic, document fingerprinting. All pure column
+compositions (JVM-side, codegen'd); no Python UDFs in the hot path.
+
+Cross-engine determinism: the shared 64-bit hash primitive ``h64`` is
+"integer value of the first 15 hex chars of md5" — expressible identically
+in Spark (``conv(substr(md5(s),1,15),16,10)``) and DuckDB
+(``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``), 60 bits so it always
+fits a signed long.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# The engine's canonical whitespace tokenizer and "BPE-ish" token pattern.
+WS_SPLIT = r"\s+"
+BPE_PATTERN = r"[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+# Stopword markers per language for the n-gram language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "is", "of", "to", "and"),
+    "es": ("el", "la", "los", "y", "de", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("的", "是", "了", "在"),
+}
+# Deterministic argmax tie-break order (first wins on equal scores).
+LANG_ORDER = ("en", "es", "de", "fr", "zh")
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def h64(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string column (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens; leading/trailing space trimmed so no empty tokens."""
+    return F.split(F.trim(col), WS_SPLIT)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (letters runs / digit runs / single
+    punctuation) — the standard cheap proxy for subword token count."""
+    return F.regexp_count(F.col(col) if isinstance(col, str) else col,
+                          F.lit(BPE_PATTERN)).cast("long")
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(f"size(filter(__toks, t -> t in ({quoted})))").cast("long")
+
+
+def with_lang_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword-marker hit ratio, and
+    the argmax prediction with a fixed tie-break order."""
+    out = df.withColumn("__toks", tokens(text_col))
+    n = F.greatest(F.size("__toks").cast("long"), F.lit(1))
+    score_cols = {}
+    for lang in LANG_ORDER:
+        score_cols[f"score_{lang}"] = (
+            _marker_hits(F.col("__toks"), LANG_MARKERS[lang]) / n
+        )
+    out = out.withColumns(score_cols)
+    # argmax with LANG_ORDER tie-break: strictly-greater chain
+    best = F.lit(LANG_ORDER[0])
+    best_score = F.col(f"score_{LANG_ORDER[0]}")
+    for lang in LANG_ORDER[1:]:
+        cond = F.col(f"score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"score_{lang}")).otherwise(best_score)
+    return out.withColumn("pred_lang", best).drop("__toks")
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Document quality scoring: length, token stats, stopword/punct ratios,
+    and a composite [0,1] score. Deterministic double arithmetic (IEEE
+    division — oracle-exact)."""
+    out = df.withColumn("__toks", tokens(text_col))
+    n_tok = F.size("__toks").cast("long")
+    n_chars = F.length(text_col).cast("long")
+    safe_tok = F.greatest(n_tok, F.lit(1))
+    quoted = ", ".join(f"'{m}'" for m in STOPWORDS)
+    stop_hits = F.expr(f"size(filter(__toks, t -> t in ({quoted})))").cast("long")
+    punct = F.regexp_count(
+        F.col(text_col), F.lit(r"[^a-zA-Z0-9\s]")
+    ).cast("long")
+    out = out.withColumns(
+        {
+            "n_chars_f": n_chars,
+            "n_tokens": n_tok,
+            "avg_token_len": (n_chars - (n_tok - 1)) / safe_tok,
+            "stopword_ratio": stop_hits / safe_tok,
+            "punct_ratio": punct / F.greatest(n_chars, F.lit(1)),
+        }
+    )
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.col("stopword_ratio"))
+        + F.lit(0.2) * F.least(F.lit(1.0), F.col("avg_token_len") / F.lit(8.0))
+    )
+    return out.withColumn("quality_score", score).drop("__toks")
+
+
+def shingles_expr(tokens_col: str, n: int) -> Column:
+    """Ordered n-token shingles as strings; a document shorter than ``n``
+    tokens yields its whole text as the single shingle."""
+    seq = (
+        f"transform(sequence(0, size({tokens_col}) - {n}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i + 1, {n})))"
+    )
+    whole = f"array(concat_ws(' ', {tokens_col}))"
+    return F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN {seq} ELSE {whole} END"
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, shingle_size: int = 5) -> DataFrame:
+    """Document fingerprint: min ``h64`` over rolling token shingles —
+    a 1-permutation minhash, the standard content-defined fingerprint."""
+    out = df.withColumn("__toks", tokens(text_col))
+    out = out.withColumn("__sh", shingles_expr("__toks", shingle_size))
+    fp = F.array_min(F.expr(
+        "transform(__sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
+    ))
+    return out.withColumn("fingerprint", fp).drop("__toks", "__sh")

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension surface: brute-force top-k as the exact baseline, and a
+random-hyperplane LSH-bucketed variant as the scale path. Both rank by a
+**quantized integer dot product** (components rounded to 1e-3 before the
+multiply) so ranking is bit-deterministic across engines — double-precision
+cosine could tie-break differently between Spark and a SQL oracle.
+
+Scale notes: brute force is O(|Q|·|N|) — fine when the query set is small
+and broadcastable; the LSH path bounds candidates per query to one bucket
+(multi-probe = neighboring buckets) and is the 100 TB design. For cosine
+(not dot) semantics, pre-normalize vectors once at ingest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1000  # 1e-3 quantization for deterministic ranking
+
+
+def quantized_dot(a: str | Column, b: str | Column) -> Column:
+    """Σ round(a_i·1000)·round(b_i·1000) as BIGINT — exact integer math."""
+    a_name = a if isinstance(a, str) else None
+    b_name = b if isinstance(b, str) else None
+    assert a_name and b_name, "pass column names (used inside SQL expr)"
+    return F.expr(
+        f"aggregate(zip_with({a_name}, {b_name}, "
+        f"(x, y) -> cast(round(x * {QUANT}) as bigint) * "
+        f"cast(round(y * {QUANT}) as bigint)), 0L, (acc, v) -> acc + v)"
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector by quantized dot.
+
+    ``queries`` (small) is broadcast; every (query, vector) pair is scored
+    in one codegen'd pass; per-query ranking via window row_number with a
+    deterministic (score desc, id asc) order.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
+    )
+    cand = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v_vec")
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("dot", quantized_dot("__q_vec", "__v_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def _h64_py(s: str) -> int:
+    """Python twin of functions.text.h64 (first 15 md5 hex chars)."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: w[p][i] derives from
+    h64(f"{table}:{p},{i}") mapped to [-1, 1]. Same seedless recipe is
+    reproducible anywhere (including a SQL oracle)."""
+    return [
+        [
+            ((_h64_py(f"{table}:{p},{i}") % 2001) - 1000) / 1000.0
+            for i in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
+    """Bucket id = sign bits of the vector against each hyperplane."""
+    bucket = F.lit(0)
+    for p, w in enumerate(planes):
+        arr = ", ".join(f"{x}D" for x in w)
+        dot = F.expr(
+            f"aggregate(zip_with({vec_col}, array({arr}), "
+            f"(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def _bucketize(
+    df: DataFrame,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+    vec_alias: str,
+    num_planes: int,
+    num_tables: int,
+    dim: int,
+) -> DataFrame:
+    """(id, vec, table, bucket) rows — one bucket per LSH table."""
+    buckets = [
+        lsh_bucket_col(vec_col, hyperplanes(num_planes, dim, t)).alias(f"t_{t}")
+        for t in range(num_tables)
+    ]
+    wide = df.select(
+        F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_alias), *buckets
+    )
+    return wide.unpivot(
+        [out_id, vec_alias], [f"t_{t}" for t in range(num_tables)],
+        "table", "bucket",
+    )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane LSH, exact
+    quantized-dot ranking over the union of bucket candidates.
+
+    The scale path: candidates per query ≈ N·L/2^planes instead of N; the
+    (table, bucket) equi-join replaces the cross join, and L independent
+    tables recover the recall a single bucket loses (standard LSH theory —
+    near vectors collide in ≥1 of L tables w.h.p.). Recall is tested
+    against ``brute_force_topk`` (tests/test_dedup_similarity_text.py),
+    not an oracle — the approximation is the point.
+    """
+    cand = _bucketize(
+        vectors, "neighbor_id", id_col, vec_col, "__v_vec",
+        num_planes, num_tables, dim,
+    )
+    q = _bucketize(
+        queries, "query_id", id_col, vec_col, "__q_vec",
+        num_planes, num_tables, dim,
+    )
+    matched = (
+        cand.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "__q_vec", "neighbor_id", "__v_vec")
+        .distinct()  # a pair colliding in several tables scores once
+        .withColumn("dot", quantized_dot("__q_vec", "__v_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold_dot: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-similarity near-dup: pairs in the same LSH bucket whose
+    quantized dot ≥ threshold. (For normalized vectors, dot ≈ cosine·1e6.)"""
+    planes = hyperplanes(num_planes, dim)
+    keyed = vectors.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket_col(vec_col, planes).alias("bucket")
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", quantized_dot("__va", "__vb"))
+        .filter(F.col("dot") >= threshold_dot)
+        .select("id_a", "id_b", "dot")
+    )

@@ -1,0 +1,364 @@
+"""Extension queries: dedup / similarity / text analysis / multimodal.
+
+The training-data-pipeline surface (SURVEY §7.2 step 6), each with a DuckDB
+oracle where SQL-expressible. Shared cross-engine primitives:
+
+- h64(s)      = CAST(first 15 md5 hex chars AS BIGINT)      (60-bit, exact)
+- tokens      = regex-split on whitespace after trim
+- shingles(n) = ordered n-token windows; whole text if doc shorter than n
+- quantized dot = Σ round(x·1000)::BIGINT · round(y·1000)::BIGINT — integer
+  ranking, bit-deterministic across engines (double cosine could tie-break
+  differently)
+
+``lsh_topk`` (approximate ANN) deliberately has NO oracle — its contract is
+recall vs the exact baseline (tests/test_similarity.py), not equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.functions.text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    bpe_token_count,
+    fingerprint,
+    quality_features,
+    token_count,
+    with_lang_scores,
+)
+from m5_competition_kaggle_spark.multimodal.ops import (
+    decode_assets,
+    to_binary_assets,
+)
+from m5_competition_kaggle_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from m5_competition_kaggle_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------- Spark side
+
+
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text").orderBy("text_hash")
+
+
+def x2_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4, shingle_size=3,
+        threshold=0.8,
+    )
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+def x3_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_size=3,
+                              threshold=0.5)
+    return out.select(
+        "id_a", "id_b", "n_common", "n_a", "n_b", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+def x4_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32).orderBy("doc_id")
+
+
+def x5_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        fingerprint(docs, "text", shingle_size=5)
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+def x6_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            token_count("text").alias("n_tokens"),
+            bpe_token_count("text").alias("n_bpe"),
+        ).orderBy("doc_id")
+    )
+
+
+def x7_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_features(docs, "text")
+        .select(
+            "doc_id", "n_chars_f", "n_tokens", "avg_token_len",
+            "stopword_ratio", "punct_ratio", "quality_score",
+        ).orderBy("doc_id")
+    )
+
+
+def x8_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_lang_scores(docs, "text")
+        .select(
+            "doc_id",
+            *[f"score_{lang}" for lang in LANG_ORDER],
+            "pred_lang",
+        ).orderBy("doc_id")
+    )
+
+
+def x9_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = brute_force_topk(emb, queries, k=10)
+    return out.orderBy("query_id", "rank")
+
+
+def x10_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (no oracle — recall-tested vs x9 in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    out = lsh_topk(emb, queries, k=10, num_planes=4, num_tables=8, dim=64)
+    return out.orderBy("query_id", "rank")
+
+
+def x11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assets = to_binary_assets(docs, "doc_id", "text")
+    return decode_assets(assets, "doc_id", mode="fake").orderBy("doc_id")
+
+
+QUERIES = {
+    "x1_dedup_exact": x1_dedup_exact,
+    "x2_dedup_minhash": x2_dedup_minhash,
+    "x3_dedup_ngram": x3_dedup_ngram,
+    "x4_dedup_simhash": x4_dedup_simhash,
+    "x5_text_fingerprint": x5_text_fingerprint,
+    "x6_text_tokens": x6_text_tokens,
+    "x7_text_quality": x7_text_quality,
+    "x8_text_langid": x8_text_langid,
+    "x9_sim_topk": x9_sim_topk,
+    "x10_sim_topk_lsh": x10_sim_topk_lsh,
+    "x11_multimodal_meta": x11_multimodal_meta,
+}
+
+# --------------------------------------------------------------- Oracle side
+
+H64 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
+
+_DOCS_TOKS = r"""
+docs AS (SELECT doc_id, text,
+                str_split_regex(trim(text), '\s+') AS toks
+         FROM documents)
+"""
+
+
+def _shingle_cte(n: int) -> str:
+    return f"""
+sh0 AS (SELECT doc_id,
+          CASE WHEN len(toks) >= {n}
+               THEN list_transform(range(0, len(toks) - {n - 1}),
+                                   i -> array_to_string(toks[i+1:i+{n}], ' '))
+               ELSE [array_to_string(toks, ' ')] END AS shl
+        FROM docs),
+sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM sh0)
+"""
+
+
+def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    rows = num_hashes // bands
+    mins = ",\n        ".join(
+        "min({h}) AS mh_{i}".format(
+            h=H64.format(s=f"'{i}|' || shingle"), i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_DOCS_TOKS}, {_shingle_cte(3)},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (SELECT p.id_a, p.id_b, count(*) AS n_common
+           FROM pairs p
+           JOIN sh e1 ON e1.doc_id = p.id_a
+           JOIN sh e2 ON e2.doc_id = p.id_b AND e2.shingle = e1.shingle
+           GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _ngram_oracle(threshold: float) -> str:
+    return f"""
+WITH {_DOCS_TOKS}, {_shingle_cte(3)},
+pairs AS (SELECT DISTINCT e1.doc_id AS id_a, e2.doc_id AS id_b
+          FROM sh e1 JOIN sh e2
+            ON e1.shingle = e2.shingle AND e1.doc_id < e2.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (SELECT p.id_a, p.id_b, count(*) AS n_common
+           FROM pairs p
+           JOIN sh e1 ON e1.doc_id = p.id_a
+           JOIN sh e2 ON e2.doc_id = p.id_b AND e2.shingle = e1.shingle
+           GROUP BY 1, 2)
+SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def _simhash_oracle(bits: int) -> str:
+    sums = ",\n        ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(bits)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH {_DOCS_TOKS},
+tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
+h AS (SELECT doc_id, {H64.format(s='t')} AS h FROM tok),
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+_STOP_EN = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+
+
+def _langid_oracle() -> str:
+    scores = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({lst}))) * 1.0"
+        " / greatest(len(toks), 1) AS score_{lang}".format(
+            lst=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in LANG_ORDER
+    )
+    # argmax with first-in-LANG_ORDER tie-break, checked latest→earliest
+    branches = []
+    for idx in range(len(LANG_ORDER) - 1, 0, -1):
+        lang = LANG_ORDER[idx]
+        earlier = ", ".join(f"score_{lg}" for lg in LANG_ORDER[:idx])
+        gt = f"greatest({earlier})" if idx > 1 else earlier
+        branches.append(f"WHEN score_{lang} > {gt} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{LANG_ORDER[0]}' END"
+    cols = ", ".join(f"score_{lang}" for lang in LANG_ORDER)
+    return f"""
+WITH {_DOCS_TOKS},
+s AS (SELECT doc_id,
+       {scores}
+      FROM docs)
+SELECT doc_id, {cols}, {case} AS pred_lang
+FROM s ORDER BY doc_id
+"""
+
+
+ORACLES = {
+    "x1_dedup_exact": """
+        SELECT text_hash, min(doc_id) AS canonical_id,
+               count(*) AS dup_count
+        FROM (SELECT doc_id, md5(text) AS text_hash FROM documents)
+        GROUP BY text_hash ORDER BY text_hash
+    """,
+    "x2_dedup_minhash": _minhash_oracle(16, 4, 0.8),
+    "x3_dedup_ngram": _ngram_oracle(0.5),
+    "x4_dedup_simhash": _simhash_oracle(32),
+    "x5_text_fingerprint": f"""
+        WITH {_DOCS_TOKS}, {_shingle_cte(5)}
+        SELECT doc_id,
+               list_min(list_transform(shl,
+                   s -> {H64.format(s='s')})) AS fingerprint
+        FROM sh0 ORDER BY doc_id
+    """,
+    "x6_text_tokens": r"""
+        SELECT doc_id,
+               len(str_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe
+        FROM documents ORDER BY doc_id
+    """,
+    "x7_text_quality": rf"""
+        WITH {_DOCS_TOKS},
+        m AS (SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_f,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               (length(text) - (len(toks) - 1)) * 1.0
+                   / greatest(len(toks), 1) AS avg_token_len,
+               len(list_filter(toks, t -> t IN ({_STOP_EN}))) * 1.0
+                   / greatest(len(toks), 1) AS stopword_ratio,
+               len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio
+              FROM docs)
+        SELECT doc_id, n_chars_f, n_tokens, avg_token_len,
+               stopword_ratio, punct_ratio,
+               0.5 * least(1.0, n_tokens / 100.0)
+                 + 0.3 * (1.0 - stopword_ratio)
+                 + 0.2 * least(1.0, avg_token_len / 8.0) AS quality_score
+        FROM m ORDER BY doc_id
+    """,
+    "x8_text_langid": _langid_oracle(),
+    "x9_sim_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                     i -> CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT)
+                        * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000)
+                               AS BIGINT))) AS dot
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, dot,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dot DESC, neighbor_id) AS "rank"
+          FROM scored)
+        SELECT query_id, neighbor_id, dot, "rank"
+        FROM ranked WHERE "rank" <= 10
+        ORDER BY query_id, "rank"
+    """,
+    # x10_sim_topk_lsh: intentionally no oracle (approximate op;
+    # recall-verified against x9 in tests/test_similarity.py)
+    "x11_multimodal_meta": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               64 + octet_length(encode(text)) % 577 AS width,
+               64 + (octet_length(encode(text)) * 31) % 577 AS height,
+               1 + octet_length(encode(text)) % 24 AS n_frames
+        FROM documents ORDER BY doc_id
+    """,
+}
