@@ -1,0 +1,77 @@
+"""Structured Streaming tests: the batch-checked plans running as real
+streams (file source → memory sink), plus session-boundary semantics."""
+
+import datetime
+
+from m5_competition_kaggle_spark.sources.catalog import SCHEMAS
+from m5_competition_kaggle_spark.streaming.events import (
+    session_aggregate,
+    streaming_tumbling_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_streaming_matches_batch(spark):
+    """The SAME tumbling plan through readStream must equal batch output."""
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    batch = tumbling_counts(load_table(spark, SF, "events"), "1 hour")
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+
+    # file-source streams read a directory; stage the single parquet file
+    import os
+    import shutil
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{SF}/events.parquet", os.path.join(src_dir, "part-0.parquet"))
+
+    stream = streaming_tumbling_counts(
+        spark, src_dir, SCHEMAS["events"], "1 hour", "2 hours"
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_session_window_boundary_semantics(spark):
+    """An event exactly gap after the previous one MERGES into the session;
+    only strictly-later events start a new one — pins the semantics the s3
+    oracle replicates with `ts > lag(ts) + gap`."""
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    mins = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        (1, mins(0), 1, "a", 1.0, None),
+        (2, mins(29), 1, "a", 1.0, None),   # < 30m after prev: same session
+        (3, mins(59), 1, "a", 1.0, None),   # exactly 30m after: still merges
+        (4, mins(90), 1, "a", 1.0, None),   # 31m after prev: NEW session
+        (5, mins(200), 1, "a", 1.0, None),  # isolated session
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = session_aggregate(df, "30 minutes").orderBy("session_start").collect()
+    assert [(r["session_start"], r["n_events"]) for r in out] == [
+        (mins(0), 3),
+        (mins(90), 1),
+        (mins(200), 1),
+    ]
