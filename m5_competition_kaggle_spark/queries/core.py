@@ -254,6 +254,41 @@ def q17_feature_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "value", "v7").orderBy("event_id")
 
 
+def q18_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 — the composite M5-shaped feature chain (the flagship ``entry``
+    query with an oracle): lags + min_periods trailing mean + lead label +
+    time features + deterministic label encode, one window shuffle."""
+    from m5_competition_kaggle_spark.functions.datetime import time_features
+    from m5_competition_kaggle_spark.operators.window import (
+        with_lags,
+        with_lead,
+        with_trailing_means,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    order = ["ts_nanos", "event_id"]
+    out = with_lags(ev, "value", [1, 7], ["user_id"], order)
+    out = with_trailing_means(out, "value", [7], ["user_id"], order)
+    out = with_lead(out, ["value"], 7, ["user_id"], order)
+    out = time_features(out, "ts")
+    out = label_encode(out, "event_type", "event_type_code")
+    return (
+        out.select(
+            "event_id",
+            "user_id",
+            "value",
+            "value_lag_1",
+            "value_lag_7",
+            "value_roll_mean_7",
+            F.col("pred_value").alias("value_lead_7"),
+            F.col("quarter").cast("long").alias("q"),
+            F.col("dayofweek").cast("long").alias("dow"),
+            F.col("is_weekend").cast("long").alias("is_weekend"),
+            F.col("event_type_code").cast("long").alias("event_type_code"),
+        ).orderBy("event_id")
+    )
+
+
 QUERIES = {
     "q1_filter_project": q1_filter_project,
     "q2_range_null_filter": q2_range_null_filter,
@@ -272,6 +307,7 @@ QUERIES = {
     "q15_label_encode": q15_label_encode,
     "q16_keyed_update": q16_keyed_update,
     "q17_feature_attach": q17_feature_attach,
+    "q18_feature_pipeline": q18_feature_pipeline,
 }
 
 ORACLES = {
@@ -388,6 +424,33 @@ ORACLES = {
         FROM events e
         LEFT JOIN (SELECT event_id, value * 7 AS v7 FROM events) f
           USING (event_id)
+        ORDER BY event_id
+    """,
+    "q18_feature_pipeline": """
+        WITH codes AS (
+            SELECT event_type,
+                   CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT)
+                       AS event_type_code
+            FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS value_lag_1,
+               lag(value, 7) OVER w AS value_lag_7,
+               CASE WHEN count(value) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) = 7
+                    THEN avg(value) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+               END AS value_roll_mean_7,
+               lead(value, 7) OVER w AS value_lead_7,
+               CAST(quarter(ts) AS BIGINT) AS q,
+               CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+               CAST(CASE WHEN isodow(ts) - 1 IN (5, 6) THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_weekend,
+               c.event_type_code
+        FROM events JOIN codes c USING (event_type)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """,
 }
