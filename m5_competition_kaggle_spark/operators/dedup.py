@@ -26,6 +26,30 @@ from pyspark.sql import functions as F
 
 from m5_competition_kaggle_spark.functions.text import h64, shingles_expr, tokens
 
+# Universal-hash permutation family for MinHash: mh_i = (A_i·h + B_i) mod P
+# over h = h64(shingle) mod P. One md5 per shingle total; the permutations
+# are integer arithmetic (vs. one md5 per shingle PER permutation). P is the
+# Mersenne prime 2^31−1 so A·h < 2^62 never overflows a signed 64-bit.
+# A/B derive from the same md5 recipe, so a SQL oracle can embed them as
+# literals (minhash_params()).
+MINHASH_P = 2_147_483_647
+
+
+def _h64_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    return [
+        (
+            _h64_py(f"a:{i}") % (MINHASH_P - 1) + 1,
+            _h64_py(f"b:{i}") % MINHASH_P,
+        )
+        for i in range(num_hashes)
+    ]
+
 
 def exact_dup_groups(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     """Exact dedup: group identical texts by md5, keep the min-key canonical
@@ -59,12 +83,15 @@ def minhash_signatures(
     shingle_size: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: ``mh_i = min over shingles of
-    h64(i || '|' || shingle)``. One explode + one groupBy computes the whole
-    signature (the ``num_hashes`` mins fold into a single aggregate)."""
-    sh = doc_shingles(df, key_col, text_col, shingle_size)
+    (A_i·h64(shingle) + B_i) mod P``. One explode + one groupBy computes the
+    whole signature; the shingle is md5-hashed ONCE and the ``num_hashes``
+    permutations are integer arithmetic folded into a single aggregate."""
+    sh = doc_shingles(df, key_col, text_col, shingle_size).withColumn(
+        "__h", h64(F.col("shingle")) % MINHASH_P
+    )
     aggs = [
-        F.min(h64(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return sh.groupBy(key_col).agg(*aggs)
 
@@ -169,14 +196,25 @@ def ngram_jaccard_pairs(
     sh = doc_shingles(df, key_col, text_col, shingle_size)
     e1 = sh.select(F.col(key_col).alias("id_a"), "shingle")
     e2 = sh.select(F.col(key_col).alias("id_b"), "shingle")
-    pairs = (
+    # Count common shingles directly off the join — materializing the
+    # distinct pair set first and re-joining would walk the same join twice.
+    common = (
         e1.join(e2, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    return verify_jaccard(pairs, sh, key_col).filter(
-        F.col("jaccard") >= threshold
+    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(key_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(key_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -34,6 +34,15 @@ def quantized_dot(a: str | Column, b: str | Column) -> Column:
     )
 
 
+def quantize_expr(vec_col: str) -> Column:
+    """array<float> → array<long>: round(x·1000) per component, JVM-side —
+    all float rounding stays in Spark so Python math is pure int64."""
+    return F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * {QUANT})"
+        " as bigint))"
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -43,21 +52,49 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector by quantized dot.
 
-    ``queries`` (small) is broadcast; every (query, vector) pair is scored
-    in one codegen'd pass; per-query ranking via window row_number with a
-    deterministic (score desc, id asc) order.
+    Quantization happens JVM-side (``quantize_expr``); the scoring is an
+    int64 matmul over Arrow batches (``mapInPandas`` + numpy): each
+    partition multiplies its candidate block against the broadcast query
+    matrix — BLAS-speed, bit-exact integer math, O(|Q|·|N|) but with a
+    ~100× smaller constant than a per-pair lambda. Per-query ranking via
+    window row_number with a deterministic (score desc, id asc) order.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q_vec")
-    )
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("qv")
+    ).collect()
+    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # (Q, dim)
+    sc = vectors.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(q_ids), sc.broadcast(q_mat)
+
     cand = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v_vec")
+        F.col(id_col).alias("neighbor_id"), quantize_expr(vec_col).alias("v")
     )
-    scored = (
-        cand.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("dot", quantized_dot("__q_vec", "__v_vec"))
-    )
+
+    def score(batches):
+        qi, qm = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.int64)  # (B, dim)
+            dots = v @ qm.T  # (B, Q) int64 — exact
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(
+                        pdf["neighbor_id"].to_numpy(), len(qi)
+                    ),
+                    "query_id": np.tile(qi, n),
+                    "dot": dots.reshape(-1),
+                }
+            )
+
+    scored = cand.mapInPandas(
+        score, "neighbor_id long, query_id long, dot long"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot"), F.asc("neighbor_id")
     )

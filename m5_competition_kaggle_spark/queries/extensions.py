@@ -179,12 +179,16 @@ sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM sh0)
 
 
 def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    from m5_competition_kaggle_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
     rows = num_hashes // bands
+    base_h = H64.format(s="shingle")
     mins = ",\n        ".join(
-        "min({h}) AS mh_{i}".format(
-            h=H64.format(s=f"'{i}|' || shingle"), i=i
-        )
-        for i in range(num_hashes)
+        f"min(({a} * ({base_h} % {MINHASH_P}) + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, md5(concat_ws(',', "
