@@ -205,6 +205,57 @@ def lsh_topk(
     )
 
 
+def exact_near_dup_pairs(
+    vectors: DataFrame,
+    threshold_dot: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup: ALL (a < b) pairs with quantized dot ≥
+    threshold, via the same broadcast int64 matmul as ``brute_force_topk``.
+
+    O(N²) scoring — the precision baseline. At corpus scale use
+    ``embedding_near_dup_pairs`` (LSH-bucketed) and let this run only
+    within buckets / for audits.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
+    ).collect()
+    ids = np.array([r["vid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.int64)
+    sc = vectors.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    cand = vectors.select(
+        F.col(id_col).alias("id_a"), quantize_expr(vec_col).alias("v")
+    )
+
+    def score(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["v"].to_numpy()).astype(np.int64)
+            dots = v @ all_mat.T  # (B, N)
+            a_ids = pdf["id_a"].to_numpy()
+            mask = (dots >= threshold_dot) & (
+                a_ids[:, None] < all_ids[None, :]
+            )
+            bi, ni = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[bi],
+                    "id_b": all_ids[ni],
+                    "dot": dots[bi, ni],
+                }
+            )
+
+    return cand.mapInPandas(score, "id_a long, id_b long, dot long")
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold_dot: int,

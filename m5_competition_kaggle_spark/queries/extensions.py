@@ -135,6 +135,18 @@ def x10_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+def x12_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (quantized dot ≥ 350000 ≈
+    cosine 0.35 for ~unit vectors). The O(N²) precision baseline;
+    ``embedding_near_dup_pairs`` is the LSH-bucketed scale path."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        exact_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_near_dup_pairs(emb, 350_000).orderBy("id_a", "id_b")
+
+
 def x11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = to_binary_assets(docs, "doc_id", "text")
@@ -153,6 +165,7 @@ QUERIES = {
     "x9_sim_topk": x9_sim_topk,
     "x10_sim_topk_lsh": x10_sim_topk_lsh,
     "x11_multimodal_meta": x11_multimodal_meta,
+    "x12_embed_near_dup": x12_embed_near_dup,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -356,7 +369,21 @@ ORACLES = {
         ORDER BY query_id, "rank"
     """,
     # x10_sim_topk_lsh: intentionally no oracle (approximate op;
-    # recall-verified against x9 in tests/test_similarity.py)
+    # recall-verified against x9 in tests/test_dedup_similarity_text.py)
+    "x12_embed_near_dup": """
+        WITH qv AS (SELECT vec_id,
+                           list_transform(embedding,
+                               x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                         AS BIGINT)) AS v
+                    FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_sum(list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i])) AS dot
+        FROM qv a JOIN qv b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, len(a.v)),
+                  i -> a.v[i] * b.v[i])) >= 350000
+        ORDER BY id_a, id_b
+    """,
     "x11_multimodal_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -49,11 +49,24 @@ def s4_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_totals(ev).orderBy("event_id")
 
 
+def s5_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful recurrence (not a SQL window): per-user EWMA via
+    grouped-map pandas UDF; oracle folds the same recursion with DuckDB
+    ``list_reduce`` over the time-ordered value list."""
+    from m5_competition_kaggle_spark.operators.stateful import ewma_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_per_key(
+        ev, "user_id", "value", ("ts_nanos", "event_id"), alpha=0.5
+    ).orderBy("user_id")
+
+
 QUERIES = {
     "s1_tumbling": s1_tumbling,
     "s2_sliding": s2_sliding,
     "s3_session": s3_session,
     "s4_running_totals": s4_running_totals,
+    "s5_ewma": s5_ewma,
 }
 
 ORACLES = {
@@ -105,5 +118,13 @@ ORACLES = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "s5_ewma": """
+        SELECT user_id,
+               CAST(len(l) AS BIGINT) AS n_events,
+               list_reduce(l, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+        FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
+              FROM events GROUP BY user_id)
+        ORDER BY user_id
     """,
 }
