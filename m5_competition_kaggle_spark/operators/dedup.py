@@ -174,10 +174,20 @@ def minhash_lsh_pairs(
     The full composition; returns (id_a, id_b, n_common, n_a, n_b, jaccard)
     for verified pairs ≥ threshold.
     """
-    sigs = minhash_signatures(df, key_col, text_col, num_hashes, shingle_size)
+    # The shingle explode feeds both the signatures and the verify joins —
+    # materialize it once instead of re-tokenizing the corpus three times.
+    sh = doc_shingles(df, key_col, text_col, shingle_size).persist()
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    ]
+    sigs = (
+        sh.withColumn("__h", h64(F.col("shingle")) % MINHASH_P)
+        .groupBy(key_col)
+        .agg(*aggs)
+    )
     buckets = minhash_band_buckets(sigs, key_col, num_hashes, bands)
     pairs = candidate_pairs(buckets, key_col)
-    sh = doc_shingles(df, key_col, text_col, shingle_size)
     return verify_jaccard(pairs, sh, key_col).filter(
         F.col("jaccard") >= threshold
     )
@@ -193,7 +203,8 @@ def ngram_jaccard_pairs(
     """All-candidate n-gram Jaccard: every pair sharing ≥1 shingle is
     scored exactly. Complete (no LSH misses) but quadratic within shingle
     buckets — the small-corpus / high-precision path."""
-    sh = doc_shingles(df, key_col, text_col, shingle_size)
+    # One materialized shingle explode feeds both join sides and the sizes.
+    sh = doc_shingles(df, key_col, text_col, shingle_size).persist()
     e1 = sh.select(F.col(key_col).alias("id_a"), "shingle")
     e2 = sh.select(F.col(key_col).alias("id_b"), "shingle")
     # Count common shingles directly off the join — materializing the

@@ -16,7 +16,7 @@ from m5_competition_kaggle_spark.queries import core
 def all_queries():
     merged = {}
     merged.update(core.QUERIES)
-    for mod_name in ("extensions", "streaming_shaped"):
+    for mod_name in ("extensions", "streaming_shaped", "analytics"):
         try:
             import importlib
 
@@ -32,7 +32,7 @@ def all_queries():
 def all_oracles():
     merged = {}
     merged.update(core.ORACLES)
-    for mod_name in ("extensions", "streaming_shaped"):
+    for mod_name in ("extensions", "streaming_shaped", "analytics"):
         try:
             import importlib
 

@@ -153,6 +153,52 @@ def x11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets, "doc_id", mode="fake").orderBy("doc_id")
 
 
+def x14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 3, via bit-block LSH
+    (two hashes within distance d must agree on ≥1 of d+1 blocks)."""
+    from m5_competition_kaggle_spark.operators.dedup import (
+        simhash,
+        simhash_near_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sims = simhash(docs, "doc_id", "text", bits=32)
+    out = simhash_near_pairs(sims, "doc_id", max_hamming=3, bits=32)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+def x13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: for every event, the value of the user's most
+    recent purchase at-or-before that instant (as-of backward join —
+    operators/asof.py; oracle uses DuckDB's native ASOF JOIN)."""
+    from pyspark.sql import Window
+
+    from m5_competition_kaggle_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts_nanos").orderBy(
+                    F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id", "ts_nanos", F.col("value").alias("purchase_value")
+        )
+    )
+    out = asof_join_backward(
+        ev, purchases, ["user_id"], "ts_nanos", ["purchase_value"]
+    )
+    return out.select("event_id", "value", "purchase_value").orderBy("event_id")
+
+
 QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x2_dedup_minhash": x2_dedup_minhash,
@@ -166,6 +212,8 @@ QUERIES = {
     "x10_sim_topk_lsh": x10_sim_topk_lsh,
     "x11_multimodal_meta": x11_multimodal_meta,
     "x12_embed_near_dup": x12_embed_near_dup,
+    "x13_asof_join": x13_asof_join,
+    "x14_simhash_pairs": x14_simhash_pairs,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -256,7 +304,9 @@ ORDER BY id_a, id_b
 """
 
 
-def _simhash_oracle(bits: int) -> str:
+def _simhash_core(bits: int) -> str:
+    """CTE chain ending in ``sims(doc_id, simhash)`` — shared by the
+    per-doc (x4) and pairs (x14) oracles."""
     sums = ",\n        ".join(
         f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s_{b}"
         for b in range(bits)
@@ -264,13 +314,40 @@ def _simhash_oracle(bits: int) -> str:
     recompose = " + ".join(
         f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
-    return f"""
-WITH {_DOCS_TOKS},
+    return f"""{_DOCS_TOKS},
 tok AS (SELECT doc_id, unnest(toks) AS t FROM docs),
 h AS (SELECT doc_id, {H64.format(s='t')} AS h FROM tok),
-sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
-SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash
-FROM sums ORDER BY doc_id
+sums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM sums)"""
+
+
+def _simhash_oracle(bits: int) -> str:
+    return f"""
+WITH {_simhash_core(bits)}
+SELECT doc_id, simhash FROM sims ORDER BY doc_id
+"""
+
+
+def _simhash_pairs_oracle(bits: int, max_hamming: int) -> str:
+    blocks = max_hamming + 1
+    width = bits // blocks
+    block_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS blk, "
+        f"(simhash // {1 << (i * width)}) % {1 << width} AS val FROM sims"
+        for i in range(blocks)
+    )
+    return f"""
+WITH {_simhash_core(bits)},
+blocks AS (
+{block_selects}
+),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM blocks a JOIN blocks b
+            ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+ORDER BY id_a, id_b
 """
 
 
@@ -314,6 +391,7 @@ ORACLES = {
     "x2_dedup_minhash": _minhash_oracle(16, 4, 0.8),
     "x3_dedup_ngram": _ngram_oracle(0.5),
     "x4_dedup_simhash": _simhash_oracle(32),
+    "x14_simhash_pairs": _simhash_pairs_oracle(32, 3),
     "x5_text_fingerprint": f"""
         WITH {_DOCS_TOKS}, {_shingle_cte(5)}
         SELECT doc_id,
@@ -383,6 +461,19 @@ ORACLES = {
         WHERE list_sum(list_transform(generate_series(1, len(a.v)),
                   i -> a.v[i] * b.v[i])) >= 350000
         ORDER BY id_a, id_b
+    """,
+    "x13_asof_join": """
+        WITH purchases AS (
+            SELECT user_id, ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+            QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                       ORDER BY event_id DESC) = 1
+        )
+        SELECT e.event_id, e.value, p.purchase_value
+        FROM events e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY e.event_id
     """,
     "x11_multimodal_meta": """
         SELECT doc_id,
