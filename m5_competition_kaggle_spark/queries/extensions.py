@@ -153,6 +153,26 @@ def x11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_assets(assets, "doc_id", mode="fake").orderBy("doc_id")
 
 
+def x15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the ``props`` JSON string
+    (absent from the reference's all-flat data model, SURVEY §1.1),
+    extract + type a field, and aggregate. ``get_json_object`` stays
+    JVM-side; for fixed schemas ``from_json`` gives a typed struct."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.avg("k").alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def x14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3, via bit-block LSH
     (two hashes within distance d must agree on ≥1 of d+1 blocks)."""
@@ -214,6 +234,7 @@ QUERIES = {
     "x12_embed_near_dup": x12_embed_near_dup,
     "x13_asof_join": x13_asof_join,
     "x14_simhash_pairs": x14_simhash_pairs,
+    "x15_json_props": x15_json_props,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -392,6 +413,14 @@ ORACLES = {
     "x3_dedup_ngram": _ngram_oracle(0.5),
     "x4_dedup_simhash": _simhash_oracle(32),
     "x14_simhash_pairs": _simhash_pairs_oracle(32, 3),
+    "x15_json_props": """
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "x5_text_fingerprint": f"""
         WITH {_DOCS_TOKS}, {_shingle_cte(5)}
         SELECT doc_id,
