@@ -64,11 +64,20 @@ def exact_dup_groups(df: DataFrame, key_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition on the key so per-document CPU work (tokenize,
+    shingle, md5) parallelizes even when the source arrived as one file /
+    partition. One tiny shuffle of raw rows buys full-width execution;
+    at real scale inputs are already many splits and this is a no-op cost."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key_col)
+
+
 def doc_shingles(
     df: DataFrame, key_col: str, text_col: str, shingle_size: int
 ) -> DataFrame:
     """(key, shingle) pairs, distinct per document (set semantics)."""
-    out = df.withColumn("__toks", tokens(text_col))
+    out = _spread(df, key_col).withColumn("__toks", tokens(text_col))
     out = out.withColumn(
         "__sh", F.array_distinct(shingles_expr("__toks", shingle_size))
     )
@@ -238,7 +247,7 @@ def simhash(
     One explode + one groupBy with ``bits`` conditional sums — entirely
     map-side-combinable.
     """
-    tok = df.select(
+    tok = _spread(df, key_col).select(
         F.col(key_col), F.explode(tokens(text_col)).alias("tok")
     ).withColumn("h", h64(F.col("tok")))
     aggs = [

@@ -51,6 +51,26 @@ def trailing_mean_col(
     return F.when(F.count(col).over(frame) >= mp, avg).otherwise(F.lit(None))
 
 
+def trailing_agg_col(
+    col: str,
+    window: int,
+    w: WindowSpec,
+    agg: str = "avg",
+    min_periods: int | None = None,
+) -> Column:
+    """Generalized W2: any algebraic aggregate over the trailing
+    ``[-window, -1]`` frame with the same pandas ``min_periods`` guard.
+    ``agg`` ∈ {avg, sum, min, max, count}."""
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count}
+    if agg not in fns:
+        raise ValueError(f"unsupported agg {agg!r}; choose {sorted(fns)}")
+    mp = window if min_periods is None else min_periods
+    frame = w.rowsBetween(-window, -1)
+    val = fns[agg](col).over(frame)
+    return F.when(F.count(col).over(frame) >= mp, val).otherwise(F.lit(None))
+
+
 def with_lags(
     df: DataFrame,
     col: str,

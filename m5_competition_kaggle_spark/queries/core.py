@@ -289,6 +289,23 @@ def q18_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q19_rolling_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 — generalized trailing aggregates (sum/min/max beyond the
+    reference's mean-only W2), same min_periods guard, one window
+    shuffle."""
+    from m5_competition_kaggle_spark.operators.window import trailing_agg_col
+
+    ev, w = _events_window(spark, sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            trailing_agg_col("value", 7, w, "sum").alias("roll_sum_7"),
+            trailing_agg_col("value", 7, w, "min").alias("roll_min_7"),
+            trailing_agg_col("value", 7, w, "max").alias("roll_max_7"),
+        ).orderBy("event_id")
+    )
+
+
 QUERIES = {
     "q1_filter_project": q1_filter_project,
     "q2_range_null_filter": q2_range_null_filter,
@@ -308,6 +325,7 @@ QUERIES = {
     "q16_keyed_update": q16_keyed_update,
     "q17_feature_attach": q17_feature_attach,
     "q18_feature_pipeline": q18_feature_pipeline,
+    "q19_rolling_multi": q19_rolling_multi,
 }
 
 ORACLES = {
@@ -451,6 +469,19 @@ ORACLES = {
                c.event_type_code
         FROM events JOIN codes c USING (event_type)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    "q19_rolling_multi": """
+        SELECT event_id,
+               CASE WHEN count(value) OVER w = 7
+                    THEN sum(value) OVER w END AS roll_sum_7,
+               CASE WHEN count(value) OVER w = 7
+                    THEN min(value) OVER w END AS roll_min_7,
+               CASE WHEN count(value) OVER w = 7
+                    THEN max(value) OVER w END AS roll_max_7
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
         ORDER BY event_id
     """,
 }

@@ -50,8 +50,9 @@ def s4_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def s5_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful recurrence (not a SQL window): per-user EWMA via
-    grouped-map pandas UDF; oracle folds the same recursion with DuckDB
+    """Custom stateful recurrence (not a SQL window): per-user EWMA via a
+    JVM-side sort_array + aggregate() fold (grouped-map pandas variant in
+    operators/stateful.py); oracle folds the same recursion with DuckDB
     ``list_reduce`` over the time-ordered value list."""
     from m5_competition_kaggle_spark.operators.stateful import ewma_per_key
 

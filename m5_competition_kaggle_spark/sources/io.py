@@ -45,6 +45,31 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (interchange with non-columnar consumers; prefer
+    parquet for anything Spark reads back)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink — columnar alternative when the downstream stack is
+    Hive/ORC-native; same pushdown/pruning properties as parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = True) -> None:
     """CSV sink (S3, the submission writer at reference ``pipeline.py:379``).
 

@@ -79,6 +79,29 @@ def test_csv_and_parquet_round_trip(spark, tmp_path):
     assert not io.stage_done(pq_path)
 
 
+def test_json_and_orc_round_trip(spark, tmp_path):
+    from m5_competition_kaggle_spark.sources import io
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "nation")
+    want = sorted(map(tuple, df.collect()))
+
+    jp = str(tmp_path / "nation_json")
+    io.write_json(df, jp)
+    assert sorted(map(tuple, io.read_json(spark, jp, df.schema).collect())) == want
+
+    op = str(tmp_path / "nation_orc")
+    io.write_orc(df, op)
+    back = io.read_orc(spark, op)
+    assert sorted(map(tuple, back.collect())) == want
+    # ORC pushdown survives like parquet
+    plan = (
+        back.filter(F.col("n_nationkey") == 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]" in plan
+
+
 # ---------------------------------------------------------------- properties
 
 
