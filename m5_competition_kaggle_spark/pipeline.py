@@ -91,6 +91,11 @@ def run(
         lambda: add_series_features(base),
         partition_by=("store_id",), force=force,
     )
+    # reference store_list knob (quick_one runs 1 store,
+    # ``pipeline.py:35``): because the stage is partitionBy(store_id),
+    # this equality filter is partition PRUNING, not a scan+filter.
+    if config.get("stores"):
+        feats = feats.filter(F.col("store_id").isin(*config["stores"]))
     config = _derive_dates(feats, config)
 
     def build_models():

@@ -11,7 +11,6 @@ interoperates with them.
 """
 
 import pytest
-from pyspark.sql import functions as F
 
 
 def test_bucketed_join_has_no_shuffle(spark):

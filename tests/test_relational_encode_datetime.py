@@ -6,8 +6,6 @@ year-boundary ISO weeks, NULL label-encode input.
 
 import datetime
 
-from pyspark.sql import functions as F
-
 from m5_competition_kaggle_spark.functions.datetime import (
     dayofweek_pandas,
     is_weekend,
