@@ -79,10 +79,105 @@ def g3_top_customers_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g4_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total) — the
+    grouping-sets path (Expand + aggregate). NULL group keys mark
+    subtotal rows; grouping_id disambiguates real NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+        )
+    )
+
+
+def g5_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: distinct customers and order-date span per
+    priority (two-phase distinct-agg plan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def g6_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS: customers labeled by whether they have any
+    order > 200000 — left-semi and left-anti joins unioned."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_big = c.join(big, "c_custkey", "left_semi").select(
+        "c_custkey", F.lit("big_spender").alias("bucket")
+    )
+    without = c.join(big, "c_custkey", "left_anti").select(
+        "c_custkey", F.lit("regular").alias("bucket")
+    )
+    return with_big.unionByName(without).orderBy("c_custkey")
+
+
+def g7_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: custkeys appearing in both halves of the date
+    range vs only the first half."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.filter(F.col("o_orderdate") < "1996-01-01").select("o_custkey")
+    second = o.filter(F.col("o_orderdate") >= "1996-01-01").select("o_custkey")
+    both = first.intersect(second).select(
+        "o_custkey", F.lit("both").alias("presence")
+    )
+    # subtract = SQL EXCEPT (set semantics); exceptAll would leave
+    # higher-multiplicity keys that also appear in the second half
+    only_first = first.subtract(second).select(
+        "o_custkey", F.lit("first_only").alias("presence")
+    )
+    return both.unionByName(only_first).orderBy("o_custkey", "presence")
+
+
+def g8_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark ``percentile`` ==
+    SQL-standard continuous quantile == DuckDB ``quantile_cont``)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 QUERIES = {
     "g1_pricing_summary": g1_pricing_summary,
     "g2_revenue_by_nation": g2_revenue_by_nation,
     "g3_top_customers_per_segment": g3_top_customers_per_segment,
+    "g4_rollup_revenue": g4_rollup_revenue,
+    "g5_distinct_agg": g5_distinct_agg,
+    "g6_semi_anti_joins": g6_semi_anti_joins,
+    "g7_set_ops": g7_set_ops,
+    "g8_median_quantiles": g8_median_quantiles,
 }
 
 ORACLES = {
@@ -127,5 +222,51 @@ ORACLES = {
         SELECT c_mktsegment, c_custkey, spend, rnk
         FROM ranked WHERE rnk <= 3
         ORDER BY c_mktsegment, rnk
+    """,
+    "g4_rollup_revenue": """
+        SELECT r_name, n_name, sum(o_totalprice) AS revenue,
+               CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
+    """,
+    "g5_distinct_agg": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS last_order
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "g6_semi_anti_joins": """
+        SELECT c_custkey,
+               CASE WHEN EXISTS (SELECT 1 FROM orders
+                                 WHERE o_custkey = c_custkey
+                                   AND o_totalprice > 200000)
+                    THEN 'big_spender' ELSE 'regular' END AS bucket
+        FROM customer ORDER BY c_custkey
+    """,
+    "g7_set_ops": """
+        WITH first_half AS (SELECT o_custkey FROM orders
+                            WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+             second_half AS (SELECT o_custkey FROM orders
+                             WHERE o_orderdate >= TIMESTAMP '1996-01-01')
+        SELECT o_custkey, 'both' AS presence
+        FROM (SELECT o_custkey FROM first_half
+              INTERSECT SELECT o_custkey FROM second_half)
+        UNION ALL
+        SELECT o_custkey, 'first_only' AS presence
+        FROM (SELECT DISTINCT o_custkey FROM first_half
+              EXCEPT SELECT o_custkey FROM second_half)
+        ORDER BY o_custkey, presence
+    """,
+    "g8_median_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS median_price,
+               quantile_cont(l_extendedprice, 0.9) AS p90_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 }

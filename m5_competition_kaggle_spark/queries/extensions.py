@@ -173,6 +173,37 @@ def x15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow — the reason the extension
+    ops exist: quality-score → threshold filter → exact dedup (keep min
+    doc_id per identical text) → language allowlist → greedy token-budget
+    selection (best-quality-first cumulative cap). One lazy plan:
+    filter → hash-agg dedup → window cumsum."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs, "text").select(
+        "doc_id", "text", "lang", "n_tokens", "quality_score"
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.55) & F.col("lang").isin("en", "fr", "es")
+    )
+    canonical = kept.groupBy(F.md5("text").alias("__h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = kept.join(canonical, "doc_id", "left_semi")
+    w = (
+        Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    budgeted = deduped.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    ).filter(F.col("cum_tokens") <= 5000)
+    return budgeted.select(
+        "doc_id", "n_tokens", "quality_score", "cum_tokens"
+    ).orderBy("doc_id")
+
+
 def x14_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3, via bit-block LSH
     (two hashes within distance d must agree on ≥1 of d+1 blocks)."""
@@ -235,6 +266,7 @@ QUERIES = {
     "x13_asof_join": x13_asof_join,
     "x14_simhash_pairs": x14_simhash_pairs,
     "x15_json_props": x15_json_props,
+    "x16_curation_pipeline": x16_curation_pipeline,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -242,7 +274,7 @@ QUERIES = {
 H64 = "CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT)"
 
 _DOCS_TOKS = r"""
-docs AS (SELECT doc_id, text,
+docs AS (SELECT doc_id, text, lang,
                 str_split_regex(trim(text), '\s+') AS toks
          FROM documents)
 """
@@ -413,6 +445,33 @@ ORACLES = {
     "x3_dedup_ngram": _ngram_oracle(0.5),
     "x4_dedup_simhash": _simhash_oracle(32),
     "x14_simhash_pairs": _simhash_pairs_oracle(32, 3),
+    "x16_curation_pipeline": rf"""
+        WITH {_DOCS_TOKS},
+        m AS (SELECT doc_id, text, lang,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               0.5 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * (1.0 - len(list_filter(toks,
+                       t -> t IN ({_STOP_EN}))) * 1.0
+                       / greatest(len(toks), 1))
+                 + 0.2 * least(1.0, (length(text) - (len(toks) - 1)) * 1.0
+                       / greatest(len(toks), 1) / 8.0) AS quality_score
+              FROM docs),
+        kept AS (SELECT * FROM m
+                 WHERE quality_score >= 0.55 AND lang IN ('en','fr','es')),
+        canonical AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                      FROM kept GROUP BY md5(text)),
+        deduped AS (SELECT k.* FROM kept k
+                    WHERE k.doc_id IN (SELECT doc_id FROM canonical)),
+        budgeted AS (
+            SELECT doc_id, n_tokens, quality_score,
+                   sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum_tokens
+            FROM deduped)
+        SELECT doc_id, n_tokens, quality_score, cum_tokens
+        FROM budgeted WHERE cum_tokens <= 5000
+        ORDER BY doc_id
+    """,
     "x15_json_props": """
         SELECT event_type,
                count(*) AS n,
