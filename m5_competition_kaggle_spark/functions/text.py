@@ -40,6 +40,15 @@ def h64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def h64_py(s: str) -> int:
+    """Driver-side twin of :func:`h64` — same value for the same string,
+    used to derive constants (LSH hyperplanes, minhash permutations) that
+    SQL oracles embed as literals."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens; leading/trailing space trimmed so no empty tokens."""
     return F.split(F.trim(col), WS_SPLIT)

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from m5_competition_kaggle_spark.functions.text import h64, shingles_expr, tokens
+from m5_competition_kaggle_spark.functions.text import (
+    h64,
+    h64_py,
+    shingles_expr,
+    tokens,
+)
 
 # Universal-hash permutation family for MinHash: mh_i = (A_i·h + B_i) mod P
 # over h = h64(shingle) mod P. One md5 per shingle total; the permutations
@@ -35,17 +40,11 @@ from m5_competition_kaggle_spark.functions.text import h64, shingles_expr, token
 MINHASH_P = 2_147_483_647
 
 
-def _h64_py(s: str) -> int:
-    import hashlib
-
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-
 def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return [
         (
-            _h64_py(f"a:{i}") % (MINHASH_P - 1) + 1,
-            _h64_py(f"b:{i}") % MINHASH_P,
+            h64_py(f"a:{i}") % (MINHASH_P - 1) + 1,
+            h64_py(f"b:{i}") % MINHASH_P,
         )
         for i in range(num_hashes)
     ]

@@ -14,7 +14,6 @@ and broadcastable; the LSH path bounds candidates per query to one bucket
 
 from __future__ import annotations
 
-import hashlib
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -105,18 +104,15 @@ def brute_force_topk(
     )
 
 
-def _h64_py(s: str) -> int:
-    """Python twin of functions.text.h64 (first 15 md5 hex chars)."""
-    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-
-
 def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: w[p][i] derives from
     h64(f"{table}:{p},{i}") mapped to [-1, 1]. Same seedless recipe is
     reproducible anywhere (including a SQL oracle)."""
+    from m5_competition_kaggle_spark.functions.text import h64_py
+
     return [
         [
-            ((_h64_py(f"{table}:{p},{i}") % 2001) - 1000) / 1000.0
+            ((h64_py(f"{table}:{p},{i}") % 2001) - 1000) / 1000.0
             for i in range(dim)
         ]
         for p in range(num_planes)
