@@ -173,6 +173,23 @@ def x15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x17_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
+    counts and quantile sketches per event_type. No SQL oracle — sketch
+    outputs are engine-specific by design; accuracy vs exact values is
+    asserted in tests/test_sketches.py (rows-only driver check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5, 1000).alias("approx_median"),
+            F.percentile_approx("value", 0.99, 1000).alias("approx_p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def x16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-data curation flow — the reason the extension
     ops exist: quality-score → threshold filter → exact dedup (keep min
@@ -267,6 +284,7 @@ QUERIES = {
     "x14_simhash_pairs": x14_simhash_pairs,
     "x15_json_props": x15_json_props,
     "x16_curation_pipeline": x16_curation_pipeline,
+    "x17_approx_sketches": x17_approx_sketches,
 }
 
 # --------------------------------------------------------------- Oracle side

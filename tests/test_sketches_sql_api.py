@@ -1,0 +1,60 @@
+"""Sketch-aggregate accuracy and the SQL API surface."""
+
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.sources.catalog import load_table, register_views
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_sketches_accuracy(spark):
+    """HLL++ distinct counts within 5% of exact; approx median within the
+    declared rank error of the exact interpolated median."""
+    from m5_competition_kaggle_spark.queries.extensions import (
+        x17_approx_sketches,
+    )
+
+    approx = {r["event_type"]: r for r in x17_approx_sketches(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        rel = abs(approx[k]["approx_users"] - exact[k]["users"]) / exact[k]["users"]
+        assert rel <= 0.05, (k, rel)
+        # percentile_approx returns an actual data value near the median
+        assert abs(approx[k]["approx_median"] - exact[k]["median"]) <= max(
+            5.0, 0.05 * abs(exact[k]["median"])
+        )
+
+
+def test_sql_api_over_registered_views(spark):
+    """The SQL entry point: register catalog views, run plain SQL —
+    Catalyst produces the same plans as the DataFrame API."""
+    register_views(spark, SF)
+    got = spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    ).collect()
+    want = (
+        load_table(spark, SF, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # joins across views work too
+    n = spark.sql(
+        "SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).collect()[0][0]
+    assert n == 60000
