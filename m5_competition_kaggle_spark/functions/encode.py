@@ -14,20 +14,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def label_encode(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+def label_encode(
+    df: DataFrame,
+    col: str,
+    out_col: str | None = None,
+    scalable: bool = False,
+) -> DataFrame:
     """Attach ``out_col`` = 0-based lexicographic rank of ``col``'s value.
 
-    Built as a broadcast join against the (small) distinct-value code table
-    rather than a global-window dense_rank over every row — the code table
-    has one row per distinct value, so the expensive global sort happens on
-    the tiny side and the fact table never re-shuffles.
+    Built as a broadcast join against the distinct-value code table rather
+    than a global-window dense_rank over every row — the code table has one
+    row per distinct value, so the expensive ranking happens on the small
+    side and the fact table never re-shuffles.
     NULL encodes to -1 (pandas category code for NaN).
+
+    ``scalable=False`` (default) ranks the distinct values with a global
+    window — exact and fine up to ~millions of distinct values, but it is
+    a single-partition sort. ``scalable=True`` ranks via a range-partitioned
+    sort + ``zipWithIndex`` — fully distributed, for high-cardinality
+    columns (e.g. 3 M item ids); same codes, and the code table then joins
+    (not broadcasts) if it outgrows the broadcast threshold.
     """
     out = out_col or f"{col}_code"
-    codes = (
-        df.select(col).distinct()
-        .filter(F.col(col).isNotNull())
-        .withColumn(out, F.dense_rank().over(Window.orderBy(col)) - 1)
-    )
-    joined = df.join(F.broadcast(codes), [col], "left")
+    distinct = df.select(col).distinct().filter(F.col(col).isNotNull())
+    if scalable:
+        spark = df.sparkSession
+        ranked = (
+            distinct.orderBy(col)
+            .rdd.map(lambda r: r[0])
+            .zipWithIndex()  # preserves the sorted order, distributed
+            .map(lambda kv: (kv[0], kv[1]))
+        )
+        codes = spark.createDataFrame(ranked, [col, out])
+        joined = df.join(codes, [col], "left")
+    else:
+        codes = distinct.withColumn(
+            out, F.dense_rank().over(Window.orderBy(col)) - 1
+        )
+        joined = df.join(F.broadcast(codes), [col], "left")
     return joined.withColumn(out, F.coalesce(F.col(out), F.lit(-1)))

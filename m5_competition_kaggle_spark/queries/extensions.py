@@ -202,6 +202,11 @@ def x16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_features(docs, "text").select(
         "doc_id", "text", "lang", "n_tokens", "quality_score"
     )
+    # NOTE on the global budget window below: greedy best-first selection
+    # under one global token budget is inherently a global order — at
+    # 100 TB you'd split the budget into per-partition quotas (budget/N per
+    # quality-range bucket) and take the union; here the exact global
+    # semantics is the point (oracle-checked).
     kept = scored.filter(
         (F.col("quality_score") >= 0.55) & F.col("lang").isin("en", "fr", "es")
     )

@@ -72,6 +72,22 @@ def test_label_encode_lexicographic_and_null(spark):
     assert m == {"apple": 0, "banana": 1, "cherry": 2, None: -1}
 
 
+def test_label_encode_scalable_variant_matches(spark):
+    """The distributed (zipWithIndex) ranking must produce identical codes
+    to the window ranking — including on ties/duplicates and NULLs."""
+    rows = [(f"v{i % 37:03d}",) for i in range(500)] + [(None,)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    small = {
+        (r["k"], r["code"])
+        for r in label_encode(df, "k", "code", scalable=False).collect()
+    }
+    big = {
+        (r["k"], r["code"])
+        for r in label_encode(df, "k", "code", scalable=True).collect()
+    }
+    assert small == big
+
+
 def test_dayofweek_pandas_convention(spark):
     # 2024-01-01 is a Monday; 2024-01-06 Saturday; 2024-01-07 Sunday.
     df = spark.createDataFrame(
