@@ -306,6 +306,47 @@ def q19_rolling_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q20_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 — ranking-function family (absent from the reference, SURVEY §2
+    frame-spec note): rank / dense_rank / percent_rank / ntile / cume_dist
+    over one window spec."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.cume_dist().over(w).alias("cdist"),
+        ).orderBy("c_custkey")
+    )
+
+
+def q21_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 — string-function breadth: case, pad, substring, replace,
+    token extraction, edit distance."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_u"),
+            F.lpad("p_type", 25, ".").alias("type_pad"),
+            F.substring("p_name", 1, 8).alias("name8"),
+            F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+            F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+            F.levenshtein("p_brand", "p_type").cast("long").alias("edit_dist"),
+            F.length("p_name").cast("long").alias("name_len"),
+        ).orderBy("p_partkey")
+    )
+
+
 QUERIES = {
     "q1_filter_project": q1_filter_project,
     "q2_range_null_filter": q2_range_null_filter,
@@ -326,6 +367,8 @@ QUERIES = {
     "q17_feature_attach": q17_feature_attach,
     "q18_feature_pipeline": q18_feature_pipeline,
     "q19_rolling_multi": q19_rolling_multi,
+    "q20_rank_functions": q20_rank_functions,
+    "q21_string_functions": q21_string_functions,
 }
 
 ORACLES = {
@@ -470,6 +513,29 @@ ORACLES = {
         FROM events JOIN codes c USING (event_type)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
+    """,
+    "q20_rank_functions": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               percent_rank() OVER w AS prnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               cume_dist() OVER w AS cdist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q21_string_functions": """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               lpad(p_type, 25, '.') AS type_pad,
+               substring(p_name, 1, 8) AS name8,
+               regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+               split_part(p_type, ' ', 1) AS type_head,
+               CAST(levenshtein(p_brand, p_type) AS BIGINT) AS edit_dist,
+               CAST(length(p_name) AS BIGINT) AS name_len
+        FROM part ORDER BY p_partkey
     """,
     "q19_rolling_multi": """
         SELECT event_id,
