@@ -347,6 +347,53 @@ def q21_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 — nested/array column ops over the embedding vectors:
+    element access, slicing, higher-order transform/filter/aggregate —
+    all codegen'd, no UDFs (the array<float> path the reference's flat
+    model never had)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.col("embedding")[0].cast("double").alias("first"),
+            F.expr(
+                "aggregate(embedding, 0D, (acc, x) -> acc + cast(x as double))"
+            ).alias("sum_all"),
+            F.expr(
+                "size(filter(embedding, x -> x > 0))"
+            ).cast("long").alias("n_positive"),
+            F.expr(
+                "aggregate(slice(embedding, 1, 8), 0D,"
+                " (acc, x) -> acc + cast(abs(x) as double))"
+            ).alias("l1_head8"),
+        ).orderBy("vec_id")
+    )
+
+
+def q23_conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23 — conditional/NULL scalar family: CASE, coalesce, nullif,
+    least/greatest."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000, "high")
+            .when(F.col("o_totalprice") > 100000, "mid")
+            .otherwise("low")
+            .alias("price_band"),
+            F.coalesce(
+                F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")
+            ).alias("status_or_open"),
+            F.least(F.col("o_totalprice"), F.lit(150000.0)).alias("capped"),
+            F.greatest(F.col("o_totalprice") - 100000, F.lit(0.0)).alias(
+                "excess"
+            ),
+        ).orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
     "q1_filter_project": q1_filter_project,
     "q2_range_null_filter": q2_range_null_filter,
@@ -369,6 +416,8 @@ QUERIES = {
     "q19_rolling_multi": q19_rolling_multi,
     "q20_rank_functions": q20_rank_functions,
     "q21_string_functions": q21_string_functions,
+    "q22_array_functions": q22_array_functions,
+    "q23_conditional_functions": q23_conditional_functions,
 }
 
 ORACLES = {
@@ -513,6 +562,32 @@ ORACLES = {
         FROM events JOIN codes c USING (event_type)
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
+    """,
+    "q22_array_functions": """
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (acc, x) -> acc + x) AS sum_all,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+                   AS n_positive,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(embedding[1:8],
+                       x -> CAST(abs(x) AS DOUBLE))),
+                   (acc, x) -> acc + x) AS l1_head8
+        FROM embeddings ORDER BY vec_id
+    """,
+    "q23_conditional_functions": """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               coalesce(nullif(o_orderstatus, 'O'), 'open')
+                   AS status_or_open,
+               least(o_totalprice, 150000.0) AS capped,
+               greatest(o_totalprice - 100000, 0.0) AS excess
+        FROM orders ORDER BY o_orderkey
     """,
     "q20_rank_functions": """
         SELECT c_custkey, c_mktsegment,
