@@ -6,40 +6,33 @@ Each module contributes two dicts keyed by query name:
   (omitted for non-SQL-expressible ops → driver does a rows-only check)
 
 ``__spark_entry__.py`` at the repo root merges these for the driver.
+Imports are deliberately strict: a broken query module must fail loudly
+here, not silently shrink the declared set the driver checks.
 """
 
 from __future__ import annotations
 
-from m5_competition_kaggle_spark.queries import core
+from m5_competition_kaggle_spark.queries import (
+    analytics,
+    core,
+    extensions,
+    streaming_shaped,
+)
+
+_MODULES = (core, extensions, streaming_shaped, analytics)
 
 
 def all_queries():
     merged = {}
-    merged.update(core.QUERIES)
-    for mod_name in ("extensions", "streaming_shaped", "analytics"):
-        try:
-            import importlib
-
-            mod = importlib.import_module(
-                f"m5_competition_kaggle_spark.queries.{mod_name}"
-            )
-            merged.update(mod.QUERIES)
-        except ImportError:
-            pass
+    for mod in _MODULES:
+        overlap = merged.keys() & mod.QUERIES.keys()
+        assert not overlap, f"duplicate query names: {sorted(overlap)}"
+        merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracles():
     merged = {}
-    merged.update(core.ORACLES)
-    for mod_name in ("extensions", "streaming_shaped", "analytics"):
-        try:
-            import importlib
-
-            mod = importlib.import_module(
-                f"m5_competition_kaggle_spark.queries.{mod_name}"
-            )
-            merged.update(mod.ORACLES)
-        except ImportError:
-            pass
+    for mod in _MODULES:
+        merged.update(mod.ORACLES)
     return merged
