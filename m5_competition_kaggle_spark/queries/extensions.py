@@ -173,6 +173,29 @@ def x15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x18_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/valid/test assignment — the standard
+    leakage-free dataset split: bucket = h64(id) mod 100 → 80/10/10.
+    Content-independent, stable across runs/engines (unlike sample()),
+    and joins can't leak rows across splits because membership is a pure
+    function of the key."""
+    from m5_competition_kaggle_spark.functions.text import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = h64(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+    )
+    assigned = docs.select("doc_id", split.alias("split"))
+    return (
+        assigned.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+        .orderBy("split")
+    )
+
+
 def x17_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
     counts and quantile sketches per event_type. No SQL oracle — sketch
@@ -290,6 +313,7 @@ QUERIES = {
     "x15_json_props": x15_json_props,
     "x16_curation_pipeline": x16_curation_pipeline,
     "x17_approx_sketches": x17_approx_sketches,
+    "x18_hash_split": x18_hash_split,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -468,6 +492,18 @@ ORACLES = {
     "x3_dedup_ngram": _ngram_oracle(0.5),
     "x4_dedup_simhash": _simhash_oracle(32),
     "x14_simhash_pairs": _simhash_pairs_oracle(32, 3),
+    "x18_hash_split": """
+        WITH assigned AS (
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+                        WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents)
+        SELECT split, count(*) AS n, min(doc_id) AS min_id
+        FROM assigned GROUP BY split ORDER BY split
+    """,
     "x16_curation_pipeline": rf"""
         WITH {_DOCS_TOKS},
         m AS (SELECT doc_id, text, lang,
