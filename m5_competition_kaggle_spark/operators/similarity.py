@@ -104,29 +104,29 @@ def brute_force_topk(
     )
 
 
-def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[float]]:
+def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic pseudo-random hyperplanes: w[p][i] derives from
-    h64(f"{table}:{p},{i}") mapped to [-1, 1]. Same seedless recipe is
-    reproducible anywhere (including a SQL oracle)."""
+    h64(f"{table}:{p},{i}") mapped to INTEGER [-1000, 1000]. Integer
+    weights + the quantized vector keep the sign test pure int64 math —
+    bit-exact in any engine (a SQL oracle recomputes identical buckets),
+    with no float-associativity risk at the sign boundary."""
     from m5_competition_kaggle_spark.functions.text import h64_py
 
     return [
-        [
-            ((h64_py(f"{table}:{p},{i}") % 2001) - 1000) / 1000.0
-            for i in range(dim)
-        ]
+        [(h64_py(f"{table}:{p},{i}") % 2001) - 1000 for i in range(dim)]
         for p in range(num_planes)
     ]
 
 
-def lsh_bucket_col(vec_col: str, planes: list[list[float]]) -> Column:
-    """Bucket id = sign bits of the vector against each hyperplane."""
+def lsh_bucket_col(qvec_col: str, planes: list[list[int]]) -> Column:
+    """Bucket id = sign bits of the QUANTIZED vector (array<long>, see
+    ``quantize_expr``) against each integer hyperplane."""
     bucket = F.lit(0)
     for p, w in enumerate(planes):
-        arr = ", ".join(f"{x}D" for x in w)
+        arr = ", ".join(f"{x}L" for x in w)
         dot = F.expr(
-            f"aggregate(zip_with({vec_col}, array({arr}), "
-            f"(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+            f"aggregate(zip_with({qvec_col}, array({arr}), "
+            f"(x, y) -> x * y), 0L, (acc, v) -> acc + v)"
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
@@ -143,13 +143,16 @@ def _bucketize(
     dim: int,
 ) -> DataFrame:
     """(id, vec, table, bucket) rows — one bucket per LSH table."""
+    staged = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias(vec_alias),
+        quantize_expr(vec_col).alias("__q"),
+    )
     buckets = [
-        lsh_bucket_col(vec_col, hyperplanes(num_planes, dim, t)).alias(f"t_{t}")
+        lsh_bucket_col("__q", hyperplanes(num_planes, dim, t)).alias(f"t_{t}")
         for t in range(num_tables)
     ]
-    wide = df.select(
-        F.col(id_col).alias(out_id), F.col(vec_col).alias(vec_alias), *buckets
-    )
+    wide = staged.select(out_id, vec_alias, *buckets)
     return wide.unpivot(
         [out_id, vec_alias], [f"t_{t}" for t in range(num_tables)],
         "table", "bucket",
@@ -261,21 +264,31 @@ def embedding_near_dup_pairs(
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-similarity near-dup: pairs in the same LSH bucket whose
-    quantized dot ≥ threshold. (For normalized vectors, dot ≈ cosine·1e6.)"""
+    quantized dot ≥ threshold. (For normalized vectors, dot ≈ cosine·1e6.)
+
+    The 100 TB path: one self equi-join on ``bucket`` bounds candidates to
+    ~N²/2^planes instead of all pairs, nothing is collected to the driver,
+    and the whole chain (quantize → bucket → join → int64 dot → filter) is
+    JVM-side expressions. Buckets are integer-exact (``lsh_bucket_col``)
+    so a SQL oracle reproduces the identical candidate set."""
     planes = hyperplanes(num_planes, dim)
     keyed = vectors.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket_col(vec_col, planes).alias("bucket")
-    )
+        F.col(id_col), quantize_expr(vec_col).alias("__qv")
+    ).withColumn("bucket", lsh_bucket_col("__qv", planes))
     a = keyed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("__qv").alias("__va"), "bucket"
     )
     b = keyed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("__qv").alias("__vb"), "bucket"
+    )
+    int_dot = F.expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v)"
     )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", quantized_dot("__va", "__vb"))
+        .withColumn("dot", int_dot)
         .filter(F.col("dot") >= threshold_dot)
         .select("id_a", "id_b", "dot")
     )

@@ -136,15 +136,21 @@ def x10_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x12_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (quantized dot ≥ 350000 ≈
-    cosine 0.35 for ~unit vectors). The O(N²) precision baseline;
-    ``embedding_near_dup_pairs`` is the LSH-bucketed scale path."""
+    """Embedding-cosine near-dup pairs (quantized dot ≥ 350000 ≈ cosine
+    0.35 for ~unit vectors) via the LSH-bucketed scale path: candidates
+    are bounded to same-bucket pairs (integer-exact hyperplane buckets the
+    oracle reproduces), dot is exact int64 — exact precision within the
+    candidate set, nothing collected to the driver.
+    ``exact_near_dup_pairs`` (O(N²), broadcast matmul) remains as the
+    small-N audit baseline, recall-tested in pytest."""
     from m5_competition_kaggle_spark.operators.similarity import (
-        exact_near_dup_pairs,
+        embedding_near_dup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return exact_near_dup_pairs(emb, 350_000).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(
+        emb, 350_000, num_planes=4, dim=64
+    ).orderBy("id_a", "id_b")
 
 
 def x11_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,11 +231,6 @@ def x16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_features(docs, "text").select(
         "doc_id", "text", "lang", "n_tokens", "quality_score"
     )
-    # NOTE on the global budget window below: greedy best-first selection
-    # under one global token budget is inherently a global order — at
-    # 100 TB you'd split the budget into per-partition quotas (budget/N per
-    # quality-range bucket) and take the union; here the exact global
-    # semantics is the point (oracle-checked).
     kept = scored.filter(
         (F.col("quality_score") >= 0.55) & F.col("lang").isin("en", "fr", "es")
     )
@@ -237,13 +238,39 @@ def x16_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     deduped = kept.join(canonical, "doc_id", "left_semi")
-    w = (
-        Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    # Greedy best-first selection under one global token budget, WITHOUT a
+    # global single-partition sort: range-bucket quality_score (monotone →
+    # ordering by (bucket desc, quality desc, doc_id) == the global
+    # (quality desc, doc_id) order), cumulative-sum WITHIN each bucket in
+    # parallel, and add each bucket's offset = total tokens of all better
+    # buckets. Offsets come from a triangular self-join of the per-bucket
+    # totals (≤ N_BUCKETS² rows, a constant at any scale) — the plan has
+    # NO unpartitioned window.
+    n_buckets = 20  # quality_score ∈ [0, 1]; ↑ for more parallelism
+    bucketed = deduped.withColumn(
+        "__qb", F.floor(F.col("quality_score") * n_buckets).cast("long")
+    )
+    totals = bucketed.groupBy("__qb").agg(F.sum("n_tokens").alias("__bt"))
+    higher = totals.select(
+        F.col("__qb").alias("__qb_hi"), F.col("__bt").alias("__bt_hi")
+    )
+    offsets = (
+        totals.join(higher, F.col("__qb_hi") > F.col("__qb"), "left")
+        .groupBy("__qb")
+        .agg(F.coalesce(F.sum("__bt_hi"), F.lit(0)).alias("__off"))
+    )
+    w_in = (
+        Window.partitionBy("__qb")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    budgeted = deduped.withColumn(
-        "cum_tokens", F.sum("n_tokens").over(w)
-    ).filter(F.col("cum_tokens") <= 5000)
+    budgeted = (
+        bucketed.join(F.broadcast(offsets), "__qb")
+        .withColumn(
+            "cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_in)
+        )
+        .filter(F.col("cum_tokens") <= 5000)
+    )
     return budgeted.select(
         "doc_id", "n_tokens", "quality_score", "cum_tokens"
     ).orderBy("doc_id")
@@ -454,6 +481,41 @@ ORDER BY id_a, id_b
 _STOP_EN = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
 
 
+def _embed_near_dup_oracle(threshold_dot: int, num_planes: int,
+                           dim: int) -> str:
+    """Twin of ``embedding_near_dup_pairs``: identical integer hyperplane
+    weights (``hyperplanes``), identical quantization, pure int64 sign
+    tests — the oracle recomputes bit-identical buckets, so the candidate
+    sets match exactly."""
+    from m5_competition_kaggle_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim)
+    bucket = " + ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, {d}), "
+        "i -> v[i] * ([{w}])[i])) >= 0 THEN {bit} ELSE 0 END".format(
+            d=dim, w=", ".join(str(x) for x in w), bit=1 << p
+        )
+        for p, w in enumerate(planes)
+    )
+    dot = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> lhs.v[i] * rhs.v[i])) AS BIGINT)"
+    )
+    return f"""
+WITH qv AS (SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+            FROM embeddings),
+bk AS (SELECT vec_id, v, ({bucket}) AS bucket FROM qv)
+SELECT lhs.vec_id AS id_a, rhs.vec_id AS id_b, {dot} AS dot
+FROM bk lhs JOIN bk rhs
+  ON lhs.bucket = rhs.bucket AND lhs.vec_id < rhs.vec_id
+WHERE {dot} >= {threshold_dot}
+ORDER BY id_a, id_b
+"""
+
+
 def _langid_oracle() -> str:
     scores = ",\n       ".join(
         "len(list_filter(toks, x -> x IN ({lst}))) * 1.0"
@@ -523,9 +585,10 @@ ORACLES = {
                     WHERE k.doc_id IN (SELECT doc_id FROM canonical)),
         budgeted AS (
             SELECT doc_id, n_tokens, quality_score,
-                   sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
-                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                       AND CURRENT ROW) AS cum_tokens
+                   CAST(sum(n_tokens) OVER (
+                        ORDER BY quality_score DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_tokens
             FROM deduped)
         SELECT doc_id, n_tokens, quality_score, cum_tokens
         FROM budgeted WHERE cum_tokens <= 5000
@@ -534,7 +597,8 @@ ORACLES = {
     "x15_json_props": """
         SELECT event_type,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
                max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         FROM events GROUP BY event_type ORDER BY event_type
@@ -578,10 +642,11 @@ ORACLES = {
                    FROM embeddings WHERE vec_id % 50 = 0),
         scored AS (
           SELECT q.query_id, e.vec_id AS neighbor_id,
-                 list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 CAST(list_sum(list_transform(
+                     generate_series(1, len(e.embedding)),
                      i -> CAST(round(CAST(qe[i] AS DOUBLE) * 1000) AS BIGINT)
                         * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000)
-                               AS BIGINT))) AS dot
+                               AS BIGINT))) AS BIGINT) AS dot
           FROM embeddings e, q
           WHERE e.vec_id <> q.query_id),
         ranked AS (
@@ -595,20 +660,7 @@ ORACLES = {
     """,
     # x10_sim_topk_lsh: intentionally no oracle (approximate op;
     # recall-verified against x9 in tests/test_dedup_similarity_text.py)
-    "x12_embed_near_dup": """
-        WITH qv AS (SELECT vec_id,
-                           list_transform(embedding,
-                               x -> CAST(round(CAST(x AS DOUBLE) * 1000)
-                                         AS BIGINT)) AS v
-                    FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_sum(list_transform(generate_series(1, len(a.v)),
-                   i -> a.v[i] * b.v[i])) AS dot
-        FROM qv a JOIN qv b ON a.vec_id < b.vec_id
-        WHERE list_sum(list_transform(generate_series(1, len(a.v)),
-                  i -> a.v[i] * b.v[i])) >= 350000
-        ORDER BY id_a, id_b
-    """,
+    "x12_embed_near_dup": _embed_near_dup_oracle(350_000, 4, 64),
     "x13_asof_join": """
         WITH purchases AS (
             SELECT user_id, ts, value AS purchase_value

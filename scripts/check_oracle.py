@@ -2,8 +2,16 @@
 
 Runs every ``__spark_entry__.queries()`` entry on PySpark and its
 ``oracle_sql()`` on DuckDB over the same parquet, then compares:
-row count, column names, and an order-insensitive value hash (floats
-rounded to 6 significant-ish decimals, timestamps as UTC strings).
+
+- row count and column names;
+- **Arrow-level type classes** per column (int / float / decimal / str /
+  timestamp / date / bool / binary / list). Round 1 lesson: DuckDB
+  ``sum()``/``list_sum()`` over BIGINT yields HUGEINT (Arrow decimal128)
+  while Spark yields BIGINT — numerically equal, so a str()-only compare
+  passes locally while a type-aware driver hash fails. The oracle result
+  is fetched THROUGH Arrow so such divergence surfaces here;
+- an order-insensitive value hash (floats rounded to 6 significant
+  digits, timestamps as UTC strings), columns sorted by name.
 
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
 """
@@ -20,6 +28,7 @@ sys.path.insert(0, ".")
 
 def canon_cell(v) -> str:
     import datetime
+    import decimal
 
     if v is None:
         return "NULL"
@@ -27,6 +36,13 @@ def canon_cell(v) -> str:
         if math.isnan(v):
             return "NULL"
         return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        # DuckDB HUGEINT/DECIMAL via Arrow: canonicalize integral values
+        # like ints so the value diff stays readable; the type-class check
+        # flags the schema divergence regardless.
+        if v == v.to_integral_value():
+            return str(int(v))
+        return f"{float(v):.6g}"
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, datetime.date):
@@ -42,6 +58,55 @@ def value_hash(rows, colnames) -> str:
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return "nested"
+    return dt.simpleString()
+
+
+def arrow_type_class(at) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_floating(at):
+        return "float"
+    if pa.types.is_decimal(at):
+        return "decimal"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "str"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_binary(at) or pa.types.is_large_binary(at):
+        return "binary"
+    if (pa.types.is_list(at) or pa.types.is_large_list(at)
+            or pa.types.is_map(at) or pa.types.is_struct(at)):
+        return "nested"
+    return str(at)
 
 
 def main() -> int:
@@ -70,6 +135,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_types = {f.name: spark_type_class(f.dataType)
+                       for f in sdf.schema.fields}
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
@@ -82,9 +149,13 @@ def main() -> int:
                 failures.append(name)
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            tbl = con.sql(oracles[name]).arrow()
+            d_cols = tbl.column_names
+            d_types = {fld.name: arrow_type_class(fld.type)
+                       for fld in tbl.schema}
+            d_rows = [
+                tuple(row[c] for c in d_cols) for row in tbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
@@ -95,6 +166,12 @@ def main() -> int:
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols {sorted(s_cols)} vs {sorted(d_cols)}")
         else:
+            type_diffs = [
+                f"{c}: spark={s_types[c]} oracle={d_types[c]}"
+                for c in s_cols if s_types[c] != d_types[c]
+            ]
+            if type_diffs:
+                problems.append("types [" + "; ".join(type_diffs) + "]")
             sh, dh = value_hash(s_rows, s_cols), value_hash(d_rows, d_cols)
             if sh != dh:
                 problems.append(f"hash {sh} vs {dh}")

@@ -1,0 +1,88 @@
+"""Structural plan asserts for the scale-critical query shapes.
+
+Wall-clock benchmarks are noisy at test scale; these pin the PLAN
+properties that matter at 100 TB so a regression is caught structurally:
+no single-partition exchanges in x16, no driver-side collect in x12's
+certified path, a broadcast verify join in x2, AQE on the q4 fact join.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.operators.similarity import (
+    embedding_near_dup_pairs,
+    exact_near_dup_pairs,
+)
+from m5_competition_kaggle_spark.queries.core import q4_fact_left_join
+from m5_competition_kaggle_spark.queries.extensions import (
+    x2_dedup_minhash,
+    x12_embed_near_dup,
+    x16_curation_pipeline,
+)
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_x16_no_single_partition_exchange(spark):
+    """The token-budget cumsum must not funnel the corpus through one
+    partition (r1 verdict: global Window.orderBy = scale-killer). The
+    per-bucket rewrite keeps every exchange hash/range-partitioned."""
+    plan = _plan(x16_curation_pipeline(spark, SF))
+    assert "SinglePartition" not in plan, plan
+
+
+def test_x12_certified_path_is_lazy_and_join_bucketed(spark):
+    """x12 must not collect the vector table to the driver (r1 verdict).
+    The LSH path is a plain lazy plan: an equi-join on bucket, no
+    Python/pandas stage anywhere."""
+    df = x12_embed_near_dup(spark, SF)
+    plan = _plan(df)
+    assert "MapInPandas" not in plan, plan
+    assert "Join" in plan and "bucket" in plan, plan
+
+
+def test_x12_lsh_pairs_are_exact_subset(spark):
+    """Precision check: every LSH-bucketed pair is a true near-dup pair
+    with the identical int64 dot (the bucket join only bounds candidates;
+    it must never invent or rescore a pair)."""
+    emb = load_table(spark, SF, "embeddings")
+    lsh = {
+        (r["id_a"], r["id_b"]): r["dot"]
+        for r in embedding_near_dup_pairs(
+            emb, 350_000, num_planes=4, dim=64
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["dot"]
+        for r in exact_near_dup_pairs(emb, 350_000).collect()
+    }
+    assert lsh, "LSH path returned nothing"
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    # recall is approximate by design, but must be non-trivial
+    assert len(lsh) / len(exact) >= 0.1
+
+
+def test_x2_verify_join_broadcasts_candidates(spark):
+    """The minhash verify stage joins the (small, LSH-bounded) candidate
+    pair set back to the shingle table — that side must broadcast, never
+    shuffle the shingles by pair key."""
+    plan = _plan(x2_dedup_minhash(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q4_fact_join_runs_under_aqe(spark):
+    """The fact-fact shuffle join must stay adaptive so skew/coalesce
+    re-planning can kick in at scale."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = q4_fact_left_join(spark, SF)
+    plan = _plan(df)
+    assert "AdaptiveSparkPlan" in plan, plan
+    df.count()  # force execution so the adaptive plan finalizes
+    final = _plan(df)
+    assert "AQEShuffleRead" in final or "BroadcastHashJoin" in final, final
