@@ -35,8 +35,16 @@ def predict_per_group(
     joined = test_features.join(F.broadcast(models), list(group_cols), "left")
 
     def apply_model(pdf: pd.DataFrame) -> pd.DataFrame:
-        model = pickle.loads(pdf["model"].iloc[0])
-        preds = model.predict(pdf)
+        blob = pdf["model"].iloc[0]
+        if blob is None:
+            # group present in test but absent from training (e.g. a store
+            # with no labeled rows in the train range): keep the rows with
+            # NULL predictions instead of crashing the stage on unpickle
+            preds = pd.Series([None] * len(pdf), index=pdf.index,
+                              dtype="float64")
+        else:
+            model = pickle.loads(blob)
+            preds = model.predict(pdf)
         return pd.DataFrame(
             {
                 "id": pdf["id"],

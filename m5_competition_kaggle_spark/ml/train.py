@@ -52,12 +52,29 @@ def _fit_group(pdf: pd.DataFrame, params: dict[str, Any]) -> bytes:
         train = pdf[pdf["is_valid"] == 0]
         valid = pdf[pdf["is_valid"] == 1]
         model = LGBMRegressor(**params.get("lgb_params", {}))
-        model.fit(
-            train[feature_cols],
-            train["label"],
-            eval_set=[(valid[feature_cols], valid["label"])],
+        # reference pipeline.py:258-264: two-entry eval_set (train, valid),
+        # rmse metric, early stopping after 10 rounds
+        stopping = params.get("early_stopping_rounds", 10)
+        fit_kwargs = dict(
+            eval_set=[
+                (train[feature_cols], train["label"]),
+                (valid[feature_cols], valid["label"]),
+            ],
             eval_metric="rmse",
         )
+        try:
+            model.fit(
+                train[feature_cols], train["label"],
+                early_stopping_rounds=stopping, **fit_kwargs,
+            )
+        except TypeError:
+            # lightgbm >= 4 moved early stopping to callbacks
+            import lightgbm as lgb
+
+            model.fit(
+                train[feature_cols], train["label"],
+                callbacks=[lgb.early_stopping(stopping)], **fit_kwargs,
+            )
         return pickle.dumps(model)
     return pickle.dumps(Lag7Model())
 

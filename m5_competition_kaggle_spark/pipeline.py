@@ -73,7 +73,6 @@ def run(
     force: bool = False,
 ) -> str:
     config = load_config(CONFIG_DIR, profile)
-    dump_provenance(config, output_dir)
     stages = os.path.join(output_dir, "stages")
 
     sales = io.read_csv(spark, os.path.join(input_dir, "sales_train_evaluation.csv"))
@@ -97,6 +96,9 @@ def run(
     if config.get("stores"):
         feats = feats.filter(F.col("store_id").isin(*config["stores"]))
     config = _derive_dates(feats, config)
+    # provenance is dumped AFTER date derivation so params.yaml records the
+    # train/test ranges the run actually used, not the pre-derivation config
+    dump_provenance(config, output_dir)
 
     def build_models():
         train = prepare_train(
