@@ -204,6 +204,82 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into inverted lists
+    by nearest centroid, probe only the ``nprobe`` lists closest to each
+    query, rank candidates by exact quantized dot.
+
+    Unlike hyperplane LSH (``lsh_topk``, recall-tested only), IVF with a
+    deterministic centroid rule is fully oracle-able: centroids are the
+    ``n_centroids`` lowest-id vectors, assignment/probing rank by the same
+    int64 dot with (dot desc, id asc) tie-break, so any engine reproduces
+    the identical candidate lists and results. At 100 TB the shape holds:
+    the centroid table stays tiny (broadcast), assignment is one map-side
+    pass over the vectors, and the probe join fans each query out to
+    nprobe/n_centroids of the corpus instead of all of it. (A production
+    build would swap the seed rule for trained k-means centroids — the
+    plan is identical.)
+    """
+    def _int_dot(a: str, b: str) -> Column:
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+            "(acc, v) -> acc + v)"
+        )
+
+    qz = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
+    )
+    cent = qz.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vid").orderBy(
+        F.desc("__cdot"), F.asc("cid")
+    )
+    assigned = (
+        qz.crossJoin(F.broadcast(cent))
+        .withColumn("__cdot", _int_dot("v", "cv"))
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "v", "cid")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("__cdot"), F.asc("cid")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn("__cdot", _int_dot("qv", "cv"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        assigned.join(probes, "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            _int_dot("v", "qv").alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
 def exact_near_dup_pairs(
     vectors: DataFrame,
     threshold_dot: int,

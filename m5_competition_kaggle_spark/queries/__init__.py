@@ -16,10 +16,11 @@ from m5_competition_kaggle_spark.queries import (
     analytics,
     core,
     extensions,
+    llm_curation,
     streaming_shaped,
 )
 
-_MODULES = (core, extensions, streaming_shaped, analytics)
+_MODULES = (core, extensions, streaming_shaped, analytics, llm_curation)
 
 # Registration order is a driver contract: CORRECTNESS_r01.json recorded
 # exactly the FIRST 50 registered queries (g5–g8, the tail, got no rows).

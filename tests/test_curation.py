@@ -1,0 +1,117 @@
+"""Semantic unit tests for the curation operators (chunking,
+decontamination, stratified sampling, repetition metrics, IVF ANN) —
+planted inputs with hand-computed expectations; the cross-engine value
+contract is separately pinned by the DuckDB oracles
+(scripts/check_oracle.py, x19–x23)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.operators.curation import (
+    chunk_documents,
+    contamination_hits,
+    repetition_features,
+    stratified_keep,
+)
+from m5_competition_kaggle_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_documents_boundaries(spark):
+    # 10 tokens, size 4, stride 3 → starts 0,3,6,9; last chunk 1 token
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, "doc_id", "text", chunk_size=4, stride=3)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert [(r["chunk_idx"], r["chunk_start"], r["n_chunk_tokens"])
+            for r in rows] == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)]
+    # full-chunk hashes differ, and a doc shorter than one chunk → 1 chunk
+    assert len({r["chunk_hash"] for r in rows}) == 4
+    short = chunk_documents(
+        spark.createDataFrame([(2, "a b")], "doc_id long, text string"),
+        "doc_id", "text", chunk_size=4, stride=3,
+    ).collect()
+    assert len(short) == 1 and short[0]["n_chunk_tokens"] == 2
+
+
+def test_contamination_planted(spark):
+    # doc 0 is "benchmark"; doc 1 shares a 3-shingle, doc 2 shares none
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "zz alpha beta gamma yy"),
+        (2, "one two three four five"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contamination_hits(
+        df, "doc_id", "text", (F.col("doc_id") % 97) == 0, shingle_size=3
+    ).collect()
+    # doc0 shingles {alpha beta gamma, beta gamma delta}; doc1 shares
+    # exactly "alpha beta gamma"; doc2 shares nothing and is absent
+    assert {(r["doc_id"], r["n_hits"]) for r in out} == {(1, 1)}
+
+
+def test_stratified_keep_deterministic_and_rated(spark):
+    docs = load_table(spark, SF, "documents")
+    kept = stratified_keep(docs, "doc_id", "lang", {"en": 500}, 100)
+    a = docs.filter(kept).select("doc_id").collect()
+    b = docs.filter(kept).select("doc_id").collect()
+    assert {r[0] for r in a} == {r[0] for r in b}  # rerun-stable
+    frac_en = (
+        docs.filter(F.col("lang") == "en").filter(kept).count()
+        / max(docs.filter(F.col("lang") == "en").count(), 1)
+    )
+    frac_other = (
+        docs.filter(F.col("lang") != "en").filter(kept).count()
+        / max(docs.filter(F.col("lang") != "en").count(), 1)
+    )
+    assert 0.35 <= frac_en <= 0.65  # ~50% quota
+    assert 0.02 <= frac_other <= 0.20  # ~10% quota
+
+
+def test_repetition_features_values(spark):
+    rows = [
+        (1, "a b a b a b"),     # bigrams: ab,ba,ab,ba,ab → 5 total 2 distinct
+        (2, "a b c d e"),       # all distinct
+        (3, "x"),               # too short for bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df, "text").collect()}
+    assert out[1]["dup_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[1]["is_repetitive"]
+    assert out[2]["dup_bigram_frac"] == 0.0 and not out[2]["is_repetitive"]
+    assert out[3]["dup_bigram_frac"] == 0.0
+    assert out[3]["dup_trigram_frac"] == 0.0
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, nprobe=4, n_centroids=16).collect()
+    exact_dots = {(r["query_id"], r["neighbor_id"]): r["dot"] for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    assert approx_set, "IVF returned nothing"
+    recall = len(set(exact_dots) & approx_set) / len(exact_dots)
+    assert recall >= 0.3, f"recall {recall:.2f} too low"
+    for r in approx:  # scores on shared pairs are the exact int64 dots
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_dots:
+            assert r["dot"] == exact_dots[key]
+
+
+def test_ivf_probes_bound_candidates(spark):
+    """nprobe=1 must only ever return candidates from one inverted list
+    per query — strictly fewer or equal hits than nprobe=4."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    one = ivf_topk(emb, queries, k=10, nprobe=1, n_centroids=16)
+    four = ivf_topk(emb, queries, k=10, nprobe=4, n_centroids=16)
+    assert one.count() <= four.count()
