@@ -24,13 +24,26 @@ _MODULES = (core, extensions, streaming_shaped, analytics, llm_curation)
 
 # Registration order is a driver contract: CORRECTNESS_r01.json recorded
 # exactly the FIRST 50 registered queries (g5–g8, the tail, got no rows).
-# Keep every oracle-bearing query inside the first 50 slots; the tail
-# holds the queries whose loss costs the least driver signal — x10/x17
-# have no oracle by design (recall/accuracy pytest-certified), and
-# q18/q19's operators (W1/W2/W3 + F9) are all certified by q7/q8/q9/q15.
+# With >50 registered, the tail holds the queries whose loss costs the
+# least driver signal: every operator family's SOLE certifying query
+# stays in the head 50. Tail rationale —
+# q18/q19: composite pipelines; their operators (W1/W2/W3 + F9) are all
+#   certified by q7/q8/q9/q15.
+# q20–q23: function-family breadth; rank windows are certified by g3,
+#   string/regex by q12, array HOFs by x9/x12/x22, CASE WHEN by x16/x21.
+# s4: cumulative-sum windows are certified by x16's cum_tokens; the
+#   streaming-shaped family keeps s1/s2/s3/s5 rows.
+# x10/x17: no oracle by design (recall/accuracy pytest-certified).
+# Within the tail, oracle-bearing queries come first in case the cap is
+# looser than 50.
 _TAIL = (
     "q18_feature_pipeline",
     "q19_rolling_multi",
+    "q20_rank_functions",
+    "q21_string_functions",
+    "q22_array_functions",
+    "q23_conditional_functions",
+    "s4_running_totals",
     "x10_sim_topk_lsh",
     "x17_approx_sketches",
 )
