@@ -77,9 +77,16 @@ def contamination_hits(
     never shuffled by shingle. Returns (key, n_hits), hit docs only;
     anti-join this against the corpus to drop them.
     """
-    sh = doc_shingles(df, key_col, text_col, shingle_size)
-    bench = sh.filter(bench_pred).select("shingle").distinct()
-    corpus = sh.filter(~bench_pred)
+    # Filter BEFORE shingling: the benchmark branch only tokenizes its
+    # tiny split instead of re-shingling the whole corpus a second time.
+    bench = (
+        doc_shingles(df.filter(bench_pred), key_col, text_col, shingle_size)
+        .select("shingle")
+        .distinct()
+    )
+    corpus = doc_shingles(
+        df.filter(~bench_pred), key_col, text_col, shingle_size
+    )
     return (
         corpus.join(F.broadcast(bench), "shingle")
         # doc_shingles is distinct per (key, shingle) → count == distinct
@@ -114,29 +121,34 @@ def repetition_features(
     flag. Pure array expressions — no explode, no shuffle."""
     out = df.withColumn("__toks", tokens(text_col))
 
-    def dup_frac(n: int) -> Column:
-        grams = (
+    def grams(n: int) -> Column:
+        g = (
             f"transform(sequence(1, size(__toks) - {n - 1}), "
             f"i -> concat_ws(' ', slice(__toks, i, {n})))"
         )
         # sequence() counts DOWN when the stop is below the start — guard
         # short docs to an empty gram list instead
-        safe = (
-            f"CASE WHEN size(__toks) >= {n} THEN {grams} "
-            "ELSE array() END"
-        )
         return F.expr(
-            f"(size({safe}) - size(array_distinct({safe}))) * 1.0D"
-            f" / greatest(size({safe}), 1)"
+            f"CASE WHEN size(__toks) >= {n} THEN {g} ELSE array() END"
         )
 
+    def dup_frac(col: str) -> Column:
+        return F.expr(
+            f"(size({col}) - size(array_distinct({col}))) * 1.0D"
+            f" / greatest(size({col}), 1)"
+        )
+
+    # Materialize each gram array in its own projection so the transform
+    # runs once per row, not once per reference (CollapseProject keeps
+    # multi-referenced non-cheap expressions in a separate stage).
+    out = out.withColumns({"__g2": grams(2), "__g3": grams(3)})
     out = out.withColumns(
         {
             "n_tokens": F.size("__toks").cast("long"),
-            "dup_bigram_frac": dup_frac(2),
-            "dup_trigram_frac": dup_frac(3),
+            "dup_bigram_frac": dup_frac("__g2"),
+            "dup_trigram_frac": dup_frac("__g3"),
         }
-    )
+    ).drop("__g2", "__g3")
     return out.withColumn(
         "is_repetitive", F.col("dup_bigram_frac") > F.lit(flag_threshold)
     ).drop("__toks")

@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate duplicates the generator's input
+        # expression into a pre-exchange Filter: for explode(<computed
+        # array>) the whole tokenize/shingle expression then runs in the
+        # SCAN stage (often 1 task) — measured 3s of single-threaded CPU
+        # per branch on x20. Our exploded arrays are never empty/null, so
+        # the inferred filter only burns CPU; exclude the rule.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # testdata events.parquet uses TIMESTAMP(NANOS) — read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")

@@ -134,6 +134,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC-naive). Date-part functions are session-TZ-sensitive, so pin it —
     # a runtime conf, safe to set on a caller-provided session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Defensive runtime set (the driver brings its own bare session):
+    # InferFiltersFromGenerate copies computed-array generator inputs into
+    # pre-exchange Filters — single-threaded triple evaluation of the
+    # tokenize/shingle expressions (see session.py).
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     if name == "events":
         # Defensive runtime set: the driver's session may not have it.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
