@@ -37,6 +37,10 @@ _MODULES = (core, extensions, streaming_shaped, analytics, llm_curation)
 # Within the tail, oracle-bearing queries come first in case the cap is
 # looser than 50.
 _TAIL = (
+    # x24 leads the tail: it's oracle-bearing (recursive-CTE twin) and
+    # new this round, but every head query is its operator family's sole
+    # certifier — first in line if the driver checks past 50.
+    "x24_dedup_clusters",
     "q18_feature_pipeline",
     "q19_rolling_multi",
     "q20_rank_functions",

@@ -366,7 +366,10 @@ sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM sh0)
 """
 
 
-def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+def _minhash_verified_ctes(num_hashes: int, bands: int) -> str:
+    """CTE chain ending in ``vstats(id_a, id_b, n_common, n_a, n_b,
+    jaccard)`` — every LSH candidate pair with its exact jaccard. Shared
+    by the x2 pairs oracle and the x24 cluster oracle."""
     from m5_competition_kaggle_spark.operators.dedup import (
         MINHASH_P,
         minhash_params,
@@ -384,8 +387,7 @@ def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
         + ")) AS bucket FROM sig"
         for b in range(bands)
     )
-    return f"""
-WITH {_DOCS_TOKS}, {_shingle_cte(3)},
+    return f"""{_DOCS_TOKS}, {_shingle_cte(3)},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS (
 {band_selects}
@@ -398,13 +400,22 @@ common AS (SELECT p.id_a, p.id_b, count(*) AS n_common
            FROM pairs p
            JOIN sh e1 ON e1.doc_id = p.id_a
            JOIN sh e2 ON e2.doc_id = p.id_b AND e2.shingle = e1.shingle
-           GROUP BY 1, 2)
-SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.id_a
-JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common) >= {threshold}
+           GROUP BY 1, 2),
+vstats AS (SELECT c.id_a, c.id_b, c.n_common,
+                  sa.n_sh AS n_a, sb.n_sh AS n_b,
+                  c.n_common * 1.0 / (sa.n_sh + sb.n_sh - c.n_common)
+                      AS jaccard
+           FROM common c
+           JOIN sizes sa ON sa.doc_id = c.id_a
+           JOIN sizes sb ON sb.doc_id = c.id_b)"""
+
+
+def _minhash_oracle(num_hashes: int, bands: int, threshold: float) -> str:
+    return f"""
+WITH {_minhash_verified_ctes(num_hashes, bands)}
+SELECT id_a, id_b, n_common, n_a, n_b, jaccard
+FROM vstats
+WHERE jaccard >= {threshold}
 ORDER BY id_a, id_b
 """
 

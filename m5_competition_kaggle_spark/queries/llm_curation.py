@@ -25,9 +25,12 @@ from m5_competition_kaggle_spark.operators.curation import (
     repetition_features,
     stratified_keep,
 )
+from m5_competition_kaggle_spark.operators.dedup import minhash_lsh_pairs
+from m5_competition_kaggle_spark.operators.graph import dedup_clusters
 from m5_competition_kaggle_spark.operators.similarity import ivf_topk
 from m5_competition_kaggle_spark.queries.extensions import (
     _DOCS_TOKS,
+    _minhash_verified_ctes,
     _shingle_cte,
     H64,
 )
@@ -102,12 +105,26 @@ def x23_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def x24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from MinHash-LSH pairs via iterative
+    connected components: (doc_id, cluster_id, cluster_size,
+    is_canonical) — the step that picks one canonical survivor per
+    duplicate cluster instead of dropping both ends of every pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs).orderBy("cluster_id", "doc_id")
+
+
 QUERIES = {
     "x19_chunk_docs": x19_chunk_docs,
     "x20_decontaminate": x20_decontaminate,
     "x21_stratified_sample": x21_stratified_sample,
     "x22_repetition_quality": x22_repetition_quality,
     "x23_sim_topk_ivf": x23_sim_topk_ivf,
+    "x24_dedup_clusters": x24_dedup_clusters,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -215,4 +232,25 @@ ORACLES = {
         FROM docs ORDER BY doc_id
     """,
     "x23_sim_topk_ivf": _ivf_oracle(10, 4, 16),
+    # Connected components as a transitive-closure recursive CTE: min
+    # reachable id per node == the propagation fixpoint the engine loops
+    # to. reach is bounded (cluster_size per node) at oracle scales.
+    "x24_dedup_clusters": f"""
+WITH RECURSIVE {_minhash_verified_ctes(16, 4)},
+vpairs AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, reached) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached
+),
+comp AS (SELECT node, min(reached) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_canonical
+FROM comp c JOIN csize s USING (cluster_id)
+ORDER BY cluster_id, doc_id
+""",
 }
