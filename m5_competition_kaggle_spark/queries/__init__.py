@@ -41,6 +41,10 @@ _TAIL = (
     # new this round, but every head query is its operator family's sole
     # certifier — first in line if the driver checks past 50.
     "x24_dedup_clusters",
+    # s6/s7 are streaming-family breadth; s1/s2/s3/s5 keep the family's
+    # head rows.
+    "s6_stream_dedup",
+    "s7_funnel_join",
     "q18_feature_pipeline",
     "q19_rolling_multi",
     "q20_rank_functions",

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from m5_competition_kaggle_spark.sources.catalog import load_table
 from m5_competition_kaggle_spark.streaming.events import (
+    first_event_per_window,
+    funnel_join,
     running_totals,
     session_aggregate,
     sliding_counts,
@@ -62,12 +64,30 @@ def s5_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def s6_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time dedup: first event per (user, type) per hour — the
+    streaming-dropDuplicates-under-watermark shape, batch-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return first_event_per_window(ev).orderBy(
+        "user_id", "event_type", "window_start"
+    )
+
+
+def s7_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join shape: purchases within 1h after a
+    view by the same user (equi-key user_id + nanosecond range bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_join(ev).orderBy("user_id", "first_id", "next_id")
+
+
 QUERIES = {
     "s1_tumbling": s1_tumbling,
     "s2_sliding": s2_sliding,
     "s3_session": s3_session,
     "s4_running_totals": s4_running_totals,
     "s5_ewma": s5_ewma,
+    "s6_stream_dedup": s6_stream_dedup,
+    "s7_funnel_join": s7_funnel_join,
 }
 
 ORACLES = {
@@ -127,5 +147,33 @@ ORACLES = {
         FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS l
               FROM events GROUP BY user_id)
         ORDER BY user_id
+    """,
+    "s6_stream_dedup": """
+        WITH e AS (
+            SELECT user_id, event_type, event_id, value,
+                   CAST(ts AS TIMESTAMP) AS ts_us, epoch_ns(ts) AS tsn,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start
+            FROM events),
+        r AS (SELECT *,
+                     row_number() OVER (
+                         PARTITION BY user_id, event_type, window_start
+                         ORDER BY tsn, event_id) AS rn
+              FROM e)
+        SELECT user_id, event_type, window_start, event_id,
+               ts_us AS ts, value
+        FROM r WHERE rn = 1
+        ORDER BY user_id, event_type, window_start
+    """,
+    "s7_funnel_join": """
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+                   FROM events)
+        SELECT a.user_id AS user_id, a.event_id AS first_id,
+               b.event_id AS next_id, b.tsu - a.tsu AS delay_us
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         AND b.tsu >= a.tsu AND b.tsu <= a.tsu + 3600000000
+        ORDER BY a.user_id, first_id, next_id
     """,
 }

@@ -111,3 +111,107 @@ def streaming_tumbling_counts(
         }
     )
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
+
+
+def first_event_per_window(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Event-time deduplication: the FIRST event per key per tumbling
+    window. Batch twin of streaming ``dropDuplicates([*keys, window])``
+    under a watermark — with the difference that streaming keeps the first
+    *arrival* while this keeps the event-time first (deterministic, what
+    the oracle can check). One shuffle on (keys, window); state in the
+    streaming run is bounded by the watermark horizon × key cardinality.
+    """
+    from pyspark.sql.window import Window
+
+    out = events.withColumn(
+        "window_start", F.window("ts", duration)["start"]
+    )
+    w = Window.partitionBy(*keys, "window_start").orderBy(
+        "ts_nanos", "event_id"
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*keys, "window_start", "event_id", "ts", "value")
+    )
+
+
+def funnel_join(
+    events: DataFrame,
+    first_type: str = "view",
+    next_type: str = "purchase",
+    horizon_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Funnel/attribution interval join: for every ``first_type`` event,
+    the same user's ``next_type`` events within ``horizon_us`` after it.
+
+    The stream-stream-join shape (Structured Streaming runs the identical
+    plan with watermarks + the time-range condition bounding both state
+    stores; see ``streaming_funnel_join``). Scale: the join key is the
+    EQUI pair (user_id) so the shuffle co-locates by user; the range
+    predicate only filters within a user's partition — never a cross
+    product across users. Comparisons use MICROsecond longs: integer-exact
+    cross-engine parity at the precision every engine retains (DuckDB
+    truncates the parquet TIMESTAMP_NS column to micros on read).
+    """
+    a = events.filter(F.col("event_type") == first_type).select(
+        "user_id",
+        F.col("event_id").alias("first_id"),
+        F.expr("ts_nanos div 1000").alias("first_us"),
+    )
+    b = events.filter(F.col("event_type") == next_type).select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_id").alias("next_id"),
+        F.expr("ts_nanos div 1000").alias("next_us"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_id_b"))
+            & (F.col("next_us") >= F.col("first_us"))
+            & (F.col("next_us") <= F.col("first_us") + F.lit(horizon_us)),
+        )
+        .select(
+            "user_id",
+            "first_id",
+            "next_id",
+            (F.col("next_us") - F.col("first_us")).alias("delay_us"),
+        )
+    )
+
+
+def streaming_funnel_join(
+    spark, source_dir: str, schema,
+    first_type: str = "view", next_type: str = "purchase",
+    horizon: str = "1 hour", watermark: str = "2 hours",
+) -> DataFrame:
+    """Real stream-stream inner join with event-time range bounds: both
+    sides watermarked, the join condition's time range lets Spark expire
+    per-side state. Returns the streaming DataFrame for a caller's sink."""
+    def side(tp, pfx):
+        s = (
+            spark.readStream.schema(schema).format("parquet").load(source_dir)
+        )
+        s = s.withColumns(
+            {
+                "ts_nanos": F.col("ts"),
+                "ts": F.timestamp_micros(F.expr("ts div 1000")),
+            }
+        ).filter(F.col("event_type") == tp)
+        return s.select(
+            F.col("user_id").alias(f"{pfx}_user"),
+            F.col("event_id").alias(f"{pfx}_id"),
+            F.col("ts").alias(f"{pfx}_ts"),
+        ).withWatermark(f"{pfx}_ts", watermark)
+
+    a, b = side(first_type, "first"), side(next_type, "next")
+    return a.join(
+        b,
+        (F.col("first_user") == F.col("next_user"))
+        & (F.col("next_ts") >= F.col("first_ts"))
+        & (F.col("next_ts") <= F.col("first_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("first_user", "first_id", "next_id", "first_ts", "next_ts")
