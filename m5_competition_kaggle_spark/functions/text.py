@@ -143,3 +143,34 @@ def fingerprint(df: DataFrame, text_col: str, shingle_size: int = 5) -> DataFram
         "transform(__sh, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"
     ))
     return out.withColumn("fingerprint", fp).drop("__toks", "__sh")
+
+
+# PII scrubbing: the pattern set is deliberately restricted to syntax both
+# Java regex (Spark) and RE2 (DuckDB) interpret identically — no
+# lookaround, no backrefs, greedy leftmost quantifiers only — so the
+# oracle replicates redaction byte-for-byte. Replacement order matters
+# (emails contain dots that would otherwise partially match the IP rule).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ]{5,14}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every email / IPv4 / international-phone match with a typed
+    placeholder token. Pure chained ``regexp_replace`` — JVM-side,
+    per-row, no shuffle; the standard pre-training scrub step."""
+    out = F.col(col) if isinstance(col, str) else col
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (columns named ``n_<category>``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pattern)).cast("long")
+        for name, pattern, _ in PII_PATTERNS
+    }

@@ -41,6 +41,7 @@ _TAIL = (
     # new this round, but every head query is its operator family's sole
     # certifier — first in line if the driver checks past 50.
     "x24_dedup_clusters",
+    "x25_pii_redact",
     # s6/s7 are streaming-family breadth; s1/s2/s3/s5 keep the family's
     # head rows.
     "s6_stream_dedup",

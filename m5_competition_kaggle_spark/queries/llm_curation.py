@@ -105,6 +105,44 @@ def x23_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def x25_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub certification: the corpus is synthetic word soup with no
+    organic PII, so the query deterministically plants one email / IP /
+    phone per document (derived from doc_id), then redacts and counts.
+    Certifies the exact redaction byte-stream via h64 of the scrubbed
+    text against the DuckDB twin."""
+    from m5_competition_kaggle_spark.functions.text import (
+        h64,
+        pii_counts,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "__aug",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com from 10.0."),
+            F.col("doc_id") % 256,
+            F.lit(".7 call +1 555 01"),
+            F.col("doc_id") % 90 + 10,
+        ),
+    )
+    return (
+        planted.withColumns(pii_counts("__aug"))
+        .select(
+            "doc_id",
+            "n_email",
+            "n_ip",
+            "n_phone",
+            h64(redact_pii("__aug")).alias("redacted_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def x24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from MinHash-LSH pairs via iterative
     connected components: (doc_id, cluster_id, cluster_size,
@@ -119,6 +157,7 @@ def x24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "x25_pii_redact": x25_pii_redact,
     "x19_chunk_docs": x19_chunk_docs,
     "x20_decontaminate": x20_decontaminate,
     "x21_stratified_sample": x21_stratified_sample,
@@ -185,7 +224,31 @@ ORDER BY query_id, "rank"
 """
 
 
+def _pii_oracle() -> str:
+    from m5_competition_kaggle_spark.functions.text import PII_PATTERNS
+
+    aug = (
+        "text || ' contact user' || doc_id || '@example.com from 10.0.'"
+        " || (doc_id % 256) || '.7 call +1 555 01' || (doc_id % 90 + 10)"
+    )
+    redacted = "a"
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all(a, '{pattern}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        redacted = f"regexp_replace({redacted}, '{pattern}', '{token}', 'g')"
+    return f"""
+WITH aug AS (SELECT doc_id, {aug} AS a FROM documents)
+SELECT doc_id, {', '.join(counts)},
+       {H64.format(s=redacted)} AS redacted_hash
+FROM aug ORDER BY doc_id
+"""
+
+
 ORACLES = {
+    "x25_pii_redact": _pii_oracle(),
     "x19_chunk_docs": rf"""
         WITH {_DOCS_TOKS},
         st AS (SELECT doc_id, toks,

@@ -115,3 +115,26 @@ def test_ivf_probes_bound_candidates(spark):
     one = ivf_topk(emb, queries, k=10, nprobe=1, n_centroids=16)
     four = ivf_topk(emb, queries, k=10, nprobe=4, n_centroids=16)
     assert one.count() <= four.count()
+
+
+def test_redact_pii_planted(spark):
+    from m5_competition_kaggle_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "mail a.b+c@foo.co.uk ip 192.168.0.1 tel +44 20 7946 0958 end"),
+        (2, "no pii here, just 1.5 numbers and a@b"),  # a@b lacks a TLD
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.withColumns(pii_counts("text"))
+        .withColumn("red", redact_pii("text"))
+        .collect()
+    }
+    assert (out[1]["n_email"], out[1]["n_ip"], out[1]["n_phone"]) == (1, 1, 1)
+    assert out[1]["red"] == "mail <EMAIL> ip <IP> tel <PHONE> end"
+    assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[2]["red"] == rows[1][1]
