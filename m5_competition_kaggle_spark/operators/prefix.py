@@ -1,0 +1,84 @@
+"""Scalable global prefix sums (and the operators built on them).
+
+A global running total over one deterministic order is the textbook
+single-partition trap: ``Window.orderBy(...)`` with no partition keys
+funnels the whole table through one task. The scalable shape is the
+classic two-phase scan:
+
+1. range-partition by the order keys (each partition holds a contiguous
+   key range; equal keys never split across partitions);
+2. cumulative sum WITHIN each partition (parallel, one window per
+   partition);
+3. per-partition totals — one tiny row per partition — come back to the
+   driver, an exclusive scan over them gives each partition's starting
+   offset, and a broadcast join adds the offset back.
+
+The result is deterministic in the order keys no matter where the range
+boundaries fall (offsets absorb the boundary placement), so the DuckDB
+oracle can check it with a plain ``SUM() OVER (ORDER BY ...)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: tuple[str, ...],
+    out_col: str = "running_sum",
+) -> DataFrame:
+    """Global cumulative sum of ``value_col`` in ``order_cols`` order,
+    without a single-partition exchange. ``order_cols`` must be a unique
+    key (ties would make "the" global order ambiguous).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranged = ranged.withColumn("__local", F.sum(value_col).over(w)).persist()
+
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__total"))
+        .collect()
+    )
+    offset, offsets = 0, []
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], offset))
+        offset += row["__total"] or 0
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __offset long"
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__offset"))
+        .drop("__pid", "__local", "__offset")
+    )
+
+
+def pack_into_shards(
+    df: DataFrame,
+    size_col: str,
+    order_cols: tuple[str, ...],
+    shard_budget: int,
+) -> DataFrame:
+    """Sequence packing: assign rows (chunks) to fixed-token-budget
+    shards by walking them in a deterministic global order —
+    ``shard_id = exclusive_running_sum(size) div shard_budget``. The step
+    that turns curated chunks into training shards. An item is assigned
+    to the shard in which its START offset falls, so a shard may overrun
+    the budget by at most one item — a deterministic rule any engine
+    reproduces; trimming/padding the boundary item is downstream's call."""
+    out = global_running_sum(df, size_col, order_cols, "__cum")
+    return out.withColumn(
+        "shard_id",
+        F.expr(f"(__cum - {size_col}) div {shard_budget}").cast("long"),
+    ).drop("__cum")

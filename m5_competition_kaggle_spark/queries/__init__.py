@@ -42,6 +42,8 @@ _TAIL = (
     # certifier — first in line if the driver checks past 50.
     "x24_dedup_clusters",
     "x25_pii_redact",
+    "x26_pack_shards",
+    "x27_importance_sample",
     # s6/s7 are streaming-family breadth; s1/s2/s3/s5 keep the family's
     # head rows.
     "s6_stream_dedup",

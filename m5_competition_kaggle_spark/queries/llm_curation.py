@@ -32,6 +32,7 @@ from m5_competition_kaggle_spark.queries.extensions import (
     _DOCS_TOKS,
     _minhash_verified_ctes,
     _shingle_cte,
+    _STOP_EN,
     H64,
 )
 from m5_competition_kaggle_spark.sources.catalog import load_table
@@ -143,6 +144,50 @@ def x25_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x26_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: x19's chunks walked in (doc_id, chunk_idx)
+    order and packed into 4096-token shards via the two-phase global
+    prefix sum (operators/prefix.py) — no single-partition exchange."""
+    from m5_competition_kaggle_spark.operators.prefix import pack_into_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE
+    ).select("doc_id", "chunk_idx", "n_chunk_tokens")
+    return pack_into_shards(
+        chunks, "n_chunk_tokens", ("doc_id", "chunk_idx"), 4096
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def x27_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: keep probability proportional to
+    the heuristic quality score (p = clamp(score, 0, 1)), membership a
+    pure hash of doc_id — deterministic, rerunnable, leakage-free.
+    Aggregated per language for a compact certified output."""
+    from m5_competition_kaggle_spark.functions.text import h64, quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs, "text")
+    # integer arithmetic: keep iff h64(doc_id) % 10000 < floor(p * 10000)
+    thresh = F.floor(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col("quality_score")))
+        * 10000
+    )
+    kept = (h64(F.col("doc_id").cast("string")) % 10000) < thresh
+    return (
+        scored.withColumn("__keep", kept)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
+            F.sum(F.when(F.col("__keep"), F.col("n_tokens"))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def x24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from MinHash-LSH pairs via iterative
     connected components: (doc_id, cluster_id, cluster_size,
@@ -164,6 +209,8 @@ QUERIES = {
     "x22_repetition_quality": x22_repetition_quality,
     "x23_sim_topk_ivf": x23_sim_topk_ivf,
     "x24_dedup_clusters": x24_dedup_clusters,
+    "x26_pack_shards": x26_pack_shards,
+    "x27_importance_sample": x27_importance_sample,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -295,6 +342,49 @@ ORACLES = {
         FROM docs ORDER BY doc_id
     """,
     "x23_sim_topk_ivf": _ivf_oracle(10, 4, 16),
+    "x26_pack_shards": rf"""
+        WITH {_DOCS_TOKS},
+        st AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, len(toks) - 1,
+                                             {CHUNK_STRIDE})) AS cs
+               FROM docs),
+        ch AS (SELECT doc_id,
+                      CAST(cs // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                      CAST(len(toks[cs+1:cs+{CHUNK_SIZE}]) AS BIGINT)
+                          AS n_chunk_tokens
+               FROM st)
+        SELECT doc_id, chunk_idx, n_chunk_tokens,
+               CAST((sum(n_chunk_tokens) OVER (
+                         ORDER BY doc_id, chunk_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_chunk_tokens) // 4096 AS BIGINT) AS shard_id
+        FROM ch ORDER BY doc_id, chunk_idx
+    """,
+    "x27_importance_sample": rf"""
+        WITH {_DOCS_TOKS},
+        m AS (SELECT doc_id, lang,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     (length(text) - (len(toks) - 1)) * 1.0
+                         / greatest(len(toks), 1) AS avg_token_len,
+                     len(list_filter(toks, t -> t IN ({_STOP_EN}))) * 1.0
+                         / greatest(len(toks), 1) AS stopword_ratio
+              FROM docs),
+        s AS (SELECT doc_id, lang, n_tokens,
+                     0.5 * least(1.0, n_tokens / 100.0)
+                       + 0.3 * (1.0 - stopword_ratio)
+                       + 0.2 * least(1.0, avg_token_len / 8.0) AS q
+              FROM m),
+        k AS (SELECT lang, n_tokens,
+                     ({H64.format(s='CAST(doc_id AS VARCHAR)')} % 10000)
+                         < CAST(floor(least(1.0, greatest(0.0, q)) * 10000)
+                                AS BIGINT) AS keep
+              FROM s)
+        SELECT lang, count(*) AS n_docs,
+               count(CASE WHEN keep THEN 1 END) AS n_kept,
+               CAST(sum(CASE WHEN keep THEN n_tokens END) AS BIGINT)
+                   AS kept_tokens
+        FROM k GROUP BY lang ORDER BY lang
+    """,
     # Connected components as a transitive-closure recursive CTE: min
     # reachable id per node == the propagation fixpoint the engine loops
     # to. reach is bounded (cluster_size per node) at oracle scales.
