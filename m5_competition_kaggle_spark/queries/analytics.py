@@ -161,9 +161,18 @@ def g8_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
+        # one array-percentile call: a single value buffer + sort per
+        # group serves both quantiles (two separate aggs would each
+        # buffer and sort the whole group)
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-            F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+            F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias(
+                "__p"
+            )
+        )
+        .select(
+            "l_returnflag",
+            F.col("__p")[0].alias("median_price"),
+            F.col("__p")[1].alias("p90_price"),
         )
         .orderBy("l_returnflag")
     )
