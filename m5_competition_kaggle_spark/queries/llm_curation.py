@@ -201,6 +201,36 @@ def x24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("cluster_id", "doc_id")
 
 
+def x28_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (ml/quality.py): train the
+    tokenize→TF→logistic-regression classifier on a weak-labeled SAMPLE
+    (doc_id % 10 == 0 — the production shape: small labeled set, full
+    corpus scored), score every document, report per-language keep
+    counts. Non-SQL-expressible (iterative L-BFGS); rows-only driver
+    check, semantics pinned by tests/test_ml_quality.py."""
+    from m5_competition_kaggle_spark.ml.quality import (
+        fit_quality_classifier,
+        model_keep_predicate,
+        score_quality,
+        weak_labels_from_heuristic,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = weak_labels_from_heuristic(docs)
+    model = fit_quality_classifier(
+        labeled.filter(F.col("doc_id") % 10 == 0)
+    )
+    scored = score_quality(model, labeled)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(model_keep_predicate(0.5), 1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = {
     "x25_pii_redact": x25_pii_redact,
     "x19_chunk_docs": x19_chunk_docs,
@@ -211,6 +241,7 @@ QUERIES = {
     "x24_dedup_clusters": x24_dedup_clusters,
     "x26_pack_shards": x26_pack_shards,
     "x27_importance_sample": x27_importance_sample,
+    "x28_model_quality": x28_model_quality,
 }
 
 # --------------------------------------------------------------- Oracle side

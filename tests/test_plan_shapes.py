@@ -86,3 +86,41 @@ def test_q4_fact_join_runs_under_aqe(spark):
     df.count()  # force execution so the adaptive plan finalizes
     final = _plan(df)
     assert "AQEShuffleRead" in final or "BroadcastHashJoin" in final, final
+
+
+def test_x20_benchmark_side_broadcasts(spark):
+    """Decontamination must broadcast the (small) benchmark shingle set;
+    the growing corpus side must never shuffle by shingle."""
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        x20_decontaminate,
+    )
+
+    plan = _plan(x20_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_x23_ivf_centroids_broadcast(spark):
+    """IVF assignment/probing join against the centroid table must be a
+    broadcast (the centroid table is tiny at any corpus scale)."""
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        x23_sim_topk_ivf,
+    )
+
+    plan = _plan(x23_sim_topk_ivf(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # candidate scoring joins assigned x probes on cid — an equi join,
+    # not a cross product over the corpus
+    assert "cid" in plan
+
+
+def test_no_inferred_generator_filters(spark):
+    """The engine session must keep InferFiltersFromGenerate excluded:
+    with it, every explode(<computed array>) re-evaluates its input in a
+    pre-exchange Filter (measured: 3s of single-threaded scan-stage CPU
+    on x20 at sf0.1)."""
+    from m5_competition_kaggle_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(doc_shingles(docs, "doc_id", "text", 3))
+    # the inferred filter manifests as size(...) > 0 below the exchange
+    assert "size(array_distinct" not in plan.split("Exchange")[-1], plan
