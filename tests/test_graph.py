@@ -48,3 +48,55 @@ def test_dedup_clusters_canonical_and_sizes(spark):
     assert not rows[2]["is_canonical"] and not rows[9]["is_canonical"]
     assert rows[2]["cluster_size"] == 3 and rows[9]["cluster_size"] == 2
     assert rows[3]["cluster_id"] == 1 and rows[9]["cluster_id"] == 8
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _union_find_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: component id = min node id reachable
+    return {n: find(n) for n in parent}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_matches_union_find(spark, pairs):
+    """∀ random graphs: distributed min-label propagation == driver-side
+    union-find with path compression."""
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            _edges(spark, pairs), max_iter=40
+        ).collect()
+    }
+    ref = _union_find_components(pairs)
+    assert got == set(ref.items())

@@ -43,3 +43,37 @@ def test_pack_into_shards_boundary_rule(spark):
         for r in pack_into_shards(df, "n", ("k",), 4).collect()
     }
     assert got == {1: 0, 2: 0, 3: 1}
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=60
+    ),
+    budget=st.integers(min_value=1, max_value=64),
+)
+def test_pack_shards_matches_python_scan(spark, sizes, budget):
+    """∀ size sequences: distributed packing == a sequential Python scan
+    (shard = start offset div budget)."""
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "k long, n long"
+    ).repartition(5)
+    got = {
+        r["k"]: r["shard_id"]
+        for r in pack_into_shards(df, "n", ("k",), budget).collect()
+    }
+    offset, expected = 0, {}
+    for i, s in enumerate(sizes):
+        expected[i] = offset // budget
+        offset += s
+    assert got == expected
