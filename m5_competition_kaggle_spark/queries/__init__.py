@@ -45,6 +45,7 @@ _TAIL = (
     "x26_pack_shards",
     "x27_importance_sample",
     "x28_model_quality",
+    "x29_corpus_to_shards",
     # s6/s7 are streaming-family breadth; s1/s2/s3/s5 keep the family's
     # head rows.
     "s6_stream_dedup",

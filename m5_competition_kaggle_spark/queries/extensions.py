@@ -366,10 +366,14 @@ sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM sh0)
 """
 
 
-def _minhash_verified_ctes(num_hashes: int, bands: int) -> str:
+def _minhash_verified_ctes(
+    num_hashes: int, bands: int, include_docs: bool = True
+) -> str:
     """CTE chain ending in ``vstats(id_a, id_b, n_common, n_a, n_b,
     jaccard)`` — every LSH candidate pair with its exact jaccard. Shared
-    by the x2 pairs oracle and the x24 cluster oracle."""
+    by the x2 pairs oracle and the x24/x29 cluster oracles. With
+    ``include_docs=False`` the caller must define a ``docs(doc_id, toks)``
+    CTE (e.g. a filtered survivor set) for the chain to read."""
     from m5_competition_kaggle_spark.operators.dedup import (
         MINHASH_P,
         minhash_params,
@@ -387,7 +391,8 @@ def _minhash_verified_ctes(num_hashes: int, bands: int) -> str:
         + ")) AS bucket FROM sig"
         for b in range(bands)
     )
-    return f"""{_DOCS_TOKS}, {_shingle_cte(3)},
+    head = f"{_DOCS_TOKS}, " if include_docs else ""
+    return f"""{head}{_shingle_cte(3)},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS (
 {band_selects}

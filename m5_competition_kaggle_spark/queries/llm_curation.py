@@ -188,6 +188,57 @@ def x27_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus→training-shards composition (the stages a
+    real pretraining data pipeline chains, each individually certified):
+
+    quality filter (heuristic ≥ 0.55, same bar as x16)
+      → benchmark decontamination (drop bench split + any doc sharing a
+        4-shingle with it)
+      → near-dup clustering (MinHash LSH → connected components), keep
+        only each cluster's canonical doc
+      → sliding-window chunking (32/24)
+      → pack into 4096-token shards via the two-phase global prefix sum.
+
+    One lazy plan except the bounded CC loop. Output: every surviving
+    chunk with its shard assignment."""
+    from m5_competition_kaggle_spark.functions.text import quality_features
+    from m5_competition_kaggle_spark.operators.prefix import pack_into_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        quality_features(docs, "text")
+        .filter(F.col("quality_score") >= 0.55)
+        .select("doc_id", "text")
+    )
+    bench_pred = (F.col("doc_id") % 97) == 0
+    hits = contamination_hits(
+        surv, "doc_id", "text", bench_pred, DECON_SHINGLE
+    ).select("doc_id")
+    # corpus feeds BOTH the minhash/clustering path and the final
+    # chunking branch — materialize once instead of re-running the
+    # quality + decontamination stages per branch
+    corpus = (
+        surv.filter(~bench_pred).join(hits, "doc_id", "left_anti").persist()
+    )
+    pairs = minhash_lsh_pairs(
+        corpus, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    non_canon = (
+        dedup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    final = corpus.join(non_canon, "doc_id", "left_anti")
+    chunks = chunk_documents(
+        final, "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE
+    ).select("doc_id", "chunk_idx", "n_chunk_tokens")
+    return pack_into_shards(
+        chunks, "n_chunk_tokens", ("doc_id", "chunk_idx"), 4096
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def x24_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from MinHash-LSH pairs via iterative
     connected components: (doc_id, cluster_id, cluster_size,
@@ -242,6 +293,7 @@ QUERIES = {
     "x26_pack_shards": x26_pack_shards,
     "x27_importance_sample": x27_importance_sample,
     "x28_model_quality": x28_model_quality,
+    "x29_corpus_to_shards": x29_corpus_to_shards,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -416,6 +468,66 @@ ORACLES = {
                    AS kept_tokens
         FROM k GROUP BY lang ORDER BY lang
     """,
+    # The full composition: quality CTE -> decon shingles (4) -> minhash
+    # chain over the survivor `docs` CTE -> recursive-CTE components ->
+    # canonical-only chunking -> window-sum packing.
+    "x29_corpus_to_shards": rf"""
+WITH RECURSIVE
+alldocs AS (SELECT doc_id, text,
+                   str_split_regex(trim(text), '\s+') AS toks
+            FROM documents),
+q AS (SELECT doc_id,
+             0.5 * least(1.0, len(toks) / 100.0)
+               + 0.3 * (1.0 - len(list_filter(toks, t -> t IN ({_STOP_EN})))
+                              * 1.0 / greatest(len(toks), 1))
+               + 0.2 * least(1.0,
+                   (length(text) - (len(toks) - 1)) * 1.0
+                       / greatest(len(toks), 1) / 8.0) AS qs
+      FROM alldocs),
+surv AS (SELECT a.doc_id, a.text, a.toks
+         FROM alldocs a JOIN q USING (doc_id) WHERE q.qs >= 0.55),
+dsh0 AS (SELECT doc_id,
+           CASE WHEN len(toks) >= {DECON_SHINGLE}
+                THEN list_transform(range(0, len(toks) - {DECON_SHINGLE - 1}),
+                         i -> array_to_string(
+                                  toks[i+1:i+{DECON_SHINGLE}], ' '))
+                ELSE [array_to_string(toks, ' ')] END AS shl
+         FROM surv),
+dsh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM dsh0),
+bench AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+hits AS (SELECT DISTINCT d.doc_id FROM dsh d JOIN bench USING (shingle)
+         WHERE d.doc_id % 97 <> 0),
+docs AS (SELECT doc_id, text, toks FROM surv
+         WHERE doc_id % 97 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM hits)),
+{_minhash_verified_ctes(16, 4, include_docs=False)},
+vpairs AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, reached) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached
+),
+comp AS (SELECT node, min(reached) AS cid FROM reach GROUP BY node),
+final AS (SELECT doc_id, toks FROM docs
+          WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cid)),
+st AS (SELECT doc_id, toks,
+              unnest(generate_series(0, len(toks) - 1,
+                                     {CHUNK_STRIDE})) AS cs
+       FROM final),
+ch AS (SELECT doc_id,
+              CAST(cs // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+              CAST(len(toks[cs+1:cs+{CHUNK_SIZE}]) AS BIGINT)
+                  AS n_chunk_tokens
+       FROM st)
+SELECT doc_id, chunk_idx, n_chunk_tokens,
+       CAST((sum(n_chunk_tokens) OVER (
+                 ORDER BY doc_id, chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_chunk_tokens) // 4096 AS BIGINT) AS shard_id
+FROM ch ORDER BY doc_id, chunk_idx
+""",
     # Connected components as a transitive-closure recursive CTE: min
     # reachable id per node == the propagation fixpoint the engine loops
     # to. reach is bounded (cluster_size per node) at oracle scales.
