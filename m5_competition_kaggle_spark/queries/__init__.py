@@ -46,6 +46,15 @@ _TAIL = (
     "x27_importance_sample",
     "x28_model_quality",
     "x29_corpus_to_shards",
+    "x30_vocab_topk",
+    # g9–g13 analytics breadth: grouping-set/window-frame/densification
+    # variants; their families' head certifiers are g4 (grouping sets),
+    # q8 (window frames), s3/x13 (event-time ops), g1/g2 (agg+join).
+    "g9_cube_revenue",
+    "g10_range_frame_window",
+    "g11_gap_fill_locf",
+    "g12_correlated_subquery",
+    "g13_cohort_retention",
     # s6/s7 are streaming-family breadth; s1/s2/s3/s5 keep the family's
     # head rows.
     "s6_stream_dedup",

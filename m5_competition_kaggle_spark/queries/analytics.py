@@ -178,6 +178,110 @@ def g8_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g9_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (priority, status): all four grouping-set combinations
+    in one Expand + aggregate pass — the full-lattice sibling of g4's
+    ROLLUP. grouping_id disambiguates subtotal NULLs from data NULLs."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+            "gid",
+        )
+    )
+
+
+def g10_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, rolling 7-DAY spend ending
+    at each order's date — a value-based frame (peers by timestamp, not
+    row position), the frame type q8/q19's ROWS windows don't exercise.
+    Grouped sort per customer; no global exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    # rangeBetween needs a numeric ordering key: epoch seconds. 7 days
+    # = 604800 s matches the oracle's INTERVAL 7 DAY exactly (the data's
+    # timestamps are date-grained; no DST in the epoch domain either).
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            F.sum("o_totalprice").over(w).alias("spend_7d"),
+            F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def g11_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill: daily per-user series from
+    events, every missing day materialized and carried forward (LOCF).
+    The standard prep step for regular-grid models over irregular event
+    streams."""
+    from m5_competition_kaggle_spark.operators.timeseries import (
+        gap_fill_days,
+        locf,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.max("value").alias("day_max"))
+    filled = gap_fill_days(daily, ["user_id"], "day")
+    return (
+        locf(filled, ["user_id"], "day", "day_max", "value_ff")
+        .select(
+            "user_id",
+            "day",
+            "value_ff",
+            F.col("day_max").isNull().alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+def g12_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts priced above their brand's
+    average), decorrelated by hand into agg → broadcast join → filter —
+    the plan Catalyst's decorrelation would emit, stated explicitly."""
+    p = load_table(spark, sf_dir, "part")
+    brand_avg = p.groupBy("p_brand").agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        p.join(F.broadcast(brand_avg), "p_brand")
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_avg")
+        .orderBy("p_partkey")
+    )
+
+
+def g13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    distinct active users counted per (cohort, activity) day pair.
+    Two keyed aggregates + one join on user_id — no global exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts"))
+    cohort = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = ev.select("user_id", day.alias("active_day")).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_day", "active_day")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .orderBy("cohort_day", "active_day")
+    )
+
+
 QUERIES = {
     "g1_pricing_summary": g1_pricing_summary,
     "g2_revenue_by_nation": g2_revenue_by_nation,
@@ -187,6 +291,11 @@ QUERIES = {
     "g6_semi_anti_joins": g6_semi_anti_joins,
     "g7_set_ops": g7_set_ops,
     "g8_median_quantiles": g8_median_quantiles,
+    "g9_cube_revenue": g9_cube_revenue,
+    "g10_range_frame_window": g10_range_frame_window,
+    "g11_gap_fill_locf": g11_gap_fill_locf,
+    "g12_correlated_subquery": g12_correlated_subquery,
+    "g13_cohort_retention": g13_cohort_retention,
 }
 
 ORACLES = {
@@ -277,5 +386,76 @@ ORACLES = {
                quantile_cont(l_extendedprice, 0.5) AS median_price,
                quantile_cont(l_extendedprice, 0.9) AS p90_price
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "g9_cube_revenue": """
+        SELECT o_orderpriority, o_orderstatus,
+               sum(o_totalprice) AS revenue,
+               count(*) AS n_orders,
+               CAST(grouping(o_orderpriority) * 2
+                    + grouping(o_orderstatus) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority ASC NULLS FIRST,
+                 o_orderstatus ASC NULLS FIRST, gid
+    """,
+    "g10_range_frame_window": """
+        SELECT o_orderkey, o_custkey,
+               sum(o_totalprice) OVER w AS spend_7d,
+               count(*) OVER w AS n_orders_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                           AND CURRENT ROW)
+        ORDER BY o_orderkey
+    """,
+    "g11_gap_fill_locf": """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   max(value) AS day_max
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), span AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ), days AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1,
+                                               INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM span
+        ), filled AS (
+            SELECT d.user_id, d.day, dl.day_max
+            FROM days d LEFT JOIN daily dl
+              ON d.user_id = dl.user_id AND d.day = dl.day
+        )
+        SELECT user_id, day,
+               last_value(day_max IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS value_ff,
+               day_max IS NULL AS is_gap
+        FROM filled
+        ORDER BY user_id, day
+    """,
+    "g12_correlated_subquery": """
+        SELECT p_partkey, p_brand, p_retailprice,
+               (SELECT avg(p2.p_retailprice) FROM part p2
+                WHERE p2.p_brand = p.p_brand) AS brand_avg
+        FROM part p
+        WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                               WHERE p2.p_brand = p.p_brand)
+        ORDER BY p_partkey
+    """,
+    "g13_cohort_retention": """
+        WITH cohort AS (
+            SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day
+            FROM events
+        )
+        SELECT c.cohort_day, a.active_day, count(*) AS active_users
+        FROM active a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY c.cohort_day, a.active_day
+        ORDER BY c.cohort_day, a.active_day
     """,
 }

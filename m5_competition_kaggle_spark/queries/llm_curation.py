@@ -282,6 +282,30 @@ def x28_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 tokens by term frequency with document
+    frequency — the tokenizer-training / vocab-audit scan. Explode →
+    hash agg (map-side combinable) → TakeOrderedAndProject (per-partition
+    top-k then a k-row merge, never a global sort of the vocabulary).
+    Ties broken by token so the cut at k is deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), "token")
+        .limit(200)
+    )
+
+
 QUERIES = {
     "x25_pii_redact": x25_pii_redact,
     "x19_chunk_docs": x19_chunk_docs,
@@ -294,6 +318,7 @@ QUERIES = {
     "x27_importance_sample": x27_importance_sample,
     "x28_model_quality": x28_model_quality,
     "x29_corpus_to_shards": x29_corpus_to_shards,
+    "x30_vocab_topk": x30_vocab_topk,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -549,4 +574,20 @@ SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
 FROM comp c JOIN csize s USING (cluster_id)
 ORDER BY cluster_id, doc_id
 """,
+    # Hash compare is order-insensitive, so the LIMIT boundary must be
+    # deterministic: (tf DESC, token) is a total order (token unique).
+    "x30_vocab_topk": """
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(text),
+                                                '[^a-z0-9]+')) AS token
+            FROM documents
+        )
+        SELECT token, count(*) AS tf,
+               count(DISTINCT doc_id) AS df
+        FROM tok WHERE token <> ''
+        GROUP BY token
+        ORDER BY tf DESC, token
+        LIMIT 200
+    """,
 }
