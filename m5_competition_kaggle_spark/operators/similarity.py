@@ -187,12 +187,17 @@ def lsh_topk(
         queries, "query_id", id_col, vec_col, "__q_vec",
         num_planes, num_tables, dim,
     )
+    # Score BEFORE deduplicating table collisions: the dot is identical
+    # in every table a pair collides in, so max() over (query, neighbor)
+    # dedups on 24-byte keys. (Deduplicating first via distinct() would
+    # shuffle both 64-element vectors with every candidate row — ~40×
+    # the bytes — to save at most L−1 cheap dot recomputations.)
     matched = (
         cand.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "__q_vec", "neighbor_id", "__v_vec")
-        .distinct()  # a pair colliding in several tables scores once
         .withColumn("dot", quantized_dot("__q_vec", "__v_vec"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("dot").alias("dot"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot"), F.asc("neighbor_id")

@@ -113,6 +113,59 @@ def test_x23_ivf_centroids_broadcast(spark):
     assert "cid" in plan
 
 
+def test_x30_topk_never_sorts_globally(spark):
+    """Vocabulary top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + k-row merge), never a full Sort of the vocabulary."""
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        x30_vocab_topk,
+    )
+
+    plan = _plan(x30_vocab_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_g10_range_frame_partitioned(spark):
+    """The 7-day RANGE frame must run per customer (hash-partitioned
+    window), not as a global single-partition sort."""
+    from m5_competition_kaggle_spark.queries.analytics import (
+        g10_range_frame_window,
+    )
+
+    plan = _plan(g10_range_frame_window(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "RangeFrame" in plan, plan
+
+
+def test_g11_gap_fill_no_cross_join(spark):
+    """Densification must come from per-key sequence+explode, never a
+    cross join against a global calendar."""
+    from m5_competition_kaggle_spark.queries.analytics import (
+        g11_gap_fill_locf,
+    )
+
+    plan = _plan(g11_gap_fill_locf(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate explode" in plan or "explode" in plan, plan
+
+
+def test_x10_dedups_on_keys_not_vectors(spark):
+    """lsh_topk must deduplicate table collisions AFTER scoring — a
+    hash aggregate keyed on (query_id, neighbor_id) — never a distinct
+    that shuffles both 64-element vectors per candidate row."""
+    from m5_competition_kaggle_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = _plan(lsh_topk(emb, q, k=10))
+    agg_keys = plan.split("HashAggregate(keys=[")
+    assert len(agg_keys) > 1, plan
+    assert not any(
+        "__q_vec" in seg.split("]")[0] or "__v_vec" in seg.split("]")[0]
+        for seg in agg_keys[1:]
+    ), plan
+
+
 def test_no_inferred_generator_filters(spark):
     """The engine session must keep InferFiltersFromGenerate excluded:
     with it, every explode(<computed array>) re-evaluates its input in a
