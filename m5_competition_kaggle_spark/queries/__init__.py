@@ -47,6 +47,8 @@ _TAIL = (
     "x28_model_quality",
     "x29_corpus_to_shards",
     "x30_vocab_topk",
+    "x31_lm_surprisal",
+    "x32_tfidf_keywords",
     # g9–g13 analytics breadth: grouping-set/window-frame/densification
     # variants; their families' head certifiers are g4 (grouping sets),
     # q8 (window frames), s3/x13 (event-time ops), g1/g2 (agg+join).

@@ -306,6 +306,80 @@ def x30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x31_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet/KenLM-style perplexity
+    filter, restated as relational algebra): score every document by the
+    mean surprisal −ln p(w2|w1) of its bigrams under a corpus bigram
+    model with document-frequency counts.
+
+    Scale shape: two explode→hash-agg passes build the model (map-side
+    combinable), scoring is two keyed equi-joins (bigram → its count,
+    prefix unigram → its count) — the model tables shuffle once and the
+    heavy side never fans out. No Python, no driver state; at 100 TB the
+    model aggs are the same wordcount shape as x30."""
+    from m5_competition_kaggle_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    big = doc_shingles(docs, "doc_id", "text", 2)
+    uni = doc_shingles(docs, "doc_id", "text", 1)
+    big_df = big.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_b"))
+    uni_df = uni.select(F.col("shingle").alias("prev")).groupBy("prev").agg(
+        F.count(F.lit(1)).alias("df_u")
+    )
+    scored = (
+        big.join(big_df, "shingle")
+        .withColumn("prev", F.expr("split_part(shingle, ' ', 1)"))
+        .join(uni_df, "prev")
+        .withColumn(
+            "nll",
+            F.log(F.col("df_u").cast("double") / F.col("df_b")),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("nll").alias("surprisal"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def x32_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by TF-IDF with a
+    deterministic (tfidf DESC, token ASC) cut. Term frequencies and
+    document frequencies are two chained hash aggregates; the corpus
+    size is a 1-row broadcast; ranking is a window partitioned by doc —
+    every exchange keyed, nothing global."""
+    from m5_competition_kaggle_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
 QUERIES = {
     "x25_pii_redact": x25_pii_redact,
     "x19_chunk_docs": x19_chunk_docs,
@@ -319,6 +393,8 @@ QUERIES = {
     "x28_model_quality": x28_model_quality,
     "x29_corpus_to_shards": x29_corpus_to_shards,
     "x30_vocab_topk": x30_vocab_topk,
+    "x31_lm_surprisal": x31_lm_surprisal,
+    "x32_tfidf_keywords": x32_tfidf_keywords,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -589,5 +665,51 @@ ORDER BY cluster_id, doc_id
         GROUP BY token
         ORDER BY tf DESC, token
         LIMIT 200
+    """,
+    # Engine-side shingles are per-doc DISTINCT sets (doc_shingles), so
+    # both model counts are document frequencies; the prefix join key is
+    # the text before the first space (split_part = whole string for the
+    # single-token whole-doc shingle, same rule both engines).
+    "x31_lm_surprisal": rf"""
+        WITH {_DOCS_TOKS},
+        b0 AS (SELECT doc_id,
+                      CASE WHEN len(toks) >= 2
+                           THEN list_transform(range(0, len(toks) - 1),
+                                    i -> array_to_string(toks[i+1:i+2], ' '))
+                           ELSE [array_to_string(toks, ' ')] END AS shl
+               FROM docs),
+        bsh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM b0),
+        ush AS (SELECT DISTINCT doc_id, unnest(toks) AS shingle FROM docs),
+        bdf AS (SELECT shingle, count(*) AS df_b FROM bsh GROUP BY shingle),
+        udf AS (SELECT shingle AS prev, count(*) AS df_u
+                FROM ush GROUP BY shingle),
+        per AS (SELECT s.doc_id,
+                       ln(CAST(u.df_u AS DOUBLE) / d.df_b) AS nll
+                FROM bsh s
+                JOIN bdf d USING (shingle)
+                JOIN udf u ON u.prev = split_part(s.shingle, ' ', 1))
+        SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS surprisal
+        FROM per GROUP BY doc_id ORDER BY doc_id
+    """,
+    "x32_tfidf_keywords": rf"""
+        WITH {_DOCS_TOKS},
+        tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        ranked AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df)
+                       AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE)
+                                           / dfreq.df) DESC, tf.token)
+                       AS rk
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        SELECT doc_id, token, tf, tfidf, CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, rk
     """,
 }
