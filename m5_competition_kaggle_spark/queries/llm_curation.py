@@ -380,6 +380,44 @@ def x32_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SOURCE_CAP = 40  # max docs kept per source
+
+
+def x33_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (the C4/RefinedWeb-style per-domain cap
+    that stops one crawl domain from dominating the corpus): rank each
+    source's documents by heuristic quality (tie-break doc_id), keep the
+    top ``SOURCE_CAP``, report per-source kept/dropped and the kept
+    quality mass. One window partitioned by source + one hash agg —
+    both keyed on source, no global exchange; at 100 TB hot sources are
+    exactly what AQE skew-split handles."""
+    from m5_competition_kaggle_spark.functions.text import quality_features
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_features(docs, "text").withColumn(
+        "q", F.round(F.col("quality_score"), 6)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("rk") <= SOURCE_CAP, 1)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("rk") <= SOURCE_CAP, F.col("q"))
+            ).alias("kept_quality"),
+            F.min(
+                F.when(F.col("rk") <= SOURCE_CAP, F.col("doc_id"))
+            ).alias("min_kept_id"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = {
     "x25_pii_redact": x25_pii_redact,
     "x19_chunk_docs": x19_chunk_docs,
@@ -395,6 +433,7 @@ QUERIES = {
     "x30_vocab_topk": x30_vocab_topk,
     "x31_lm_surprisal": x31_lm_surprisal,
     "x32_tfidf_keywords": x32_tfidf_keywords,
+    "x33_source_caps": x33_source_caps,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -711,5 +750,35 @@ ORDER BY cluster_id, doc_id
         SELECT doc_id, token, tf, tfidf, CAST(rk AS BIGINT) AS rk
         FROM ranked WHERE rk <= 3
         ORDER BY doc_id, rk
+    """,
+    # quality_score formula = x7's oracle; rounded to 6 decimals on BOTH
+    # sides so the rank order never hinges on sub-ulp float differences.
+    "x33_source_caps": rf"""
+        WITH d2 AS (SELECT doc_id, source, text,
+                           str_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+        m AS (SELECT doc_id, source,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     (length(text) - (len(toks) - 1)) * 1.0
+                         / greatest(len(toks), 1) AS avg_token_len,
+                     len(list_filter(toks, t -> t IN ({_STOP_EN}))) * 1.0
+                         / greatest(len(toks), 1) AS stopword_ratio
+              FROM d2),
+        q AS (SELECT doc_id, source,
+                     round(0.5 * least(1.0, n_tokens / 100.0)
+                           + 0.3 * (1.0 - stopword_ratio)
+                           + 0.2 * least(1.0, avg_token_len / 8.0),
+                           6) AS q
+              FROM m),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY q DESC, doc_id) AS rk
+              FROM q)
+        SELECT source, count(*) AS n_docs,
+               count(CASE WHEN rk <= {SOURCE_CAP} THEN 1 END) AS n_kept,
+               sum(CASE WHEN rk <= {SOURCE_CAP} THEN q END)
+                   AS kept_quality,
+               min(CASE WHEN rk <= {SOURCE_CAP} THEN doc_id END)
+                   AS min_kept_id
+        FROM r GROUP BY source ORDER BY source
     """,
 }
