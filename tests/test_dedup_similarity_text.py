@@ -110,6 +110,36 @@ def test_lsh_topk_recall_vs_brute_force(spark):
             assert r["dot"] == exact_dots[key]
 
 
+def test_arrow_bucketize_matches_jvm_buckets(spark):
+    """The Arrow-matmul bucketizer must produce bit-identical buckets to
+    the JVM expression path (lsh_bucket_col) — same hyperplanes, same
+    quantization, pure int64 both sides."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        _bucketize_arrow,
+        hyperplanes,
+        lsh_bucket_col,
+        quantize_expr,
+    )
+
+    emb = load_table(spark, SF, "embeddings").limit(100)
+    P, L = 4, 3
+    arrow = {
+        (r["vid"], r["table"]): r["bucket"]
+        for r in _bucketize_arrow(emb, "vid", "vec_id", "embedding", P, L, 64)
+        .collect()
+    }
+    staged = emb.select(
+        F.col("vec_id").alias("vid"), quantize_expr("embedding").alias("__q")
+    )
+    jvm = {}
+    for t in range(L):
+        for r in staged.select(
+            "vid", lsh_bucket_col("__q", hyperplanes(P, 64, t)).alias("b")
+        ).collect():
+            jvm[(r["vid"], t)] = r["b"]
+    assert arrow == jvm
+
+
 def test_multimodal_decode_stub(spark):
     from m5_competition_kaggle_spark.multimodal.ops import (
         decode_assets,

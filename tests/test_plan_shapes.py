@@ -150,9 +150,11 @@ def test_g11_gap_fill_no_cross_join(spark):
 
 
 def test_x10_dedups_on_keys_not_vectors(spark):
-    """lsh_topk must deduplicate table collisions AFTER scoring — a
-    hash aggregate keyed on (query_id, neighbor_id) — never a distinct
-    that shuffles both 64-element vectors per candidate row."""
+    """lsh_topk must deduplicate table collisions with a hash aggregate
+    keyed on (query_id, neighbor_id) ids only — never a distinct that
+    shuffles a 64-element vector per candidate row. (Vectors are attached
+    once per unique pair after the dedup, so the L-way bucket fan-out
+    stays 24 bytes/row.)"""
     from m5_competition_kaggle_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, SF, "embeddings")
