@@ -113,6 +113,115 @@ def stratified_keep(
     return (h64(F.col(key_col).cast("string")) % 1000) < rate
 
 
+def dup_span_features(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate-span detection (the substring-level dedup
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", restated relationally): hash every ``window``-token sliding
+    span at stride 1; a span position is *duplicated* when its hash occurs
+    at more than one position anywhere in the corpus (any document, its
+    own included). Per document: (key, n_spans, dup_spans, dup_frac) —
+    the signal used to drop or trim documents that are mostly boilerplate
+    shared with the rest of the crawl.
+
+    Scale shape: the explode emits one 16-byte (key, span_hash) row per
+    token position; span multiplicities are one map-side-combinable hash
+    aggregate; the back-join is keyed on span_hash and the rollup on key.
+    Nothing global, no Python. (A suffix array computes the same decision
+    bits exactly; the hashed fixed-width window is the standard
+    distributed approximation.) Documents shorter than ``window`` tokens
+    contribute their whole text as a single span — same convention as
+    ``doc_shingles``.
+    """
+    spans = (
+        f"transform(sequence(1, size(__toks) - {window - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {window})))"
+    )
+    guarded = (
+        f"CASE WHEN size(__toks) >= {window} THEN {spans} "
+        f"ELSE array(concat_ws(' ', __toks)) END"
+    )
+    pos = (
+        df.select(F.col(key_col), tokens(text_col).alias("__toks"))
+        .select(key_col, F.explode(F.expr(guarded)).alias("__span"))
+        .select(key_col, h64(F.col("__span")).alias("span_h"))
+    )
+    counts = pos.groupBy("span_h").agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        pos.join(counts, "span_h")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.count(F.when(F.col("__cnt") > 1, 1)).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("dup_spans") * F.lit(1.0) / F.col("n_spans"),
+        )
+    )
+
+
+def temperature_mix_stats(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    target_num: int = 3,
+    target_den: int = 10,
+) -> DataFrame:
+    """Temperature-flattened source mixing (α = 0.5): per-source keep
+    probability ∝ n_s^α, normalized so the expected kept total is
+    ``target_num/target_den`` of the corpus, capped at 1. Rare sources
+    are up-weighted, head sources down-weighted.
+
+    Determinism: the only float op is w_s = floor(sqrt(n_s)·1000) (sqrt
+    is IEEE correctly-rounded, so every engine floors the same value);
+    membership is then the pure BIGINT comparison
+    ``hash6(key) · W · n_s < 10^6 · T · w_s`` — no float thresholds, so a
+    SQL oracle keeps bit-identical document sets. (At extreme per-source
+    counts the product needs DECIMAL(38) headroom or operand
+    rebalancing; any realistic n_s fits int64.)
+
+    Scale shape: one hash agg for per-source counts, a 1-row total, a
+    broadcast join of per-source thresholds back onto the corpus, one
+    keyed rollup — the corpus never shuffles.
+
+    Returns (source, n_docs, weight, n_kept, min_kept_id).
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_docs")) * 1000).cast("long")
+    )
+    tot = wts.agg(
+        F.sum("weight").alias("__w_tot"),
+        F.expr(f"(sum(n_docs) * {target_num}L) div {target_den}").alias(
+            "__t_target"
+        ),
+    )
+    per_source = wts.crossJoin(F.broadcast(tot))
+    keep = (
+        (h64(F.col(key_col).cast("string")) % 1000000)
+        * F.col("__w_tot") * F.col("n_docs")
+        < F.lit(1000000) * F.col("__t_target") * F.col("weight")
+    )
+    return (
+        df.join(F.broadcast(per_source), source_col)
+        .withColumn("__keep", keep)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("weight").alias("weight"),
+            F.count(F.when(F.col("__keep"), 1)).alias("n_kept"),
+            F.min(F.when(F.col("__keep"), F.col(key_col))).alias(
+                "min_kept_id"
+            ),
+        )
+    )
+
+
 def repetition_features(
     df: DataFrame, text_col: str, flag_threshold: float = 0.5
 ) -> DataFrame:

@@ -50,6 +50,8 @@ _TAIL = (
     "x31_lm_surprisal",
     "x32_tfidf_keywords",
     "x33_source_caps",
+    "x34_dup_spans",
+    "x35_temperature_mix",
     # g9–g13 analytics breadth: grouping-set/window-frame/densification
     # variants; their families' head certifiers are g4 (grouping sets),
     # q8 (window frames), s3/x13 (event-time ops), g1/g2 (agg+join).

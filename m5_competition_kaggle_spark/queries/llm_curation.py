@@ -418,6 +418,40 @@ def x33_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_SPAN_W = 8  # tokens per duplicate-detection span
+MIX_TARGET_NUM, MIX_TARGET_DEN = 3, 10  # keep ~30% of the corpus
+
+
+def x34_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span profile per document (Lee et al.
+    style): fraction of 8-token sliding windows whose hash occurs at >1
+    position in the corpus. See operators/curation.dup_span_features for
+    the scale argument."""
+    from m5_competition_kaggle_spark.operators.curation import (
+        dup_span_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_span_features(
+        docs, "doc_id", "text", window=DUP_SPAN_W
+    ).orderBy("doc_id")
+
+
+def x35_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (the multinomial α-sampling of
+    multilingual/multi-source pretraining mixes, α = 0.5): see
+    operators/curation.temperature_mix_stats for the determinism and
+    scale arguments."""
+    from m5_competition_kaggle_spark.operators.curation import (
+        temperature_mix_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_stats(
+        docs, "doc_id", "source", MIX_TARGET_NUM, MIX_TARGET_DEN
+    ).orderBy("source")
+
+
 QUERIES = {
     "x25_pii_redact": x25_pii_redact,
     "x19_chunk_docs": x19_chunk_docs,
@@ -434,6 +468,8 @@ QUERIES = {
     "x31_lm_surprisal": x31_lm_surprisal,
     "x32_tfidf_keywords": x32_tfidf_keywords,
     "x33_source_caps": x33_source_caps,
+    "x34_dup_spans": x34_dup_spans,
+    "x35_temperature_mix": x35_temperature_mix,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -780,5 +816,49 @@ ORDER BY cluster_id, doc_id
                min(CASE WHEN rk <= {SOURCE_CAP} THEN doc_id END)
                    AS min_kept_id
         FROM r GROUP BY source ORDER BY source
+    """,
+    # Span hashes group by h64 (not the raw string) on BOTH sides so a
+    # 60-bit collision, however unlikely, merges identically.
+    "x34_dup_spans": rf"""
+        WITH {_DOCS_TOKS},
+        sp0 AS (SELECT doc_id,
+                  CASE WHEN len(toks) >= {DUP_SPAN_W}
+                       THEN list_transform(
+                                range(1, len(toks) - {DUP_SPAN_W - 2}),
+                                i -> array_to_string(
+                                         toks[i:i+{DUP_SPAN_W - 1}], ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS spans
+                FROM docs),
+        sp AS (SELECT doc_id,
+                      {H64.format(s='unnest(spans)')} AS span_h
+               FROM sp0),
+        cnt AS (SELECT span_h, count(*) AS c FROM sp GROUP BY span_h)
+        SELECT s.doc_id,
+               count(*) AS n_spans,
+               count(CASE WHEN c.c > 1 THEN 1 END) AS dup_spans,
+               count(CASE WHEN c.c > 1 THEN 1 END) * 1.0 / count(*)
+                   AS dup_frac
+        FROM sp s JOIN cnt c USING (span_h)
+        GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    "x35_temperature_mix": f"""
+        WITH c AS (SELECT source, count(*) AS n_docs
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n_docs,
+                     CAST(floor(sqrt(n_docs) * 1000) AS BIGINT) AS weight
+              FROM c),
+        t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_tot,
+                     CAST(sum(n_docs) * {MIX_TARGET_NUM}
+                          // {MIX_TARGET_DEN} AS BIGINT) AS t_target
+              FROM w),
+        k AS (SELECT d.source, d.doc_id, w.weight,
+                     ({H64.format(s='CAST(d.doc_id AS VARCHAR)')} % 1000000)
+                         * t.w_tot * w.n_docs
+                     < 1000000 * t.t_target * w.weight AS keep
+              FROM documents d JOIN w USING (source) CROSS JOIN t)
+        SELECT source, count(*) AS n_docs, max(weight) AS weight,
+               count(CASE WHEN keep THEN 1 END) AS n_kept,
+               min(CASE WHEN keep THEN doc_id END) AS min_kept_id
+        FROM k GROUP BY source ORDER BY source
     """,
 }

@@ -138,3 +138,85 @@ def test_redact_pii_planted(spark):
     assert out[1]["red"] == "mail <EMAIL> ip <IP> tel <PHONE> end"
     assert (out[2]["n_email"], out[2]["n_ip"], out[2]["n_phone"]) == (0, 0, 0)
     assert out[2]["red"] == rows[1][1]
+
+
+def test_dup_span_features_semantics(spark):
+    from m5_competition_kaggle_spark.operators.curation import (
+        dup_span_features,
+    )
+
+    rows = [
+        # docs 1 and 2 share their full 4-token text -> every span dup
+        (1, "a b c d"),
+        (2, "a b c d"),
+        # unique text, 5 tokens -> 2 spans of 4, none duplicated
+        (3, "e f g h i"),
+        # short doc (< window) -> whole text is one span, unique
+        (4, "zz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_features(df, "doc_id", "text", window=4).collect()
+    }
+    assert (out[1]["n_spans"], out[1]["dup_spans"]) == (1, 1)
+    assert out[1]["dup_frac"] == 1.0
+    assert (out[2]["n_spans"], out[2]["dup_spans"]) == (1, 1)
+    assert (out[3]["n_spans"], out[3]["dup_spans"]) == (2, 0)
+    assert out[3]["dup_frac"] == 0.0
+    assert (out[4]["n_spans"], out[4]["dup_spans"]) == (1, 0)
+
+
+def test_dup_spans_intra_doc_repetition_counts(spark):
+    """A span repeated WITHIN one document is duplicated too (position
+    multiplicity, not document multiplicity)."""
+    from m5_competition_kaggle_spark.operators.curation import (
+        dup_span_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y")], "doc_id long, text string"
+    )
+    out = dup_span_features(df, "doc_id", "text", window=2).collect()[0]
+    # spans: "x y","y x","x y","y x","x y" -> all 5 positions duplicated
+    assert (out["n_spans"], out["dup_spans"]) == (5, 5)
+
+
+def test_temperature_mix_flattens_skew(spark):
+    """α=0.5 flattening on a strongly skewed corpus: the rare source's
+    keep probability saturates at 1 (every doc kept) while the head
+    source is down-sampled — plus the exact keep rule cross-checked in
+    Python (same h64, same integer comparison)."""
+    import math
+
+    from m5_competition_kaggle_spark.functions.text import h64_py
+    from m5_competition_kaggle_spark.operators.curation import (
+        temperature_mix_stats,
+    )
+
+    rows = [(i, "head") for i in range(400)] + [
+        (1000 + i, "rare") for i in range(16)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {
+        r["source"]: r
+        for r in temperature_mix_stats(df, "doc_id", "source").collect()
+    }
+    # Python twin of the integer keep rule
+    n = {"head": 400, "rare": 16}
+    w = {s: math.floor(math.sqrt(c) * 1000) for s, c in n.items()}
+    w_tot, t_target = sum(w.values()), (416 * 3) // 10
+    exp = {
+        s: sum(
+            1
+            for i, src in rows
+            if src == s
+            and (h64_py(str(i)) % 1000000) * w_tot * n[s]
+            < 1000000 * t_target * w[s]
+        )
+        for s in n
+    }
+    assert out["rare"]["n_kept"] == exp["rare"] == 16  # p capped at 1
+    assert out["head"]["n_kept"] == exp["head"] < 400
+    # flattening: rare keep fraction strictly above head keep fraction
+    assert out["rare"]["n_kept"] * n["head"] > out["head"]["n_kept"] * n["rare"]
