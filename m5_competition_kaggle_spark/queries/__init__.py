@@ -60,6 +60,7 @@ _TAIL = (
     "g11_gap_fill_locf",
     "g12_correlated_subquery",
     "g13_cohort_retention",
+    "g14_profile_stats",
     # s6/s7 are streaming-family breadth; s1/s2/s3/s5 keep the family's
     # head rows.
     "s6_stream_dedup",

@@ -282,6 +282,43 @@ def g13_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def g14_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profiling: row/null/distinct counts
+    and min/max for every numeric lineitem measure, unpivoted to one row
+    per column — the stats-collection scan every optimizer and data
+    catalog needs.
+
+    Plan: a single aggregate computes all 4 columns' stats in one pass
+    over the scan; multiple exact count(DISTINCT) aggregates share it
+    via Catalyst's Expand rewrite (one shuffle, map-side partials), and
+    the 1-row result is unpivoted driver-free with stack(). At 100 TB
+    swap exact distinct counts for approx_count_distinct (HLL++, x17's
+    path) — same plan minus the Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
 QUERIES = {
     "g1_pricing_summary": g1_pricing_summary,
     "g2_revenue_by_nation": g2_revenue_by_nation,
@@ -296,6 +333,7 @@ QUERIES = {
     "g11_gap_fill_locf": g11_gap_fill_locf,
     "g12_correlated_subquery": g12_correlated_subquery,
     "g13_cohort_retention": g13_cohort_retention,
+    "g14_profile_stats": g14_profile_stats,
 }
 
 ORACLES = {
@@ -458,4 +496,15 @@ ORACLES = {
         GROUP BY c.cohort_day, a.active_day
         ORDER BY c.cohort_day, a.active_day
     """,
+    "g14_profile_stats": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               min({c}) AS min_val, max({c}) AS max_val
+        FROM lineitem"""
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name",
 }
