@@ -81,15 +81,18 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampType()),
         ]
     ),
-    # events.parquet stores ts as Parquet TIMESTAMP(NANOS), which Spark's
-    # vectorized reader rejects; with spark.sql.legacy.parquet.nanosAsLong
-    # it reads as epoch-nanos LongType, converted to a timestamp column in
-    # load_table. The raw nanos survive as ts_nanos — the exact series
-    # order key (micros truncation could reorder sub-microsecond ties).
+    # events.parquet has shipped with two physical types for ts across
+    # driver generations: Parquet TIMESTAMP(NANOS) (read as epoch-nanos
+    # LongType under spark.sql.legacy.parquet.nanosAsLong) and
+    # TIMESTAMP(MICROS) NTZ. load_table sniffs the footer and normalizes
+    # both to this logical schema: ts as a UTC timestamp plus ts_nanos as
+    # epoch-nanos long — the exact series order key (micros truncation
+    # could reorder sub-microsecond ties in the nanos generation).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts_nanos", T.LongType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -143,20 +146,58 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
     if name == "events":
-        # Defensive runtime set: the driver's session may not have it.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        from pyspark.sql import functions as F
+        return _load_events(spark, sf_dir)
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
+
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Normalize an events frame to (ts: UTC timestamp, ts_nanos: long).
+
+    The driver's generator has emitted ts as Parquet TIMESTAMP(NANOS)
+    (surfacing as epoch-nanos LongType under nanosAsLong) in one
+    generation and TIMESTAMP(MICROS) NTZ in another; branch on the bound
+    ts type so both yield the same logical schema and identical ts_nanos
+    values (micros generation: us * 1000, matching DuckDB's epoch_ns on
+    the same file). Works on batch and streaming frames alike — pure
+    column expressions, no action.
+    """
+    from pyspark.sql import functions as F
+
+    if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumns(
             {
                 "ts_nanos": F.col("ts"),
                 # integer div — double division would lose precision at 1e18
                 "ts": F.timestamp_micros(F.expr("ts div 1000")),
             }
-        ).select("event_id", "ts", "ts_nanos", "user_id", "event_type", "value", "props")
-    return df
+        )
+    else:
+        # NTZ wall-clock == UTC instant under the pinned session TZ.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = df.withColumn(
+            "ts_nanos", F.unix_micros(F.col("ts")) * F.lit(1000)
+        )
+    head = [f.name for f in SCHEMAS["events"].fields]
+    extra = [c for c in df.columns if c not in head]
+    return df.select(*head, *extra)
+
+
+def events_raw_schema(spark: SparkSession, source: str) -> T.StructType:
+    """Footer-sniffed physical schema of an events parquet file or dir
+    (driver-side metadata read, no job) — the schema a readStream of the
+    same files needs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(source).schema
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = f"{sf_dir}/events.parquet"
+    raw = events_raw_schema(spark, path)
+    out = normalize_events(spark.read.schema(raw).parquet(path))
+    want = [(f.name, f.dataType) for f in SCHEMAS["events"].fields]
+    got = [(f.name, f.dataType) for f in out.schema.fields]
+    assert got == want, out.schema
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -94,22 +94,31 @@ def running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def read_events_stream(spark, source_dir: str, **options) -> DataFrame:
+    """File-source stream of staged events parquet, normalized to the
+    catalog's logical events schema (ts timestamp + ts_nanos long). The
+    physical ts type is footer-sniffed from the staged files, so both
+    generator formats (epoch-nanos long / TIMESTAMP-MICROS) work."""
+    from m5_competition_kaggle_spark.sources.catalog import (
+        events_raw_schema,
+        normalize_events,
+    )
+
+    raw = events_raw_schema(spark, source_dir)
+    reader = spark.readStream.schema(raw).format("parquet")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return normalize_events(reader.load(source_dir))
+
+
 def streaming_tumbling_counts(
-    spark, source_dir: str, schema, duration: str = "1 hour",
+    spark, source_dir: str, duration: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
     """The same tumbling plan on a real file-source stream with a watermark
     bounding state. Returns the streaming DataFrame; callers attach a sink
     (``writeStream``). Late rows beyond ``watermark`` are dropped."""
-    stream = (
-        spark.readStream.schema(schema).format("parquet").load(source_dir)
-    )
-    stream = stream.withColumns(
-        {
-            "ts_nanos": F.col("ts"),
-            "ts": F.timestamp_micros(F.expr("ts div 1000")),
-        }
-    )
+    stream = read_events_stream(spark, source_dir)
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
 
 
@@ -185,7 +194,7 @@ def funnel_join(
 
 
 def streaming_funnel_join(
-    spark, source_dir: str, schema,
+    spark, source_dir: str,
     first_type: str = "view", next_type: str = "purchase",
     horizon: str = "1 hour", watermark: str = "2 hours",
 ) -> DataFrame:
@@ -193,15 +202,8 @@ def streaming_funnel_join(
     sides watermarked, the join condition's time range lets Spark expire
     per-side state. Returns the streaming DataFrame for a caller's sink."""
     def side(tp, pfx):
-        s = (
-            spark.readStream.schema(schema).format("parquet").load(source_dir)
-        )
-        s = s.withColumns(
-            {
-                "ts_nanos": F.col("ts"),
-                "ts": F.timestamp_micros(F.expr("ts div 1000")),
-            }
-        ).filter(F.col("event_type") == tp)
+        s = read_events_stream(spark, source_dir)
+        s = s.filter(F.col("event_type") == tp)
         return s.select(
             F.col("user_id").alias(f"{pfx}_user"),
             F.col("event_id").alias(f"{pfx}_id"),

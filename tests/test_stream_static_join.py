@@ -22,9 +22,11 @@ def test_stream_static_enrichment_join(spark, tmp_path):
          ("signup", 5.0), ("error", 0.0)],
         "event_type string, weight double",
     )
-    stream = (
-        spark.readStream.schema(SCHEMAS["events"]).format("parquet").load(src)
+    from m5_competition_kaggle_spark.streaming.events import (
+        read_events_stream,
     )
+
+    stream = read_events_stream(spark, src)
     enriched = (
         stream.join(F.broadcast(dim), "event_type")
         .groupBy("event_type")

@@ -31,9 +31,7 @@ def test_streaming_matches_batch(spark):
     src_dir = tempfile.mkdtemp(prefix="events_stream_")
     shutil.copy(f"{SF}/events.parquet", os.path.join(src_dir, "part-0.parquet"))
 
-    stream = streaming_tumbling_counts(
-        spark, src_dir, SCHEMAS["events"], "1 hour", "2 hours"
-    )
+    stream = streaming_tumbling_counts(spark, src_dir, "1 hour", "2 hours")
     q = (
         stream.writeStream.outputMode("complete")
         .format("memory")

@@ -29,7 +29,7 @@ def test_streaming_funnel_join_matches_batch(spark):
         (r["user_id"], r["first_id"], r["next_id"]) for r in batch.collect()
     }
     stream = streaming_funnel_join(
-        spark, _stage_stream_dir(), SCHEMAS["events"],
+        spark, _stage_stream_dir(),
         horizon="1 hour", watermark="2 hours",
     )
     q = (
@@ -55,18 +55,12 @@ def test_streaming_drop_duplicates_within_watermark(spark):
     row per key — the streaming execution of the s6 shape (streaming keeps
     first-arrival; the batch twin pins event-time-first, so compare KEY
     SETS, not chosen rows)."""
+    from m5_competition_kaggle_spark.streaming.events import (
+        read_events_stream,
+    )
+
     src_dir = _stage_stream_dir()
-    stream = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .format("parquet")
-        .load(src_dir)
-    )
-    stream = stream.withColumns(
-        {
-            "ts_nanos": F.col("ts"),
-            "ts": F.timestamp_micros(F.expr("ts div 1000")),
-        }
-    )
+    stream = read_events_stream(spark, src_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .withColumn("window_start", F.window("ts", "1 hour")["start"])

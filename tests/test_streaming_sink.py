@@ -27,11 +27,12 @@ def test_sink_exactly_once_and_restart_idempotent(spark):
     ckpt_dir = tempfile.mkdtemp(prefix="events_sink_ckpt_")
     try:
         def start():
-            stream = (
-                spark.readStream.schema(SCHEMAS["events"])
-                .format("parquet")
-                .load(src_dir)
-                .select("event_id", "user_id", "value")
+            from m5_competition_kaggle_spark.streaming.events import (
+                read_events_stream,
+            )
+
+            stream = read_events_stream(spark, src_dir).select(
+                "event_id", "user_id", "value"
             )
             return stream_to_parquet(stream, out_dir, ckpt_dir)
 

@@ -31,13 +31,11 @@ def test_stateful_totals_across_microbatches(spark, tmp_path):
         "value", "props",
     ).coalesce(1).write.mode("append").parquet(str(src))
 
-    stream = (
-        spark.readStream.schema(SCHEMAS["events"])
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from m5_competition_kaggle_spark.streaming.events import (
+        read_events_stream,
     )
+
+    stream = read_events_stream(spark, str(src), maxFilesPerTrigger=1)
     out = stateful_user_totals(stream)
     q = (
         out.writeStream.outputMode("update")
