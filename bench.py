@@ -1,8 +1,14 @@
 """Benchmark harness: times every declared query at the bench scale factor.
 
-Prints ONE JSON line:
-  {"metric": "total_query_seconds", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Output contract (driver captures only the LAST 2000 chars of stdout —
+BENCH_r02 went unparsed because the single full JSON line outgrew that
+window as the query count passed ~70):
+
+  line 1:    full JSON {"metric", "value", "unit", "queries": {ALL}, "sf"}
+  file:      BENCH.local.json — same full JSON, committed for the judge
+  last line: compact JSON (same metric/value/unit/sf, only the slowest
+             queries inline, "full_results" pointing at the file) — sized
+             to always fit the tail-capture window.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
@@ -51,17 +57,38 @@ def main() -> int:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Full results: first stdout line + a committed file the judge reads.
+    print(json.dumps(full), flush=True)
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH.local.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # Compact final line: must fit the driver's 2000-char tail window
+    # whole (it scans the tail for a parseable {"metric"...} line).
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
+    compact = {
+        "metric": "total_query_seconds",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "full_results": "BENCH.local.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, len(line)
+    print(line, flush=True)
     return 0
 
 

@@ -30,11 +30,13 @@ from m5_competition_kaggle_spark.operators.dedup import doc_shingles
 def chunk_documents(
     df: DataFrame,
     key_col: str,
-    text_col: str,
+    text_col: str | None,
     chunk_size: int = 32,
     stride: int = 24,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sliding-window token chunking with overlap (chunk_size − stride).
+    ``tokens_col`` (array<string>) skips re-tokenizing ``text_col``.
 
     One chunk starts at every token offset ``0, stride, 2·stride, …`` below
     the document length; the final chunk may be short. Returns one row per
@@ -43,7 +45,12 @@ def chunk_documents(
     chunk-level dedup or embedding jobs key on.
     """
     assert 0 < stride <= chunk_size, "stride must be in (0, chunk_size]"
-    out = df.select(F.col(key_col), tokens(text_col).alias("__toks"))
+    out = df.select(
+        F.col(key_col),
+        (F.col(tokens_col) if tokens_col else tokens(text_col)).alias(
+            "__toks"
+        ),
+    )
     out = out.select(
         key_col,
         "__toks",
@@ -64,9 +71,10 @@ def chunk_documents(
 def contamination_hits(
     df: DataFrame,
     key_col: str,
-    text_col: str,
+    text_col: str | None,
     bench_pred: Column,
     shingle_size: int = 5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing ≥1 token
     n-gram with any benchmark document, with the shared-shingle count.
@@ -80,12 +88,16 @@ def contamination_hits(
     # Filter BEFORE shingling: the benchmark branch only tokenizes its
     # tiny split instead of re-shingling the whole corpus a second time.
     bench = (
-        doc_shingles(df.filter(bench_pred), key_col, text_col, shingle_size)
+        doc_shingles(
+            df.filter(bench_pred), key_col, text_col, shingle_size,
+            tokens_col=tokens_col,
+        )
         .select("shingle")
         .distinct()
     )
     corpus = doc_shingles(
-        df.filter(~bench_pred), key_col, text_col, shingle_size
+        df.filter(~bench_pred), key_col, text_col, shingle_size,
+        tokens_col=tokens_col,
     )
     return (
         corpus.join(F.broadcast(bench), "shingle")

@@ -73,10 +73,27 @@ def _spread(df: DataFrame, key_col: str) -> DataFrame:
 
 
 def doc_shingles(
-    df: DataFrame, key_col: str, text_col: str, shingle_size: int
+    df: DataFrame,
+    key_col: str,
+    text_col: str | None,
+    shingle_size: int,
+    tokens_col: str | None = None,
 ) -> DataFrame:
-    """(key, shingle) pairs, distinct per document (set semantics)."""
-    out = _spread(df, key_col).withColumn("__toks", tokens(text_col))
+    """(key, shingle) pairs, distinct per document (set semantics).
+
+    ``tokens_col`` names an existing ``array<string>`` token column to
+    shingle instead of re-tokenizing ``text_col`` — pipelines that shingle
+    the same corpus at several widths (e.g. x29: 4-gram decontamination +
+    3-gram minhash) tokenize once, persist, and pass the column through.
+    In that mode the caller repartitions BEFORE persisting (the token
+    arrays are already spread) — re-shuffling them here per consumer would
+    move the widest rows in the pipeline several extra times.
+    """
+    out = (
+        df.withColumn("__toks", F.col(tokens_col))
+        if tokens_col
+        else _spread(df, key_col).withColumn("__toks", tokens(text_col))
+    )
     out = out.withColumn(
         "__sh", F.array_distinct(shingles_expr("__toks", shingle_size))
     )
@@ -171,11 +188,12 @@ def verify_jaccard(
 def minhash_lsh_pairs(
     df: DataFrame,
     key_col: str,
-    text_col: str,
+    text_col: str | None,
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
     threshold: float = 0.8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash → LSH bands → exact-jaccard verify.
 
@@ -184,7 +202,9 @@ def minhash_lsh_pairs(
     """
     # The shingle explode feeds both the signatures and the verify joins —
     # materialize it once instead of re-tokenizing the corpus three times.
-    sh = doc_shingles(df, key_col, text_col, shingle_size).persist()
+    sh = doc_shingles(
+        df, key_col, text_col, shingle_size, tokens_col=tokens_col
+    ).persist()
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))

@@ -6,10 +6,11 @@ random-hyperplane LSH-bucketed variant as the scale path. Both rank by a
 multiply) so ranking is bit-deterministic across engines — double-precision
 cosine could tie-break differently between Spark and a SQL oracle.
 
-Scale notes: brute force is O(|Q|·|N|) — fine when the query set is small
-and broadcastable; the LSH path bounds candidates per query to one bucket
-(multi-probe = neighboring buckets) and is the 100 TB design. For cosine
-(not dot) semantics, pre-normalize vectors once at ingest.
+Scale notes: brute force is O(|Q|·|N|) compute by definition, but runs as
+a fully distributed block matmul (no driver collect, no query broadcast —
+both sides can be corpus-sized); the LSH path bounds candidates per query
+to bucket collisions and is the 100 TB design. For cosine (not dot)
+semantics, pre-normalize vectors once at ingest.
 """
 
 from __future__ import annotations
@@ -48,52 +49,95 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vec_blocks: int = 8,
+    n_query_blocks: int = 4,
 ) -> DataFrame:
-    """Exact top-k neighbors for each query vector by quantized dot.
+    """Exact top-k neighbors for each query vector by quantized dot —
+    fully distributed block matmul; neither side ever touches the driver.
 
-    Quantization happens JVM-side (``quantize_expr``); the scoring is an
-    int64 matmul over Arrow batches (``mapInPandas`` + numpy): each
-    partition multiplies its candidate block against the broadcast query
-    matrix — BLAS-speed, bit-exact integer math, O(|Q|·|N|) but with a
-    ~100× smaller constant than a per-pair lambda. Per-query ranking via
-    window row_number with a deterministic (score desc, id asc) order.
+    Both sides stay DataFrames: vectors hash into ``n_vec_blocks``,
+    queries into ``n_query_blocks``, and a tiny (NB·QB)-row block grid
+    (the only broadcast — constant-size regardless of |Q|) fans each
+    vector block out to every query block. Each (vblk, qblk) cogroup runs
+    ONE int64 numpy matmul over its Arrow batch (bit-exact) and emits only
+    its per-query LOCAL top-k — so the exchange after scoring carries
+    Q·NB·k rows, not Q·N. A global (dot desc, id asc) window re-rank over
+    those candidates is exact: every true top-k neighbor is its block's
+    local top-k.
+
+    This replaces a driver ``collect()`` + broadcast of the query matrix
+    (right plan only for a FIXED-size query set; the certified query set
+    is 2% of the corpus, so the broadcast grew linearly with data — the
+    one scale-killer named by the r2 audit). O(|Q|·|N|) compute is
+    inherent to exact brute force; the block grid spreads it evenly and
+    bounds every task's memory at (|N|/NB + |Q|/QB) vectors.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), quantize_expr(vec_col).alias("qv")
-    ).collect()
-    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.int64)  # (Q, dim)
-    sc = vectors.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(q_ids), sc.broadcast(q_mat)
-
-    cand = vectors.select(
-        F.col(id_col).alias("neighbor_id"), quantize_expr(vec_col).alias("v")
+    spark = vectors.sparkSession
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_expr(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_vec_blocks)).alias("vblk"),
     )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_expr(vec_col).alias("qv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_query_blocks)).alias(
+            "qblk"
+        ),
+    )
+    grid = (
+        spark.range(n_vec_blocks)
+        .select(F.col("id").alias("vblk"))
+        .crossJoin(
+            spark.range(n_query_blocks).select(F.col("id").alias("qblk"))
+        )
+    )
+    fan_v = nv.join(F.broadcast(grid), "vblk")  # each vector × QB blocks
+    fan_q = qv.join(F.broadcast(grid), "qblk")  # each query × NB blocks
 
-    def score(batches):
-        qi, qm = b_ids.value, b_mat.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.stack(pdf["v"].to_numpy()).astype(np.int64)  # (B, dim)
-            dots = v @ qm.T  # (B, Q) int64 — exact
-            n = len(pdf)
-            yield pd.DataFrame(
-                {
-                    "neighbor_id": np.repeat(
-                        pdf["neighbor_id"].to_numpy(), len(qi)
-                    ),
-                    "query_id": np.tile(qi, n),
-                    "dot": dots.reshape(-1),
-                }
-            )
+    def block_topk(key, vpdf, qpdf):
+        if not len(vpdf) or not len(qpdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "dot": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "dot": "int64"})
+        v = np.stack(vpdf["v"].to_numpy()).astype(np.int64)  # (B, dim)
+        q = np.stack(qpdf["qv"].to_numpy()).astype(np.int64)  # (Qb, dim)
+        n_ids = vpdf["neighbor_id"].to_numpy()
+        q_ids = qpdf["query_id"].to_numpy()
+        dots = q @ v.T  # (Qb, B) int64 — exact
+        # self-match: push below any real candidate, then drop post-rank
+        self_mask = q_ids[:, None] == n_ids[None, :]
+        dots = np.where(self_mask, np.iinfo(np.int64).min, dots)
+        kk = min(k, v.shape[0])
+        # per-query local top-k by (dot desc, neighbor_id asc):
+        # argsort a lexicographic key — neighbor order ascending within
+        # equal dots because np.argsort is stable on the id-sorted input.
+        id_order = np.argsort(n_ids, kind="stable")
+        dots_o = dots[:, id_order]
+        part = np.argsort(-dots_o, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(q_ids, kk)
+        cols = n_ids[id_order][part.reshape(-1)]
+        vals = np.take_along_axis(dots_o, part, axis=1).reshape(-1)
+        keep = vals != np.iinfo(np.int64).min
+        return pd.DataFrame(
+            {
+                "query_id": rows[keep],
+                "neighbor_id": cols[keep],
+                "dot": vals[keep],
+            }
+        )
 
-    scored = cand.mapInPandas(
-        score, "neighbor_id long, query_id long, dot long"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = (
+        fan_v.groupby("vblk", "qblk")
+        .cogroup(fan_q.groupby("vblk", "qblk"))
+        .applyInPandas(
+            block_topk, "query_id long, neighbor_id long, dot long"
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("dot"), F.asc("neighbor_id")
     )
@@ -211,10 +255,16 @@ def lsh_topk(
     Table collisions of a pair land in one partition (all L rows of a
     neighbor come from one input row), so the pair-dedup aggregate
     eliminates them map-side before the exchange. Vectors are attached
-    once per unique pair afterwards — query side broadcast, neighbor side
-    one keyed join — and the dot is computed exactly once per pair.
-    (Carrying vectors through the fan-out inflates it ~20× and recomputes
-    the dot per collision; measured 1.8× slower at sf0.1.)
+    once per unique pair afterwards via plain keyed joins, and the dot is
+    computed exactly once per pair. (Carrying vectors through the fan-out
+    inflates it ~20× and recomputes the dot per collision; measured 1.8×
+    slower at sf0.1.)
+
+    The query side deliberately carries NO broadcast hint: the certified
+    query set scales with the corpus (2% of it), so a forced broadcast
+    would grow linearly with data — AQE still chooses a broadcast join at
+    runtime whenever the built side is actually small, which is the right
+    decision point for an unbounded |Q|.
     """
     cand = _bucketize_arrow(
         vectors, "neighbor_id", id_col, vec_col, num_planes, num_tables, dim,
@@ -223,7 +273,7 @@ def lsh_topk(
         queries, "query_id", id_col, vec_col, num_planes, num_tables, dim,
     )
     pairs = (
-        cand.join(F.broadcast(q), ["table", "bucket"])
+        cand.join(q, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(F.count(F.lit(1)).alias("__n_tables"))
@@ -237,7 +287,7 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v_vec")
     )
     matched = (
-        pairs.join(F.broadcast(qv), "query_id")
+        pairs.join(qv, "query_id")
         .join(nv, "neighbor_id")
         .withColumn("dot", quantized_dot("__q_vec", "__v_vec"))
     )

@@ -201,29 +201,42 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
       → pack into 4096-token shards via the two-phase global prefix sum.
 
     One lazy plan except the bounded CC loop. Output: every surviving
-    chunk with its shard assignment."""
-    from m5_competition_kaggle_spark.functions.text import quality_features
+    chunk with its shard assignment.
+
+    Tokenization (the dominant per-row CPU in this composition) runs ONCE:
+    the survivors' token arrays are computed in the persisted projection
+    and flow into the 4-shingle decontamination, the 3-shingle minhash,
+    AND the final chunking via ``tokens_col`` — instead of re-splitting
+    the corpus text in each stage."""
+    from m5_competition_kaggle_spark.functions.text import (
+        quality_features,
+        tokens,
+    )
     from m5_competition_kaggle_spark.operators.prefix import pack_into_shards
 
     docs = load_table(spark, sf_dir, "documents")
+    # One persisted (doc_id, __toks) projection feeds every later stage —
+    # decon shingles, minhash shingles, and chunking. Repartition BEFORE
+    # tokenize+persist: the cache lands already spread, so no consumer
+    # needs to re-shuffle the (wide) token arrays.
+    sc = spark.sparkContext
     surv = (
         quality_features(docs, "text")
         .filter(F.col("quality_score") >= 0.55)
         .select("doc_id", "text")
+        .repartition(sc.defaultParallelism, "doc_id")
+        .select("doc_id", tokens("text").alias("__toks"))
+        .persist()
     )
     bench_pred = (F.col("doc_id") % 97) == 0
     hits = contamination_hits(
-        surv, "doc_id", "text", bench_pred, DECON_SHINGLE
+        surv, "doc_id", None, bench_pred, DECON_SHINGLE,
+        tokens_col="__toks",
     ).select("doc_id")
-    # corpus feeds BOTH the minhash/clustering path and the final
-    # chunking branch — materialize once instead of re-running the
-    # quality + decontamination stages per branch
-    corpus = (
-        surv.filter(~bench_pred).join(hits, "doc_id", "left_anti").persist()
-    )
+    corpus = surv.filter(~bench_pred).join(hits, "doc_id", "left_anti")
     pairs = minhash_lsh_pairs(
-        corpus, "doc_id", "text", num_hashes=16, bands=4,
-        shingle_size=3, threshold=0.8,
+        corpus, "doc_id", None, num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8, tokens_col="__toks",
     ).select("id_a", "id_b")
     non_canon = (
         dedup_clusters(pairs)
@@ -232,7 +245,8 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     final = corpus.join(non_canon, "doc_id", "left_anti")
     chunks = chunk_documents(
-        final, "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE
+        final, "doc_id", None, CHUNK_SIZE, CHUNK_STRIDE,
+        tokens_col="__toks",
     ).select("doc_id", "chunk_idx", "n_chunk_tokens")
     return pack_into_shards(
         chunks, "n_chunk_tokens", ("doc_id", "chunk_idx"), 4096

@@ -55,6 +55,9 @@ def get_spark(
         # testdata events.parquet uses TIMESTAMP(NANOS) — read as long
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout clean: the driver's bench harness tail-captures
+        # stdout, and \r progress bars pollute the capture window
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -174,20 +174,61 @@ def normalize_events(df: DataFrame) -> DataFrame:
     else:
         # NTZ wall-clock == UTC instant under the pinned session TZ.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        df = df.withColumn(
-            "ts_nanos", F.unix_micros(F.col("ts")) * F.lit(1000)
-        )
+        if "ts_nanos" not in df.columns:
+            # Only derive when absent: files re-staged from load_table's
+            # normalized output already carry exact epoch-nanos, and
+            # re-deriving from ts would truncate them to micros.
+            df = df.withColumn(
+                "ts_nanos", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
     head = [f.name for f in SCHEMAS["events"].fields]
     extra = [c for c in df.columns if c not in head]
     return df.select(*head, *extra)
 
 
-def events_raw_schema(spark: SparkSession, source: str) -> T.StructType:
+# Fallback raw schema for a file-source dir that has no files yet: the
+# micros/NTZ generation's physical layout (ts as NTZ timestamp, no
+# ts_nanos). Lets a stream start before the first file lands — the
+# standard file-source pattern. If the files that later arrive are the
+# NANOS generation, pass the sniffed schema explicitly instead.
+EVENTS_RAW_DEFAULT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_raw_schema(
+    spark: SparkSession,
+    source: str,
+    default: T.StructType | None = EVENTS_RAW_DEFAULT,
+) -> T.StructType:
     """Footer-sniffed physical schema of an events parquet file or dir
     (driver-side metadata read, no job) — the schema a readStream of the
-    same files needs."""
+    same files needs.
+
+    Timestamp semantics downstream (normalize_events' micros/NTZ branch
+    casts NTZ wall-clock → instant) assume a UTC session, so pin it here:
+    streaming entry points can be handed a bare driver session in a
+    non-UTC TZ, which would shift every ts instant and ts_nanos value.
+
+    An empty source directory can't be sniffed; return ``default`` (the
+    micros/NTZ generation layout) so streams can start pre-data, or raise
+    if ``default`` is None.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(source).schema
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        return spark.read.parquet(source).schema
+    except Exception:
+        if default is not None:
+            return default
+        raise
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,7 +98,15 @@ def read_events_stream(spark, source_dir: str, **options) -> DataFrame:
     """File-source stream of staged events parquet, normalized to the
     catalog's logical events schema (ts timestamp + ts_nanos long). The
     physical ts type is footer-sniffed from the staged files, so both
-    generator formats (epoch-nanos long / TIMESTAMP-MICROS) work."""
+    generator formats (epoch-nanos long / TIMESTAMP-MICROS) work; an
+    empty directory falls back to the micros/NTZ default schema so the
+    stream can start before data lands.
+
+    CHECKPOINT COMPATIBILITY: the source projection changed when footer
+    sniffing + normalization replaced the fixed raw-long schema — a
+    restart against a checkpoint written by the old plan shape will fail
+    or misbehave. Use a fresh checkpoint dir for queries built on this
+    version (suggested convention: suffix ``-v2``)."""
     from m5_competition_kaggle_spark.sources.catalog import (
         events_raw_schema,
         normalize_events,
