@@ -6,12 +6,21 @@ This module is that step on Spark ML: tokenize → hashed term frequencies
 → logistic regression, trained on weak labels and applied corpus-wide as
 one distributed pipeline.
 
-Scale shape: every stage is a narrow per-row transform (RegexTokenizer,
-HashingTF, the fitted model's ``transform``) — no shuffle besides the
-treeAggregate reductions inside L-BFGS training, whose cost is
-O(numFeatures) per pass, independent of corpus width. Scoring 100 TB is
-embarrassingly parallel; training normally runs on a small labeled
-sample (``fit_quality_classifier(df.sample(...))``).
+The feature path is deliberately **oracle-certifiable**: term buckets are
+``pmod(h64(token), N_FEATURES)`` — the engine's md5-based cross-engine
+hash — rather than Spark ML HashingTF's MurmurHash3 (which no SQL engine
+reproduces). ``hashed_tf_pairs`` exposes the exact (doc, bucket, tf)
+relation the model consumes, and the x36 query hash-checks it against a
+DuckDB twin; only the L-BFGS-fitted probabilities remain rows-only (the
+split the r2 audit asked for: "Spark ML plumbing correct" certified
+separately from "optimizer converged").
+
+Scale shape: bucketing is a pure JVM column expression; the bucket→count
+sparse vector comes from a fixed-vocabulary ``CountVectorizerModel`` —
+all narrow JVM per-row transforms, so corpus-wide scoring has NO shuffle
+(plan-asserted in tests) and LR's gradient passes stay O(nnz). Training
+normally runs on a small labeled sample
+(``fit_quality_classifier(df.sample(...))``).
 
 Weak labels: any boolean column works (human labels, LLM judgments, a
 held-out domain flag). ``weak_labels_from_heuristic`` derives one from
@@ -24,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.functions.text import h64, tokens
 
 N_FEATURES = 4096  # hashed vocab; collisions are fine for a filter model
 
@@ -42,30 +53,65 @@ def weak_labels_from_heuristic(
     )
 
 
-def _pipeline(text_col: str):
-    from pyspark.ml import Pipeline
-    from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.feature import HashingTF, RegexTokenizer
-
-    return Pipeline(
-        stages=[
-            RegexTokenizer(
-                inputCol=text_col, outputCol="__words", pattern=r"\s+"
-            ),
-            HashingTF(
-                inputCol="__words", outputCol="__tf", numFeatures=N_FEATURES
-            ),
-            LogisticRegression(
-                featuresCol="__tf", labelCol="label", maxIter=25, regParam=0.01
-            ),
-        ]
+def tf_buckets(text_col: str | Column) -> Column:
+    """array<int> of feature buckets, one per token: lowercase, split on
+    whitespace, drop empties, ``pmod(h64(token), N_FEATURES)``. Pure JVM
+    expressions — this IS the model's feature hash, and a SQL engine can
+    replicate it bit-for-bit."""
+    toks = F.filter(tokens(F.lower(text_col)), lambda t: t != F.lit(""))
+    return F.transform(
+        toks, lambda t: F.pmod(h64(t), F.lit(N_FEATURES)).cast("int")
     )
 
 
+def hashed_tf_pairs(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The certifiable feature relation: (key, bucket, tf) term
+    frequencies exactly as the classifier consumes them (explode +
+    hash-agg form — the query/oracle view of the per-row bincount)."""
+    return (
+        df.select(
+            F.col(key_col), F.explode(tf_buckets(text_col)).alias("bucket")
+        )
+        .groupBy(key_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _featurize(df: DataFrame, text_col: str) -> DataFrame:
+    """Append ``__tf``: the SPARSE N_FEATURES count vector per row.
+
+    Buckets are computed JVM-side (``tf_buckets``), then counted into a
+    sparse vector by a ``CountVectorizerModel`` with the FIXED vocabulary
+    "0".."N_FEATURES-1" — vocabulary index i ≡ bucket i, so the vector
+    holds exactly the (bucket, tf) pairs ``hashed_tf_pairs`` certifies.
+    Everything stays in the JVM and per-row (no shuffle, no Python);
+    sparse vectors keep LR's gradient passes O(nnz), not O(N_FEATURES).
+    """
+    from pyspark.ml.feature import CountVectorizerModel
+
+    cv = CountVectorizerModel.from_vocabulary(
+        [str(i) for i in range(N_FEATURES)],
+        inputCol="__bstr",
+        outputCol="__tf",
+    )
+    out = df.withColumn(
+        "__bstr",
+        F.transform(tf_buckets(text_col), lambda b: b.cast("string")),
+    )
+    return cv.transform(out).drop("__bstr")
+
+
 def fit_quality_classifier(labeled: DataFrame, text_col: str = "text"):
-    """Fit the tokenize→TF→LR pipeline on a labeled (sampled) frame.
-    Returns the fitted PipelineModel."""
-    return _pipeline(text_col).fit(labeled)
+    """Fit logistic regression on the h64-bucketed TF features of a
+    labeled (sampled) frame. Returns the fitted LogisticRegressionModel."""
+    from pyspark.ml.classification import LogisticRegression
+
+    lr = LogisticRegression(
+        featuresCol="__tf", labelCol="label", maxIter=25, regParam=0.01
+    )
+    return lr.fit(_featurize(labeled, text_col))
 
 
 def score_quality(model, df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,10 +119,10 @@ def score_quality(model, df: DataFrame, text_col: str = "text") -> DataFrame:
     Per-row transforms only — scales linearly with executors."""
     from pyspark.ml.functions import vector_to_array
 
-    out = model.transform(df)
+    out = model.transform(_featurize(df, text_col))
     return out.withColumn(
         "model_quality", vector_to_array("probability")[1]
-    ).drop("__words", "__tf", "rawPrediction", "probability", "prediction")
+    ).drop("__tf", "rawPrediction", "probability", "prediction")
 
 
 def model_keep_predicate(min_prob: float = 0.5) -> Column:

@@ -13,14 +13,18 @@ map-side-combinable min aggregate); lineage is truncated per round with
 cluster, point ``spark.sparkContext.setCheckpointDir`` at durable storage
 and swap in ``checkpoint``). Convergence takes O(cluster diameter)
 rounds: near-duplicate graphs are locally dense (a cluster of rewrites
-of one document), so diameters are small — typically 2-4 rounds. For
-adversarially long path graphs, the alternating large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce and Beyond")
-halves diameters per round; the propagation loop below is the right
-default for dedup workloads.
+of one document), so diameters are small — typically 2-4 rounds.
 
-Termination is detected with a 1-row aggregate (sum of labels, which
-strictly decreases until the fixpoint) — no driver-side collect of data.
+For adversarially long chains, ``connected_components_two_phase``
+implements the alternating large-star/small-star algorithm (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14): O(log²
+d) rounds instead of O(d), at ~2 shuffles per half-round. The
+propagation loop stays the default for dedup workloads (small
+diameters, fewer shuffles/round); both variants agree on every graph
+(property-tested in tests/test_graph.py).
+
+Termination is detected with 1-row aggregates (sum of labels / edge
+fingerprints) — no driver-side collect of data.
 """
 
 from __future__ import annotations
@@ -91,6 +95,101 @@ def connected_components(
 
     sym.unpersist()
     return labels.select("node", F.col("comp").alias("component"))
+
+
+def connected_components_two_phase(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al. SoCC'14) — same contract as :func:`connected_components`
+    (component id = min reachable node; isolated nodes absent), but
+    converges in O(log² diameter) rounds, so adversarially long chains
+    (linked lists of near-dup docs) don't stall the job.
+
+    Per round:
+      large-star: ∀u with m = min(N(u) ∪ {u}), re-point every neighbor
+                  v > u at m — strictly-larger nodes hop toward the
+                  local minimum without ever creating an upward edge.
+      small-star: direct edges large→small, group by the large end u,
+                  and re-point u and all its smaller neighbors at
+                  m = min(N(u) ∪ {u}) — flattening chains into stars.
+
+    Both halves are (groupBy + join + distinct) over the edge list —
+    keyed shuffles only. The fixpoint test compares a constant-size
+    fingerprint (edge count + endpoint sums) of consecutive edge sets;
+    at the fixpoint the edge set IS the star forest (v, root), which
+    maps every node to its component. ``stats["rounds"]`` reports the
+    round count when a dict is passed (used by the diameter tests).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = None
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # ---- large-star ------------------------------------------------
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.col("u"), F.min("v")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star ------------------------------------------------
+        directed = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        dmins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        to_min = directed.join(dmins, "u")
+        e = (
+            to_min.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(to_min.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("su"),
+            F.sum("v").alias("sv"),
+            # product term makes an equal-count-equal-sum collision of
+            # two DIFFERENT consecutive edge sets implausible
+            F.sum(F.col("u") * F.col("v")).alias("sp"),
+        ).collect()[0]
+        fp = (fp["n"], fp["su"], fp["sv"], fp["sp"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    if stats is not None:
+        stats["rounds"] = rounds
+    # Fixpoint edge set is the star forest: u → component root. Roots
+    # (and nothing else) are absent from the u side — they map to
+    # themselves.
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return all_nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
 
 
 def dedup_clusters(

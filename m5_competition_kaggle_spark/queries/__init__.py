@@ -62,8 +62,9 @@ _HEAD = (
     "g14_profile_stats",
     "s6_stream_dedup",
     "s7_funnel_join",
-    # -- group 2: code changed this round ------------------------------
+    # -- group 2: code changed/new this round --------------------------
     "x9_sim_topk",
+    "x36_hashed_tf",
     # -- group 3: once-green (r2), banking a second row ----------------
     "g5_distinct_agg",
     "g6_semi_anti_joins",
@@ -95,7 +96,6 @@ _HEAD = (
     "s1_tumbling",
     "s2_sliding",
     "s3_session",
-    "s5_ewma",
 )
 
 HEAD_CAP = 50

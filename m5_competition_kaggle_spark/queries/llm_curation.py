@@ -296,6 +296,22 @@ def x28_model_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x36_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-quality classifier's feature relation, hash-certified:
+    lowercase-tokenize → pmod(h64(token), 4096) bucket → per-(doc, bucket)
+    term frequency (``ml/quality.py::hashed_tf_pairs`` — the exact counts
+    the per-row bincount feeds to logistic regression). Splits "feature
+    plumbing correct" (oracle-checked here) from "optimizer converged"
+    (x28, rows-only by nature) — the certification split the r2 audit
+    prescribed."""
+    from m5_competition_kaggle_spark.ml.quality import hashed_tf_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_tf_pairs(docs, "doc_id", "text").orderBy(
+        "doc_id", "bucket"
+    )
+
+
 def x30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 tokens by term frequency with document
     frequency — the tokenizer-training / vocab-audit scan. Explode →
@@ -484,6 +500,7 @@ QUERIES = {
     "x33_source_caps": x33_source_caps,
     "x34_dup_spans": x34_dup_spans,
     "x35_temperature_mix": x35_temperature_mix,
+    "x36_hashed_tf": x36_hashed_tf,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -568,6 +585,18 @@ FROM aug ORDER BY doc_id
 
 
 ORACLES = {
+    "x36_hashed_tf": rf"""
+        WITH tok AS (SELECT doc_id,
+                            unnest(str_split_regex(trim(lower(text)),
+                                                   '\s+')) AS t
+                     FROM documents)
+        SELECT doc_id,
+               CAST({H64.format(s='t')} % 4096 AS INT) AS bucket,
+               COUNT(*) AS tf
+        FROM tok WHERE t <> ''
+        GROUP BY doc_id, bucket
+        ORDER BY doc_id, bucket
+    """,
     "x25_pii_redact": _pii_oracle(),
     "x19_chunk_docs": rf"""
         WITH {_DOCS_TOKS},

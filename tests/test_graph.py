@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from m5_competition_kaggle_spark.operators.graph import (
     connected_components,
+    connected_components_two_phase,
     dedup_clusters,
 )
 
@@ -100,3 +101,45 @@ def test_cc_matches_union_find(spark, pairs):
     }
     ref = _union_find_components(pairs)
     assert got == set(ref.items())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cc_two_phase_matches_union_find(spark, pairs):
+    """∀ random graphs: large-star/small-star == driver-side union-find
+    (and hence == the propagation variant)."""
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components_two_phase(
+            _edges(spark, pairs), max_iter=40
+        ).collect()
+    }
+    ref = _union_find_components(pairs)
+    assert got == set(ref.items())
+
+
+def test_cc_two_phase_long_chain_logarithmic_rounds(spark):
+    """The adversarial case the variant exists for: a 33-node path has
+    diameter 32 (propagation needs ~diameter rounds); two-phase must
+    finish in O(log² d) — single digits — and still be exact."""
+    chain = [(i, i + 1) for i in range(32)]
+    stats = {}
+    cc = connected_components_two_phase(
+        _edges(spark, chain), max_iter=40, stats=stats
+    )
+    got = {(r["node"], r["component"]) for r in cc.collect()}
+    assert got == {(i, 0) for i in range(33)}
+    assert stats["rounds"] <= 8, stats
