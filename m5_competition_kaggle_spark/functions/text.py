@@ -121,6 +121,51 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn("quality_score", score).drop("__toks")
 
 
+# Characters whose density separates code from prose; the class is
+# restricted to syntax Java regex (Spark) and RE2 (DuckDB) read alike.
+CODE_SYMBOL_CLASS = r"[{}()\[\];=<>]"
+
+
+def code_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Code-vs-prose detection heuristics: density of code punctuation,
+    digits, and line structure. All ratios are integer permille
+    (``x·1000 div n``) — exact BIGINT math, no float thresholds, so the
+    keep/flag boundary is bit-identical in any engine. Pure column
+    expressions, no shuffle."""
+    n_chars = F.length(text_col).cast("long")
+    n_sym = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), CODE_SYMBOL_CLASS, ""))
+    ).cast("long")
+    n_digit = (
+        n_chars
+        - F.length(F.regexp_replace(F.col(text_col), r"[0-9]", ""))
+    ).cast("long")
+    n_lines = F.size(F.split(F.col(text_col), "\n")).cast("long")
+    out = df.withColumns(
+        {
+            "n_chars_c": n_chars,
+            "n_symbols": n_sym,
+            "n_digits": n_digit,
+            "n_lines": n_lines,
+        }
+    )
+    out = out.withColumns(
+        {
+            "symbol_permille": F.expr(
+                "(n_symbols * 1000) div greatest(n_chars_c, 1)"
+            ),
+            "digit_permille": F.expr(
+                "(n_digits * 1000) div greatest(n_chars_c, 1)"
+            ),
+        }
+    )
+    return out.withColumn(
+        "is_code_like",
+        (F.col("symbol_permille") >= 50) | (F.col("n_lines") > 10),
+    )
+
+
 def shingles_expr(tokens_col: str, n: int) -> Column:
     """Ordered n-token shingles as strings; a document shorter than ``n``
     tokens yields its whole text as the single shingle."""

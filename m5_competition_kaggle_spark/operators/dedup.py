@@ -257,6 +257,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    key_col: str,
+    text_col: str | None,
+    shingle_size: int = 3,
+    threshold_permille: int = 900,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: ordered pairs where containment(a in b) =
+    |Sa ∩ Sb| / |Sa| ≥ threshold — catches a short document embedded in
+    a longer one, which symmetric Jaccard misses (the union in its
+    denominator grows with the long side). The quote/excerpt/boilerplate
+    detector of a curation pipeline.
+
+    The threshold is an integer permille compared as ``n_common·1000 ≥
+    thr·n_a`` — pure BIGINT math, so a SQL oracle reproduces the exact
+    pair set with no float-rounding edge at the boundary.
+
+    Scale shape mirrors ``ngram_jaccard_pairs``: one shared-shingle
+    equi-join (quadratic only within a shingle bucket — swap in the LSH
+    candidate generator for corpora with hot shingles), keyed aggregates
+    for sizes and intersections.
+    """
+    sh = doc_shingles(
+        df, key_col, text_col, shingle_size, tokens_col=tokens_col
+    ).persist()
+    e1 = sh.select(F.col(key_col).alias("id_a"), "shingle")
+    e2 = sh.select(F.col(key_col).alias("id_b"), "shingle")
+    common = (
+        e1.join(e2, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(key_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    return (
+        common.join(sa, "id_a")
+        .filter(
+            F.col("n_common") * 1000
+            >= F.lit(threshold_permille) * F.col("n_a")
+        )
+        .withColumn(
+            "containment_permille", F.expr("(n_common * 1000) div n_a")
+        )
+        .select("id_a", "id_b", "n_common", "n_a", "containment_permille")
+    )
+
+
 def simhash(
     df: DataFrame, key_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

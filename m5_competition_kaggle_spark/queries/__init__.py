@@ -65,6 +65,14 @@ _HEAD = (
     # -- group 2: code changed/new this round --------------------------
     "x9_sim_topk",
     "x36_hashed_tf",
+    "x37_containment_pairs",
+    "x38_code_detect",
+    "x39_label_centroids",
+    "x40_length_buckets",
+    "g15_rank_distribution",
+    "g16_pivot_multi_agg",
+    "g17_sessionize_gaps",
+    "g18_transition_counts",
     # -- group 3: once-green (r2), banking a second row ----------------
     "g5_distinct_agg",
     "g6_semi_anti_joins",
@@ -87,15 +95,6 @@ _HEAD = (
     "q22_array_functions",
     "q23_conditional_functions",
     "s4_running_totals",
-    # -- group 5: twice-green fills (displaced first by new queries) ---
-    "x13_asof_join",
-    "x14_simhash_pairs",
-    "x18_hash_split",
-    "x1_dedup_exact",
-    "x2_dedup_minhash",
-    "s1_tumbling",
-    "s2_sliding",
-    "s3_session",
 )
 
 HEAD_CAP = 50

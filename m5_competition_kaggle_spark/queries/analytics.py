@@ -319,6 +319,91 @@ def g14_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_name")
 
 
+def g15_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family over customer balances per market
+    segment: percent_rank, cume_dist, ntile(4) — the rank functions g3's
+    row_number doesn't exercise. Deterministic ordering via the
+    (c_acctbal, c_custkey) tie-break; one grouped sort, no global
+    exchange before the final presentation ORDER BY."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def g16_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per cell (sum + count per return
+    flag): one Expand-free single-pass pivot with an explicit value list
+    — the multi-measure crosstab q6's single-avg pivot doesn't cover."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(
+            F.sum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def g17_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the gap
+    to the previous event exceeds 30 minutes; session id = running count
+    of session starts (lag + cumulative sum — two frames over ONE grouped
+    sort on user). The explicit window-function mechanism behind s3's
+    native session_window, and exactly how a SQL engine without
+    session_window has to express it. Comparisons on ts_nanos: integer-
+    exact across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts_nanos"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap_ns = 30 * 60 * 1_000_000_000
+    is_new = (
+        F.col("ts_nanos") - F.lag("ts_nanos").over(w) > gap_ns
+    ).cast("long")
+    return (
+        ev.withColumn("__new", F.coalesce(is_new, F.lit(1)))
+        .withColumn("session_id", F.sum("__new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts_nanos").alias("start_ns"),
+            F.max("ts_nanos").alias("end_ns"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def g18_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per the user timeline
+    (Markov-chain counts): lag over one grouped sort, then a two-key
+    hash aggregate — the funnel-analysis primitive for arbitrary step
+    pairs, complementing s7's two-type interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_nanos", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
 QUERIES = {
     "g1_pricing_summary": g1_pricing_summary,
     "g2_revenue_by_nation": g2_revenue_by_nation,
@@ -334,6 +419,10 @@ QUERIES = {
     "g12_correlated_subquery": g12_correlated_subquery,
     "g13_cohort_retention": g13_cohort_retention,
     "g14_profile_stats": g14_profile_stats,
+    "g15_rank_distribution": g15_rank_distribution,
+    "g16_pivot_multi_agg": g16_pivot_multi_agg,
+    "g17_sessionize_gaps": g17_sessionize_gaps,
+    "g18_transition_counts": g18_transition_counts,
 }
 
 ORACLES = {
@@ -507,4 +596,68 @@ ORACLES = {
         for c in _PROFILE_COLS
     )
     + "\nORDER BY col_name",
+    "g15_rank_distribution": """
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+    """,
+    # Spark pivot leaves empty cells NULL (even for count); NULLIF
+    # reproduces that from DuckDB's 0-returning FILTER counts.
+    "g16_pivot_multi_agg": """
+        SELECT l_linestatus,
+               sum(l_quantity) FILTER (l_returnflag = 'A') AS A_qty,
+               NULLIF(count(*) FILTER (l_returnflag = 'A'), 0) AS A_n,
+               sum(l_quantity) FILTER (l_returnflag = 'N') AS N_qty,
+               NULLIF(count(*) FILTER (l_returnflag = 'N'), 0) AS N_n,
+               sum(l_quantity) FILTER (l_returnflag = 'R') AS R_qty,
+               NULLIF(count(*) FILTER (l_returnflag = 'R'), 0) AS R_n
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "g17_sessionize_gaps": """
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_nanos,
+                          value
+                   FROM events),
+        o AS (
+            SELECT user_id, event_id, ts_nanos, value,
+                   CASE WHEN lag(ts_nanos) OVER w IS NULL THEN 1
+                        WHEN ts_nanos - lag(ts_nanos) OVER w
+                             > 1800000000000 THEN 1
+                        ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_nanos, event_id)
+        ), s AS (
+            SELECT *,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts_nanos, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM o
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               min(ts_nanos) AS start_ns,
+               max(ts_nanos) AS end_ns,
+               sum(value) AS total_value
+        FROM s GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    "g18_transition_counts": """
+        WITH t AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               count(*) AS n_transitions
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+        ORDER BY prev_type, next_type
+    """,
 }

@@ -322,6 +322,60 @@ def x13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "value", "purchase_value").orderBy("event_id")
 
 
+def x37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (|Sa ∩ Sb| / |Sa| ≥ 0.5 with
+    3-token shingles): the quote/excerpt detector symmetric Jaccard (x3)
+    misses when a short doc is embedded in a longer one. Integer-permille
+    threshold — exact BIGINT boundary, oracle-identical pair set."""
+    from m5_competition_kaggle_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold_permille=500
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+def x38_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose heuristics per document (symbol/digit density,
+    line structure) — the filter that routes crawl text to code vs
+    natural-language corpora. Integer-permille ratios, no floats."""
+    from m5_competition_kaggle_spark.functions.text import code_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        code_features(docs, "text")
+        .select(
+            "doc_id", "n_chars_c", "n_symbols", "n_digits", "n_lines",
+            "symbol_permille", "digit_permille", "is_code_like",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def x39_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as exact integers: posexplode the
+    quantized vectors, sum each component per (label, dimension). The
+    class-prototype computation behind centroid-based ANN (x23) and
+    embedding-space drift monitoring — one explode + one keyed hash agg
+    (map-side combinable), no shuffle of raw vectors beyond it."""
+    from m5_competition_kaggle_spark.operators.similarity import quantize_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(quantize_expr("embedding")).alias("pos", "q"),
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.sum("q").alias("sum_q"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
 QUERIES = {
     "x1_dedup_exact": x1_dedup_exact,
     "x2_dedup_minhash": x2_dedup_minhash,
@@ -341,6 +395,9 @@ QUERIES = {
     "x16_curation_pipeline": x16_curation_pipeline,
     "x17_approx_sketches": x17_approx_sketches,
     "x18_hash_split": x18_hash_split,
+    "x37_containment_pairs": x37_containment_pairs,
+    "x38_code_detect": x38_code_detect,
+    "x39_label_centroids": x39_label_centroids,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -697,5 +754,51 @@ ORACLES = {
                64 + (octet_length(encode(text)) * 31) % 577 AS height,
                1 + octet_length(encode(text)) % 24 AS n_frames
         FROM documents ORDER BY doc_id
+    """,
+    "x37_containment_pairs": rf"""
+        WITH {_DOCS_TOKS}, {_shingle_cte(3)},
+        common AS (SELECT e1.doc_id AS id_a, e2.doc_id AS id_b,
+                          count(*) AS n_common
+                   FROM sh e1 JOIN sh e2
+                     ON e1.shingle = e2.shingle
+                    AND e1.doc_id <> e2.doc_id
+                   GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+        SELECT c.id_a, c.id_b, c.n_common, sa.n_sh AS n_a,
+               (c.n_common * 1000) // sa.n_sh AS containment_permille
+        FROM common c JOIN sizes sa ON sa.doc_id = c.id_a
+        WHERE c.n_common * 1000 >= 500 * sa.n_sh
+        ORDER BY id_a, id_b
+    """,
+    "x38_code_detect": r"""
+        WITH f AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_c,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[{}()\[\];=<>]', '', 'g')) AS BIGINT) AS n_symbols,
+                   CAST(length(text) - length(regexp_replace(text,
+                        '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines
+            FROM documents)
+        SELECT doc_id, n_chars_c, n_symbols, n_digits, n_lines,
+               (n_symbols * 1000) // greatest(n_chars_c, 1)
+                   AS symbol_permille,
+               (n_digits * 1000) // greatest(n_chars_c, 1)
+                   AS digit_permille,
+               ((n_symbols * 1000) // greatest(n_chars_c, 1) >= 50
+                OR n_lines > 10) AS is_code_like
+        FROM f ORDER BY doc_id
+    """,
+    "x39_label_centroids": """
+        WITH q AS (SELECT label,
+                          unnest(generate_series(1, len(embedding))) AS i,
+                          embedding
+                   FROM embeddings)
+        SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+               CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000)
+                             AS BIGINT)) AS BIGINT) AS sum_q,
+               COUNT(*) AS n_vectors
+        FROM q GROUP BY label, pos
+        ORDER BY label, pos
     """,
 }

@@ -312,6 +312,32 @@ def x36_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x40_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for pad-efficient batching: chunks
+    (x19's 32/24 windows) grouped into width-8 length buckets with chunk
+    counts, token totals, padding waste, and an exact integer fill ratio
+    (permille) — the stats a batch scheduler uses to pick bucket
+    boundaries. One explode + one tiny hash agg; all-BIGINT math."""
+    docs = load_table(spark, sf_dir, "documents")
+    ch = chunk_documents(docs, "doc_id", "text", CHUNK_SIZE, CHUNK_STRIDE)
+    return (
+        ch.withColumn("bucket", F.expr("((n_chunk_tokens + 7) div 8) * 8"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("total_tokens"),
+            F.sum(F.col("bucket") - F.col("n_chunk_tokens")).alias(
+                "pad_tokens"
+            ),
+        )
+        .withColumn(
+            "fill_permille",
+            F.expr("(total_tokens * 1000) div (n_chunks * bucket)"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def x30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 tokens by term frequency with document
     frequency — the tokenizer-training / vocab-audit scan. Explode →
@@ -501,6 +527,7 @@ QUERIES = {
     "x34_dup_spans": x34_dup_spans,
     "x35_temperature_mix": x35_temperature_mix,
     "x36_hashed_tf": x36_hashed_tf,
+    "x40_length_buckets": x40_length_buckets,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -596,6 +623,23 @@ ORACLES = {
         FROM tok WHERE t <> ''
         GROUP BY doc_id, bucket
         ORDER BY doc_id, bucket
+    """,
+    "x40_length_buckets": rf"""
+        WITH {_DOCS_TOKS},
+        st AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, len(toks) - 1,
+                                             {CHUNK_STRIDE})) AS cs
+               FROM docs),
+        ch AS (SELECT CAST(len(toks[cs+1:cs+{CHUNK_SIZE}]) AS BIGINT) AS n
+               FROM st),
+        bk AS (SELECT ((n + 7) // 8) * 8 AS bucket, n FROM ch)
+        SELECT bucket,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(bucket - n) AS BIGINT) AS pad_tokens,
+               (CAST(SUM(n) AS BIGINT) * 1000) // (COUNT(*) * bucket)
+                   AS fill_permille
+        FROM bk GROUP BY bucket ORDER BY bucket
     """,
     "x25_pii_redact": _pii_oracle(),
     "x19_chunk_docs": rf"""
