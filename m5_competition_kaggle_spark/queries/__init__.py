@@ -73,7 +73,9 @@ _HEAD = (
     "g16_pivot_multi_agg",
     "g17_sessionize_gaps",
     "g18_transition_counts",
-    # -- group 3: once-green (r2), banking a second row ----------------
+    "s8_stream_static_enrich",
+    # -- group 3: once-green (r2), banking a second row (first to yield
+    # slots to new queries) --------------------------------------------
     "g5_distinct_agg",
     "g6_semi_anti_joins",
     "g7_set_ops",
@@ -86,7 +88,6 @@ _HEAD = (
     "x20_decontaminate",
     "x21_stratified_sample",
     "x22_repetition_quality",
-    "x23_sim_topk_ivf",
     # -- group 4: r1-green only, banking a second row ------------------
     "q18_feature_pipeline",
     "q19_rolling_multi",

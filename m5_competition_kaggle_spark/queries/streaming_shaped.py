@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from m5_competition_kaggle_spark.sources.catalog import load_table
 from m5_competition_kaggle_spark.streaming.events import (
+    enrich_with_static,
     first_event_per_window,
     funnel_join,
     running_totals,
@@ -80,6 +81,32 @@ def s7_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_join(ev).orderBy("user_id", "first_id", "next_id")
 
 
+def s8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join shape: events enriched with a per-type
+    dimension (count + mean value snapshot) and each event's deviation
+    from its type mean. Streaming runs the identical plan with the
+    static side re-broadcast per micro-batch (tests/test_streaming.py);
+    this batch twin is the oracle-checked semantics."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        F.avg("value").alias("type_avg"),
+    )
+    out = enrich_with_static(
+        ev.select("event_id", "event_type", "value"), dim
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "type_n",
+        "type_avg",
+        (F.col("value") - F.col("type_avg")).alias("value_delta"),
+    ).orderBy("event_id")
+
+
 QUERIES = {
     "s1_tumbling": s1_tumbling,
     "s2_sliding": s2_sliding,
@@ -88,6 +115,7 @@ QUERIES = {
     "s5_ewma": s5_ewma,
     "s6_stream_dedup": s6_stream_dedup,
     "s7_funnel_join": s7_funnel_join,
+    "s8_stream_static_enrich": s8_stream_static_enrich,
 }
 
 ORACLES = {
@@ -175,5 +203,16 @@ ORACLES = {
          AND a.event_type = 'view' AND b.event_type = 'purchase'
          AND b.tsu >= a.tsu AND b.tsu <= a.tsu + 3600000000
         ORDER BY a.user_id, first_id, next_id
+    """,
+    "s8_stream_static_enrich": """
+        WITH dim AS (SELECT event_type,
+                            count(*) AS type_n,
+                            avg(value) AS type_avg
+                     FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value,
+               d.type_n, d.type_avg,
+               e.value - d.type_avg AS value_delta
+        FROM events e LEFT JOIN dim d USING (event_type)
+        ORDER BY e.event_id
     """,
 }

@@ -201,6 +201,18 @@ def funnel_join(
     )
 
 
+def enrich_with_static(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static enrichment join: attach a (small) static dimension
+    to every event. On a stream, Spark re-evaluates the static side per
+    micro-batch and broadcasts it — no stream state at all, the cheapest
+    join Structured Streaming has. The identical plan runs in batch
+    (what the s8 oracle checks). Left join: events with an unknown key
+    pass through with NULL attributes rather than being dropped."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def streaming_funnel_join(
     spark, source_dir: str,
     first_type: str = "view", next_type: str = "purchase",

@@ -49,6 +49,58 @@ def test_streaming_matches_batch(spark):
     assert got == expected
 
 
+def test_stream_static_enrich_matches_batch(spark):
+    """Stream-static join: the streamed events enriched by a static
+    (batch) dimension must equal the batch twin row-for-row."""
+    from pyspark.sql import functions as F
+
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+    from m5_competition_kaggle_spark.streaming.events import (
+        enrich_with_static,
+        read_events_stream,
+    )
+
+    ev = load_table(spark, SF, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"), F.avg("value").alias("type_avg")
+    )
+    batch = enrich_with_static(
+        ev.select("event_id", "event_type", "value"), dim
+    )
+    expected = {
+        r["event_id"]: (r["type_n"], round(r["type_avg"], 9))
+        for r in batch.collect()
+    }
+
+    import os
+    import shutil
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="events_enrich_")
+    shutil.copy(f"{SF}/events.parquet", os.path.join(src_dir, "part-0.parquet"))
+    stream = enrich_with_static(
+        read_events_stream(spark, src_dir).select(
+            "event_id", "event_type", "value"
+        ),
+        dim,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["event_id"]: (r["type_n"], round(r["type_avg"], 9))
+            for r in spark.sql("SELECT * FROM enrich_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_session_window_boundary_semantics(spark):
     """An event exactly gap after the previous one MERGES into the session;
     only strictly-later events start a new one — pins the semantics the s3
