@@ -192,6 +192,75 @@ def connected_components_two_phase(
     )
 
 
+def pagerank_int(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Integer-exact PageRank over the undirected (symmetrized) graph —
+    centrality scoring for dedup-cluster canonicalization or influence
+    ranking, with ranks any engine reproduces bit-for-bit.
+
+    All arithmetic is int64: r₀(v) = ``scale``;
+    r_{k+1}(v) = ((den−num)·scale) div den
+                 + (num · Σ_{u→v} (r_k(u) div deg(u))) div den.
+    Integer division makes each edge's contribution order-independent,
+    so the shuffle-summed Spark result equals an unrolled SQL oracle
+    exactly — no float-associativity drift (the reason textbook float
+    PageRank can't be hash-certified across engines).
+
+    Scale shape: per iteration ONE keyed join (ranks onto edge sources;
+    degree folded in) and one map-side-combinable sum — the standard
+    message-passing round. ``localCheckpoint`` truncates lineage per
+    round. Fixed ``iterations`` (power iteration converges geometrically;
+    ranking stabilizes in a handful of rounds).
+    """
+    fwd = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Eager checkpoint (not lazy persist): the edge list may carry an
+    # expensive upstream plan (e.g. the whole MinHash pipeline) — cut
+    # that lineage ONCE so the per-iteration jobs plan over a
+    # materialized, tiny-plan input instead of re-planning (and racing
+    # to re-compute) the full upstream DAG every round.
+    sym = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    base = (scale * (damping_den - damping_num)) // damping_den
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contribs = (
+            sym.join(
+                ranks.select(F.col("node").alias("src"), "r"), "src"
+            )
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_num} * coalesce(s, 0L))"
+                        f" div {damping_den}"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("r").alias("rank"))
+
+
 def dedup_clusters(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

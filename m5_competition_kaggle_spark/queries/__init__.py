@@ -74,6 +74,7 @@ _HEAD = (
     "g17_sessionize_gaps",
     "g18_transition_counts",
     "s8_stream_static_enrich",
+    "x41_pagerank",
     # -- group 3: once-green (r2), banking a second row (first to yield
     # slots to new queries) --------------------------------------------
     "g5_distinct_agg",
@@ -87,7 +88,6 @@ _HEAD = (
     "x19_chunk_docs",
     "x20_decontaminate",
     "x21_stratified_sample",
-    "x22_repetition_quality",
     # -- group 4: r1-green only, banking a second row ------------------
     "q18_feature_pipeline",
     "q19_rolling_multi",

@@ -338,6 +338,26 @@ def x40_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x41_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 power iterations, d=0.85) over the
+    MinHash near-dup pair graph — graph centrality as a canonical-doc
+    signal (the most-connected rewrite of a template is a better
+    survivor than min-id). Bit-exact int64 recurrence, so the oracle
+    unrolls the same three iterations in SQL and hash-matches."""
+    from m5_competition_kaggle_spark.operators.graph import pagerank_int
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    return (
+        pagerank_int(pairs, iterations=3)
+        .select(F.col("node").alias("doc_id"), "rank")
+        .orderBy("doc_id")
+    )
+
+
 def x30_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary: top-200 tokens by term frequency with document
     frequency — the tokenizer-training / vocab-audit scan. Explode →
@@ -528,6 +548,7 @@ QUERIES = {
     "x35_temperature_mix": x35_temperature_mix,
     "x36_hashed_tf": x36_hashed_tf,
     "x40_length_buckets": x40_length_buckets,
+    "x41_pagerank": x41_pagerank,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -624,6 +645,30 @@ ORACLES = {
         GROUP BY doc_id, bucket
         ORDER BY doc_id, bucket
     """,
+    "x41_pagerank": f"""
+WITH {_minhash_verified_ctes(16, 4)},
+vpairs AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION ALL SELECT id_b, id_a FROM vpairs),
+deg AS (SELECT a AS src, count(*) AS d FROM edges GROUP BY a),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+"""
+    + ",\n".join(
+        f"""r{k + 1} AS (
+    SELECT n.node,
+           CAST(150000 + (85 * COALESCE(SUM(p.r // dg.d), 0)) // 100
+                AS BIGINT) AS r
+    FROM nodes n
+    LEFT JOIN edges e ON e.b = n.node
+    LEFT JOIN r{k} p ON p.node = e.a
+    LEFT JOIN deg dg ON dg.src = e.a
+    GROUP BY n.node)"""
+        for k in range(3)
+    )
+    + """
+SELECT node AS doc_id, r AS "rank" FROM r3 ORDER BY doc_id
+""",
     "x40_length_buckets": rf"""
         WITH {_DOCS_TOKS},
         st AS (SELECT doc_id, toks,

@@ -51,6 +51,34 @@ def test_dedup_clusters_canonical_and_sizes(spark):
     assert rows[3]["cluster_id"] == 1 and rows[9]["cluster_id"] == 8
 
 
+def test_pagerank_center_outranks_leaves(spark):
+    """Star graph: the hub collects every leaf's full contribution, so
+    its rank must exceed the leaves'; leaves are symmetric → equal."""
+    from m5_competition_kaggle_spark.operators.graph import pagerank_int
+
+    star = [(0, i) for i in range(1, 6)]
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(
+            _edges(spark, star), "src", "dst", iterations=3
+        ).collect()
+    }
+    assert out[0] > out[1]
+    assert len({out[i] for i in range(1, 6)}) == 1
+    # hand-rolled recurrence twin (same int64 truncation rules)
+    ranks = {n: 1_000_000 for n in range(6)}
+    deg = {0: 5, **{i: 1 for i in range(1, 6)}}
+    for _ in range(3):
+        contrib = {n: 0 for n in ranks}
+        for a, b in star:
+            contrib[b] += ranks[a] // deg[a]
+            contrib[a] += ranks[b] // deg[b]
+        ranks = {
+            n: 150_000 + (85 * contrib[n]) // 100 for n in ranks
+        }
+    assert out == ranks
+
+
 # ---------------------------------------------------------------- properties
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
