@@ -75,6 +75,8 @@ _HEAD = (
     "g18_transition_counts",
     "s8_stream_static_enrich",
     "x41_pagerank",
+    "x42_multimodal_frames",
+    "x43_zorder_key",
     # -- group 3: once-green (r2), banking a second row (first to yield
     # slots to new queries) --------------------------------------------
     "g5_distinct_agg",
@@ -86,8 +88,6 @@ _HEAD = (
     "x15_json_props",
     "x16_curation_pipeline",
     "x19_chunk_docs",
-    "x20_decontaminate",
-    "x21_stratified_sample",
     # -- group 4: r1-green only, banking a second row ------------------
     "q18_feature_pipeline",
     "q19_rolling_multi",

@@ -322,6 +322,81 @@ def x13_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "value", "purchase_value").orderBy("event_id")
 
 
+def x42_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage of the multimodal pipeline, certified
+    end-to-end: binary ingest → (fake-codec) decode via mapInPandas →
+    every-4th-frame fan-out (sequence + explode) → deterministic
+    per-frame key + feature. The real per-frame decode would chain
+    another mapInPandas after this exact fan-out; the schema, batching,
+    and explode shape are the production plumbing (x11 certifies the
+    per-asset metadata; this certifies the per-FRAME expansion)."""
+    from m5_competition_kaggle_spark.functions.text import h64
+    from m5_competition_kaggle_spark.multimodal.ops import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = to_binary_assets(docs, "doc_id", "text")
+    meta = decode_assets(assets, "doc_id", mode="fake")
+    frames = sample_frames(meta, every_n=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        h64(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("frame_idx").cast("string"),
+            )
+        ).alias("frame_key"),
+        ((F.col("n_bytes") * (F.col("frame_idx") + 7)) % 997).alias(
+            "frame_feature"
+        ),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def _zorder_terms(a: str, b: str, bits: int, shl: str, shr: str) -> str:
+    """Bit-interleave (Morton/Z-order) of two ``bits``-wide non-negative
+    ints as portable SQL. Emitted once per engine dialect (Spark uses
+    shiftleft/shiftright functions; DuckDB the << >> operators); terms
+    join with ``+`` — the bit positions are disjoint, so addition ≡ OR
+    and no operator-precedence trap exists in either dialect."""
+    terms = []
+    for i in range(bits):
+        terms.append(shl.format(x=f"({shr.format(x=a, n=i)} & 1)", n=2 * i))
+        terms.append(
+            shl.format(x=f"({shr.format(x=b, n=i)} & 1)", n=2 * i + 1)
+        )
+    return " + ".join(terms)
+
+
+ZBITS = 16
+
+
+def x43_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering keys: interleave the bits of
+    (customer, order-day) so rows close in BOTH dimensions sort near
+    each other — the data-layout trick behind multi-dimensional data
+    skipping (Delta/Iceberg OPTIMIZE ZORDER). At scale:
+    ``df.repartitionByRange(N, "zkey").sortWithinPartitions("zkey")
+    .write.parquet(...)`` gives every file a tight min/max envelope on
+    BOTH source columns, so row-group stats prune 2-D range predicates.
+    This query certifies the key arithmetic bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    a = f"(o_custkey % {1 << ZBITS})"
+    b = f"(datediff(o_orderdate, DATE'1992-01-01') % {1 << ZBITS})"
+    z = _zorder_terms(
+        "za", "zb", ZBITS, "shiftleft({x}, {n})", "shiftright({x}, {n})"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr(a).cast("long").alias("za"),
+            F.expr(b).cast("long").alias("zb"),
+        )
+        .withColumn("zkey", F.expr(z))
+        .orderBy("o_orderkey")
+    )
+
+
 def x37_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (|Sa ∩ Sb| / |Sa| ≥ 0.5 with
     3-token shingles): the quote/excerpt detector symmetric Jaccard (x3)
@@ -398,6 +473,8 @@ QUERIES = {
     "x37_containment_pairs": x37_containment_pairs,
     "x38_code_detect": x38_code_detect,
     "x39_label_centroids": x39_label_centroids,
+    "x42_multimodal_frames": x42_multimodal_frames,
+    "x43_zorder_key": x43_zorder_key,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -788,6 +865,35 @@ ORACLES = {
                ((n_symbols * 1000) // greatest(n_chars_c, 1) >= 50
                 OR n_lines > 10) AS is_code_like
         FROM f ORDER BY doc_id
+    """,
+    "x43_zorder_key": f"""
+        WITH src AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % {1 << ZBITS} AS BIGINT) AS za,
+                   CAST(datediff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE))
+                        % {1 << ZBITS} AS BIGINT) AS zb
+            FROM orders)
+        SELECT o_orderkey, za, zb,
+               {_zorder_terms("za", "zb", ZBITS,
+                              "(({x}) << {n})", "(({x}) >> {n})")} AS zkey
+        FROM src ORDER BY o_orderkey
+    """,
+    "x42_multimodal_frames": f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   1 + octet_length(encode(text)) % 24 AS n_frames
+            FROM documents),
+        fr AS (SELECT doc_id, n_bytes,
+                      unnest(generate_series(0, n_frames - 1, 4))
+                          AS frame_idx
+               FROM meta)
+        SELECT doc_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               {H64.format(s="doc_id || ':' || frame_idx")} AS frame_key,
+               (n_bytes * (frame_idx + 7)) % 997 AS frame_feature
+        FROM fr ORDER BY doc_id, frame_idx
     """,
     "x39_label_centroids": """
         WITH q AS (SELECT label,

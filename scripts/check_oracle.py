@@ -128,9 +128,11 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    attempted = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        attempted += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -190,7 +192,8 @@ def main() -> int:
         else:
             print(f"PASS  {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    suffix = "" if attempted == len(qs) else f" ({len(qs)} registered)"
+    print(f"\n{attempted - len(failures)}/{attempted} passed{suffix}")
     return 1 if failures else 0
 
 
