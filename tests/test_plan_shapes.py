@@ -28,6 +28,44 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def test_x9_brute_force_is_fully_distributed(spark):
+    """r2 audit's last scale-killer: brute_force_topk must not collect
+    the query set to the driver. The certified plan is the cogrouped
+    block matmul — building it triggers no driver-side action, and the
+    plan carries the cogroup stage instead of a Python-broadcast
+    mapInPandas fed by a collect."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    df = brute_force_topk(emb, queries, k=10)  # lazy build
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before, "plan construction ran a Spark job"
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_x10_lsh_query_side_not_hinted(spark):
+    """lsh_topk must not FORCE a query-side broadcast (the certified
+    query set scales with the corpus) — AQE may still pick one at
+    runtime from actual sizes, which is the point."""
+    from m5_competition_kaggle_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    logical = (
+        lsh_topk(emb, q, k=10)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert "ResolvedHint" not in logical, logical
+
+
 def test_x16_no_single_partition_exchange(spark):
     """The token-budget cumsum must not funnel the corpus through one
     partition (r1 verdict: global Window.orderBy = scale-killer). The
