@@ -77,11 +77,13 @@ _HEAD = (
     "x41_pagerank",
     "x42_multimodal_frames",
     "x43_zorder_key",
+    # no-oracle-by-design (pytest-certified recall/accuracy) — banking
+    # their first rows-only driver rows
+    "x10_sim_topk_lsh",
+    "x17_approx_sketches",
     # -- group 3: once-green (r2), banking a second row (first to yield
     # slots to new queries) --------------------------------------------
     "g5_distinct_agg",
-    "g6_semi_anti_joins",
-    "g7_set_ops",
     "g8_median_quantiles",
     "x11_multimodal_meta",
     "x12_embed_near_dup",
