@@ -466,16 +466,46 @@ def x33_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     top ``SOURCE_CAP``, report per-source kept/dropped and the kept
     quality mass. One window partitioned by source + one hash agg —
     both keyed on source, no global exchange; at 100 TB hot sources are
-    exactly what AQE skew-split handles."""
-    from m5_competition_kaggle_spark.functions.text import quality_features
+    exactly what AQE skew-split handles.
+
+    Quality is scored in INTEGER micro-units (``q_micro``, 0..1_000_000)
+    computed with pure BIGINT arithmetic — the float composite of
+    ``quality_features`` rounds differently at half-way boundaries in
+    Spark (BigDecimal HALF_UP) vs DuckDB (float-multiply), which made the
+    r3 hash flaky by exactly 1 micro. Integer div of non-negative longs
+    is identical in every engine, so rank order AND the kept-quality sum
+    are bit-exact. Same permille-integer policy as
+    ``functions/text.code_features``."""
+    from m5_competition_kaggle_spark.functions.text import STOPWORDS, tokens
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = quality_features(docs, "text").withColumn(
-        "q", F.round(F.col("quality_score"), 6)
+    quoted = ", ".join(f"'{m}'" for m in STOPWORDS)
+    scored = (
+        docs.withColumn("__toks", tokens("text"))
+        .withColumn("n_tok", F.size("__toks").cast("long"))
+        .withColumn("n", F.greatest(F.col("n_tok"), F.lit(1)))
+        .withColumn(
+            "stop",
+            F.expr(f"size(filter(__toks, t -> t in ({quoted})))").cast(
+                "long"
+            ),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+        # 0.5*min(1, n_tok/100) + 0.3*(1-stop/n) + 0.2*min(1, avg_len/8)
+        # in micro-units, all-integer (floor div; operands non-negative):
+        .withColumn(
+            "q_micro",
+            F.lit(5000) * F.least(F.col("n_tok"), F.lit(100))
+            + F.expr("(300000 * (n - stop)) div n")
+            + F.least(
+                F.lit(200000).cast("long"),
+                F.expr("(25000 * (n_chars - (n_tok - 1))) div n"),
+            ),
+        )
     )
     w = Window.partitionBy("source").orderBy(
-        F.desc("q"), F.asc("doc_id")
+        F.desc("q_micro"), F.asc("doc_id")
     )
     ranked = scored.withColumn("rk", F.row_number().over(w))
     return (
@@ -484,8 +514,8 @@ def x33_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.count(F.when(F.col("rk") <= SOURCE_CAP, 1)).alias("n_kept"),
             F.sum(
-                F.when(F.col("rk") <= SOURCE_CAP, F.col("q"))
-            ).alias("kept_quality"),
+                F.when(F.col("rk") <= SOURCE_CAP, F.col("q_micro"))
+            ).alias("kept_quality_micro"),
             F.min(
                 F.when(F.col("rk") <= SOURCE_CAP, F.col("doc_id"))
             ).alias("min_kept_id"),
@@ -919,32 +949,36 @@ ORDER BY cluster_id, doc_id
         FROM ranked WHERE rk <= 3
         ORDER BY doc_id, rk
     """,
-    # quality_score formula = x7's oracle; rounded to 6 decimals on BOTH
-    # sides so the rank order never hinges on sub-ulp float differences.
+    # q_micro: same integer micro-unit composite as the Spark side — all
+    # BIGINT, floor division (// here, `div` in Spark; operands are
+    # non-negative so the two agree) — no float anywhere, so rank order
+    # and the kept sum are bit-exact in any engine.
     "x33_source_caps": rf"""
         WITH d2 AS (SELECT doc_id, source, text,
                            str_split_regex(trim(text), '\s+') AS toks
                     FROM documents),
         m AS (SELECT doc_id, source,
-                     CAST(len(toks) AS BIGINT) AS n_tokens,
-                     (length(text) - (len(toks) - 1)) * 1.0
-                         / greatest(len(toks), 1) AS avg_token_len,
-                     len(list_filter(toks, t -> t IN ({_STOP_EN}))) * 1.0
-                         / greatest(len(toks), 1) AS stopword_ratio
+                     CAST(len(toks) AS BIGINT) AS n_tok,
+                     CAST(greatest(len(toks), 1) AS BIGINT) AS n,
+                     CAST(len(list_filter(toks, t -> t IN ({_STOP_EN})))
+                          AS BIGINT) AS stop,
+                     CAST(length(text) AS BIGINT) AS n_chars
               FROM d2),
         q AS (SELECT doc_id, source,
-                     round(0.5 * least(1.0, n_tokens / 100.0)
-                           + 0.3 * (1.0 - stopword_ratio)
-                           + 0.2 * least(1.0, avg_token_len / 8.0),
-                           6) AS q
+                     5000 * least(n_tok, 100)
+                     + (300000 * (n - stop)) // n
+                     + least(200000,
+                             (25000 * (n_chars - (n_tok - 1))) // n)
+                         AS q_micro
               FROM m),
         r AS (SELECT *, row_number() OVER (PARTITION BY source
-                                           ORDER BY q DESC, doc_id) AS rk
+                                           ORDER BY q_micro DESC, doc_id)
+                        AS rk
               FROM q)
         SELECT source, count(*) AS n_docs,
                count(CASE WHEN rk <= {SOURCE_CAP} THEN 1 END) AS n_kept,
-               sum(CASE WHEN rk <= {SOURCE_CAP} THEN q END)
-                   AS kept_quality,
+               CAST(sum(CASE WHEN rk <= {SOURCE_CAP} THEN q_micro END)
+                    AS BIGINT) AS kept_quality_micro,
                min(CASE WHEN rk <= {SOURCE_CAP} THEN doc_id END)
                    AS min_kept_id
         FROM r GROUP BY source ORDER BY source
