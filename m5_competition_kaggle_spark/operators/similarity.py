@@ -109,9 +109,15 @@ def brute_force_topk(
         n_ids = vpdf["neighbor_id"].to_numpy()
         q_ids = qpdf["query_id"].to_numpy()
         dots = q @ v.T  # (Qb, B) int64 — exact
-        # self-match: push below any real candidate, then drop post-rank
+        # self-match: push below any real candidate, then drop post-rank.
+        # Sentinel is int64.min + 1, NOT int64.min: the ranking negates
+        # dots and -int64.min overflows back to int64.min, which would
+        # sort the self-match FIRST and silently eat one local top-k
+        # slot (losing the block's rank-k real neighbor when it belongs
+        # to the global top-k). -(min+1) == int64.max sorts last.
+        sentinel = np.iinfo(np.int64).min + 1
         self_mask = q_ids[:, None] == n_ids[None, :]
-        dots = np.where(self_mask, np.iinfo(np.int64).min, dots)
+        dots = np.where(self_mask, sentinel, dots)
         kk = min(k, v.shape[0])
         # per-query local top-k by (dot desc, neighbor_id asc):
         # argsort a lexicographic key — neighbor order ascending within
@@ -122,7 +128,7 @@ def brute_force_topk(
         rows = np.repeat(q_ids, kk)
         cols = n_ids[id_order][part.reshape(-1)]
         vals = np.take_along_axis(dots_o, part, axis=1).reshape(-1)
-        keep = vals != np.iinfo(np.int64).min
+        keep = vals != sentinel
         return pd.DataFrame(
             {
                 "query_id": rows[keep],

@@ -89,6 +89,23 @@ def test_brute_force_topk_exact(spark):
     assert out[0]["dot"] == 900 * 1000  # quantized integer math
 
 
+def test_brute_force_topk_self_match_keeps_all_k_slots(spark):
+    # Regression (r3 advice, similarity.py sentinel): masking self-matches
+    # with int64.min overflowed under the argsort's negation (-int64.min
+    # == int64.min), sorting the self-match FIRST and eating one local
+    # top-k slot — with the query in the same block as its vectors and
+    # k == N-1, the rank-k real neighbor was silently dropped.
+    rows = [(i, [float(10 - i), 1.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = (
+        brute_force_topk(df, q, k=4, n_vec_blocks=1, n_query_blocks=1)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3, 4]
+
+
 def test_lsh_topk_recall_vs_brute_force(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
