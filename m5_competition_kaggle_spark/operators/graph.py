@@ -182,10 +182,30 @@ def connected_components_two_phase(
         ).collect()[0]
         fp = (fp["n"], fp["su"], fp["sv"], fp["sp"])
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    else:
+        converged = False
     if stats is not None:
         stats["rounds"] = rounds
+    # The fingerprint fixpoint test is probabilistic (a collision — or
+    # an exhausted max_iter — could hand back a non-forest edge set as
+    # if converged, yielding conflicting (node, component) rows). Verify
+    # the star-forest invariant exactly before trusting it: every u
+    # appears exactly once. One 1-row agg, same cost class as the
+    # fingerprint itself.
+    chk = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("u").alias("nu"),
+    ).collect()[0]
+    if not converged or chk["n"] != chk["nu"]:
+        raise RuntimeError(
+            "connected_components_two_phase did not reach a star forest "
+            f"(converged={converged}, edges={chk['n']}, "
+            f"distinct u={chk['nu']}, max_iter={max_iter}) — raise "
+            "max_iter or inspect the input graph"
+        )
     # Fixpoint edge set is the star forest: u → component root. Roots
     # (and nothing else) are absent from the u side — they map to
     # themselves.

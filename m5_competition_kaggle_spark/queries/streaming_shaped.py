@@ -83,27 +83,41 @@ def s7_funnel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join shape: events enriched with a per-type
-    dimension (count + mean value snapshot) and each event's deviation
+    dimension (count + value-mass snapshot) and each event's deviation
     from its type mean. Streaming runs the identical plan with the
     static side re-broadcast per micro-batch (tests/test_streaming.py);
-    this batch twin is the oracle-checked semantics."""
+    this batch twin is the oracle-checked semantics.
+
+    Certified surface is INTEGER-exact (r3 advice): ``value`` quantizes
+    to micro-units via floor(value·1e6) — one IEEE multiply + floor,
+    bit-identical in any engine, no round() half-way boundary — and the
+    dimension carries (type_n, type_sum_micros) instead of a float avg
+    whose partition-order-dependent summation could flip the value hash.
+    ``delta_scaled`` = type_n·(value − mean) in micro-units, division-
+    free. Consumers wanting the float mean derive it exactly as
+    type_sum_micros / 1e6 / type_n."""
     from pyspark.sql import functions as F
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_micros", F.floor(F.col("value") * F.lit(1e6)).cast("long")
+    )
     dim = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("type_n"),
-        F.avg("value").alias("type_avg"),
+        F.sum("value_micros").alias("type_sum_micros"),
     )
     out = enrich_with_static(
-        ev.select("event_id", "event_type", "value"), dim
+        ev.select("event_id", "event_type", "value_micros"), dim
     )
     return out.select(
         "event_id",
         "event_type",
-        "value",
+        "value_micros",
         "type_n",
-        "type_avg",
-        (F.col("value") - F.col("type_avg")).alias("value_delta"),
+        "type_sum_micros",
+        (
+            F.col("value_micros") * F.col("type_n")
+            - F.col("type_sum_micros")
+        ).alias("delta_scaled"),
     ).orderBy("event_id")
 
 
@@ -205,14 +219,18 @@ ORACLES = {
         ORDER BY a.user_id, first_id, next_id
     """,
     "s8_stream_static_enrich": """
-        WITH dim AS (SELECT event_type,
-                            count(*) AS type_n,
-                            avg(value) AS type_avg
-                     FROM events GROUP BY event_type)
-        SELECT e.event_id, e.event_type, e.value,
-               d.type_n, d.type_avg,
-               e.value - d.type_avg AS value_delta
-        FROM events e LEFT JOIN dim d USING (event_type)
+        WITH e AS (SELECT event_id, event_type,
+                          CAST(floor(value * 1e6) AS BIGINT) AS value_micros
+                   FROM events),
+        dim AS (SELECT event_type,
+                       count(*) AS type_n,
+                       CAST(sum(value_micros) AS BIGINT) AS type_sum_micros
+                FROM e GROUP BY event_type)
+        SELECT e.event_id, e.event_type, e.value_micros,
+               d.type_n, d.type_sum_micros,
+               e.value_micros * d.type_n - d.type_sum_micros
+                   AS delta_scaled
+        FROM e LEFT JOIN dim d USING (event_type)
         ORDER BY e.event_id
     """,
 }

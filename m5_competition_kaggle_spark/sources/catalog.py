@@ -219,14 +219,30 @@ def events_raw_schema(
 
     An empty source directory can't be sniffed; return ``default`` (the
     micros/NTZ generation layout) so streams can start pre-data, or raise
-    if ``default`` is None.
+    if ``default`` is None. ONLY the no-footer case falls back — corrupt
+    footers, permission errors, and typo'd paths re-raise, otherwise a
+    NANOS-generation stream would silently run with the wrong schema.
     """
+    from pyspark.errors import AnalysisException
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         return spark.read.parquet(source).schema
-    except Exception:
-        if default is not None:
+    except AnalysisException as e:
+        # Schema-inference failure on an empty dir / missing path is the
+        # pre-data stream case; anything else is a real error.
+        get_cls = getattr(
+            e, "getCondition", getattr(e, "getErrorClass", lambda: None)
+        )
+        cls = get_cls() or ""
+        inferable = (
+            "UNABLE_TO_INFER_SCHEMA" in cls
+            or "PATH_NOT_FOUND" in cls
+            or "UNABLE_TO_INFER_SCHEMA" in str(e)
+            or "PATH_NOT_FOUND" in str(e)
+        )
+        if inferable and default is not None:
             return default
         raise
 

@@ -171,3 +171,16 @@ def test_cc_two_phase_long_chain_logarithmic_rounds(spark):
     got = {(r["node"], r["component"]) for r in cc.collect()}
     assert got == {(i, 0) for i in range(33)}
     assert stats["rounds"] <= 8, stats
+
+
+def test_cc_two_phase_unconverged_raises(spark):
+    """Exhausting max_iter without a fixpoint must raise, not silently
+    return a non-forest edge set with conflicting labels (r3 advice,
+    graph.py fixpoint check)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(32)]
+    with pytest.raises(RuntimeError, match="star forest"):
+        connected_components_two_phase(
+            _edges(spark, chain), max_iter=1
+        ).collect()

@@ -101,6 +101,34 @@ def test_stream_static_enrich_matches_batch(spark):
     assert got == expected
 
 
+def test_events_raw_schema_fallback_is_narrow(spark, tmp_path):
+    """The pre-data fallback covers ONLY un-sniffable sources (empty dir
+    / missing path); a corrupt footer must raise, not silently hand a
+    stream the default schema (r3 advice, catalog.py)."""
+    import pytest
+
+    from m5_competition_kaggle_spark.sources.catalog import (
+        EVENTS_RAW_DEFAULT,
+        events_raw_schema,
+    )
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert events_raw_schema(spark, str(empty)) == EVENTS_RAW_DEFAULT
+    assert (
+        events_raw_schema(spark, str(tmp_path / "missing"))
+        == EVENTS_RAW_DEFAULT
+    )
+    with pytest.raises(Exception):
+        events_raw_schema(spark, str(tmp_path / "missing"), default=None)
+
+    corrupt = tmp_path / "corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-0.parquet").write_bytes(b"PAR1 this is not a footer")
+    with pytest.raises(Exception):
+        events_raw_schema(spark, str(corrupt))
+
+
 def test_session_window_boundary_semantics(spark):
     """An event exactly gap after the previous one MERGES into the session;
     only strictly-later events start a new one — pins the semantics the s3
