@@ -128,3 +128,35 @@ def score_quality(model, df: DataFrame, text_col: str = "text") -> DataFrame:
 def model_keep_predicate(min_prob: float = 0.5) -> Column:
     """The filter the packing stage consumes."""
     return F.col("model_quality") >= min_prob
+
+
+def fixed_weight_logits(
+    df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The classifier's SCORING surface, hash-certifiable (r3 verdict
+    item 4): per-doc linear score over the exact ``tf_buckets`` features
+    the trained model consumes, with a FIXED deterministic weight vector
+    w[b] = (h64(str(b)) % 2001) − 1000 embedded identically in the SQL
+    oracle (x44). All int64: logit_units = Σ_token w[bucket(token)]
+    (equal to Σ_bucket tf·w), keep = logit ≥ 0.
+
+    Sigmoid is monotone, so the keep decision and ranking are identical
+    to P(label)=sigmoid(logit/scale) thresholding — certifying the
+    integer logit certifies the score surface without cross-engine
+    ``exp()`` last-ulp risk (the repo's integer-exactness policy; see
+    x33/x41/s8). What remains rows-only in x28 is ONLY the L-BFGS fit.
+    Pure per-row column expressions — corpus scoring stays shuffle-free."""
+    b = tf_buckets(text_col)
+    wsum = F.aggregate(
+        b,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.pmod(h64(x.cast("string")), F.lit(2001))
+        - F.lit(1000),
+    )
+    return df.select(
+        F.col(key_col),
+        F.size(b).cast("long").alias("n_terms"),
+        wsum.alias("logit_units"),
+        (wsum >= 0).cast("int").alias("keep"),
+    )

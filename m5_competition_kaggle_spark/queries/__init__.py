@@ -69,6 +69,7 @@ _HEAD = (
     "x36_hashed_tf",
     "x40_length_buckets",
     "x41_pagerank",
+    "x44_score_fixed",
     # -- similarity module consumers (sentinel fix) --------------------
     "x9_sim_topk",
     "x10_sim_topk_lsh",

@@ -312,6 +312,20 @@ def x36_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x44_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier's scoring surface, hash-certified
+    (``ml/quality.py::fixed_weight_logits``): per-doc integer logit over
+    the model's real ``tf_buckets`` features with a deterministic fixed
+    weight vector, plus the keep decision. Completes the r2/r3 audit
+    split — x36 certifies the feature relation, x44 the scoring path;
+    only x28's L-BFGS fit stays rows-only. Per-row expressions only, no
+    shuffle (same plan shape as corpus-wide model scoring)."""
+    from m5_competition_kaggle_spark.ml.quality import fixed_weight_logits
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fixed_weight_logits(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def x40_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length bucketing for pad-efficient batching: chunks
     (x19's 32/24 windows) grouped into width-8 length buckets with chunk
@@ -579,6 +593,7 @@ QUERIES = {
     "x36_hashed_tf": x36_hashed_tf,
     "x40_length_buckets": x40_length_buckets,
     "x41_pagerank": x41_pagerank,
+    "x44_score_fixed": x44_score_fixed,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -663,6 +678,32 @@ FROM aug ORDER BY doc_id
 
 
 ORACLES = {
+    # x44: the same h64 feature bucketing as x36, then the fixed
+    # deterministic weight w[b] = (h64(str(b)) % 2001) - 1000 summed per
+    # doc — pure BIGINT, so the scoring surface hashes bit-exact. Docs
+    # with zero tokens keep logit 0 / keep=1 via the left join.
+    "x44_score_fixed": rf"""
+        WITH tok AS (SELECT doc_id,
+                            unnest(str_split_regex(trim(lower(text)),
+                                                   '\s+')) AS t
+                     FROM documents),
+        b AS (SELECT doc_id,
+                     CAST(CAST({H64.format(s='t')} % 4096 AS INT)
+                          AS VARCHAR) AS bs
+              FROM tok WHERE t <> ''),
+        w AS (SELECT doc_id,
+                     ({H64.format(s='bs')} % 2001) - 1000 AS w
+              FROM b),
+        agg AS (SELECT doc_id, count(*) AS n_terms,
+                       CAST(sum(w) AS BIGINT) AS logit
+                FROM w GROUP BY doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_terms, 0) AS n_terms,
+               COALESCE(a.logit, 0) AS logit_units,
+               CAST(COALESCE(a.logit, 0) >= 0 AS INT) AS keep
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     "x36_hashed_tf": rf"""
         WITH tok AS (SELECT doc_id,
                             unnest(str_split_regex(trim(lower(text)),

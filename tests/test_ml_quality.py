@@ -58,3 +58,48 @@ def test_scoring_is_per_row_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_fixed_weight_logits_hand_computed(spark):
+    """x44's scoring surface: integer logit equals the driver-side
+    h64_py recomputation token-for-token, empty docs score 0/keep."""
+    from m5_competition_kaggle_spark.functions.text import h64_py
+    from m5_competition_kaggle_spark.ml.quality import (
+        N_FEATURES,
+        fixed_weight_logits,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Alpha beta ALPHA"), (2, ""), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_terms"], r["logit_units"], r["keep"])
+        for r in fixed_weight_logits(df).collect()
+    }
+
+    def logit(text):
+        toks = [t for t in text.lower().split() if t]
+        w = [
+            (h64_py(str(h64_py(t) % N_FEATURES)) % 2001) - 1000
+            for t in toks
+        ]
+        return len(toks), sum(w), int(sum(w) >= 0)
+
+    assert out[1] == logit("Alpha beta ALPHA")
+    assert out[2] == (0, 0, 1)
+    assert out[3] == logit("gamma")
+
+
+def test_fixed_weight_logits_no_shuffle(spark):
+    """The certified scoring path must stay narrow like model scoring."""
+    from m5_competition_kaggle_spark.ml.quality import fixed_weight_logits
+
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        fixed_weight_logits(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
