@@ -207,7 +207,10 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     the survivors' token arrays are computed in the persisted projection
     and flow into the 4-shingle decontamination, the 3-shingle minhash,
     AND the final chunking via ``tokens_col`` — instead of re-splitting
-    the corpus text in each stage."""
+    the corpus text in each stage. The post-decontamination corpus is
+    ALSO persisted: both the minhash branch and the final chunking
+    branch consume it, and without the persist the whole decon shingle
+    join re-executes per consumer (measured ~2s at sf0.1)."""
     from m5_competition_kaggle_spark.functions.text import (
         quality_features,
         tokens,
@@ -233,7 +236,11 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv, "doc_id", None, bench_pred, DECON_SHINGLE,
         tokens_col="__toks",
     ).select("doc_id")
-    corpus = surv.filter(~bench_pred).join(hits, "doc_id", "left_anti")
+    corpus = (
+        surv.filter(~bench_pred)
+        .join(hits, "doc_id", "left_anti")
+        .persist()
+    )
     pairs = minhash_lsh_pairs(
         corpus, "doc_id", None, num_hashes=16, bands=4,
         shingle_size=3, threshold=0.8, tokens_col="__toks",
