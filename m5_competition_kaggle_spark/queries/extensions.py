@@ -128,7 +128,10 @@ def x9_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x10_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (no oracle — recall-tested vs x9 in pytest)."""
+    """Approximate ANN — approximate vs x9, but DETERMINISTIC: integer
+    hyperplane buckets + int64 dots mean the result itself hash-certifies
+    against a DuckDB twin (``_lsh_topk_oracle``); the recall property is
+    additionally pytest-verified against x9's exact top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     out = lsh_topk(emb, queries, k=10, num_planes=4, num_tables=8, dim=64)
@@ -666,6 +669,60 @@ ORDER BY id_a, id_b
 """
 
 
+def _lsh_topk_oracle(
+    k: int, num_planes: int, num_tables: int, dim: int, q_mod: int
+) -> str:
+    """Twin of ``lsh_topk``: per-table integer hyperplane buckets (same
+    ``hyperplanes`` literals), candidate pairs from the (table, bucket)
+    equi-join across all tables, exact quantized dot, (dot DESC, id)
+    ranked top-k. Everything is int64 sign tests and products, so the
+    approximate op's RESULT is still fully deterministic and the oracle
+    reproduces it bit-for-bit — only the recall-vs-exact property needs
+    pytest (vs x9)."""
+    from m5_competition_kaggle_spark.operators.similarity import hyperplanes
+
+    per_table = []
+    for t in range(num_tables):
+        bucket = " + ".join(
+            "CASE WHEN list_sum(list_transform(generate_series(1, {d}), "
+            "i -> v[i] * ([{w}])[i])) >= 0 THEN {bit} ELSE 0 END".format(
+                d=dim, w=", ".join(str(x) for x in w), bit=1 << p
+            )
+            for p, w in enumerate(hyperplanes(num_planes, dim, table=t))
+        )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, ({bucket}) AS bucket FROM qv"
+        )
+    bk = "\nUNION ALL\n".join(per_table)
+    dot = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> a.v[i] * b.v[i])) AS BIGINT)"
+    )
+    return f"""
+WITH qv AS (SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+            FROM embeddings),
+bk AS ({bk}),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
+         FROM bk n JOIN bk q ON n.tbl = q.tbl AND n.bucket = q.bucket
+         WHERE q.vec_id % {q_mod} = 0 AND n.vec_id <> q.vec_id),
+scored AS (SELECT c.query_id, c.neighbor_id, {dot} AS dot
+           FROM cand c
+           JOIN qv a ON a.vec_id = c.query_id
+           JOIN qv b ON b.vec_id = c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, dot,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dot DESC, neighbor_id)
+                      AS "rank"
+           FROM scored)
+SELECT query_id, neighbor_id, dot, "rank"
+FROM ranked WHERE "rank" <= {k}
+ORDER BY query_id, "rank"
+"""
+
+
 def _langid_oracle() -> str:
     scores = ",\n       ".join(
         "len(list_filter(toks, x -> x IN ({lst}))) * 1.0"
@@ -808,8 +865,10 @@ ORACLES = {
         FROM ranked WHERE "rank" <= 10
         ORDER BY query_id, "rank"
     """,
-    # x10_sim_topk_lsh: intentionally no oracle (approximate op;
-    # recall-verified against x9 in tests/test_dedup_similarity_text.py)
+    # x10: the op is APPROXIMATE relative to x9, but its result is fully
+    # deterministic int64 math, so it hash-certifies like any other
+    # query; the recall property is separately pytest-verified vs x9.
+    "x10_sim_topk_lsh": _lsh_topk_oracle(10, 4, 8, 64, 50),
     "x12_embed_near_dup": _embed_near_dup_oracle(350_000, 4, 64),
     "x13_asof_join": """
         WITH purchases AS (
