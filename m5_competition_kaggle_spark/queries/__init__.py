@@ -70,6 +70,7 @@ _HEAD = (
     "x40_length_buckets",
     "x41_pagerank",
     "x44_score_fixed",
+    "x45_hll_distinct",
     # -- similarity module consumers (sentinel fix) --------------------
     "x9_sim_topk",
     "x10_sim_topk_lsh",
@@ -97,7 +98,8 @@ _HEAD = (
     "g11_gap_fill_locf",
     "g12_correlated_subquery",
     "g13_cohort_retention",
-    "g14_profile_stats",
+    # g14 yields its slot to x45 this round; the promotions queue
+    # re-certifies it next round with the rest of the stale overflow.
     "g15_rank_distribution",
     "g16_pivot_multi_agg",
     "g17_sessionize_gaps",

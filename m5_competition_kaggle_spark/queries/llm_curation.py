@@ -16,6 +16,8 @@ int64 embedding dots.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -333,6 +335,123 @@ def x44_score_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_weight_logits(docs, "doc_id", "text").orderBy("doc_id")
 
 
+HLL_M = 64  # 2^6 registers per sketch
+HLL_RANK_CAP = 50  # keeps every 2^(cap-rank) scaled term in int64
+HLL_ALPHA_MICRO = 709_365  # alpha_64 = 0.7213/(1+1.079/64), 1e-6 units
+# Small-range (linear counting) estimate by EMPTY-bucket count V:
+# round(m·ln(m/V)) precomputed as integer literals — both engines read
+# the same table, so the branch needs no runtime ln(). Index V=1..m.
+_HLL_LC = tuple(
+    round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)
+)
+HLL_LC_THRESHOLD = (5 * HLL_M) // 2  # raw ≤ 2.5m → linear counting
+
+
+def x45_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog built from scratch on h64 — the
+    'novel sketch as a composition of DataFrame ops' the built-in
+    ``approx_count_distinct`` (x17, rows-only: Spark-internal HLL++ no
+    other engine replicates) cannot certify. Per-source distinct-token
+    cardinality:
+
+      bucket = h64(token) % 64, val = h64(token) div 64 (54 bits),
+      rank   = leading-zero position of val (via length(bin(val)),
+               capped at 50), register M_j = max rank per bucket,
+      sum_scaled = Σ_j 2^(50−M_j)  — an EXACT int64 (the float HLL
+      indicator Σ 2^−M scaled by 2^50), so the whole sketch state is
+      integer and the estimate α·m²/Z derives from it with integer div
+      (α in micro-units, overflow-safe split multiply).
+
+    Small-range correction (linear counting, est = m·ln(m/V) for V
+    empty buckets when raw ≤ 2.5m) uses a PRECOMPUTED 64-entry integer
+    lookup (``_HLL_LC``) instead of a runtime ln() — both engines read
+    the same literals, so the corrected estimate stays bit-identical;
+    only HLL++'s bias table and the 64-bit large-range branch are
+    omitted. The exact distinct count rides along so the output
+    certifies BOTH the sketch state and its observed error
+    (err_permille). Scale shape:
+    one explode → keyed max-agg (64·sources registers) → tiny
+    broadcast scaffold join; the register table is O(64·sources)
+    regardless of corpus size — the entire point of HLL at 100 TB."""
+    from m5_competition_kaggle_spark.functions.text import h64, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    hashed = tok.select(
+        "source", h64(F.col("t")).alias("h")
+    ).select(
+        "source",
+        F.pmod("h", F.lit(HLL_M)).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("val"),
+    )
+    rank = F.when(F.col("val") == 0, F.lit(HLL_RANK_CAP)).otherwise(
+        F.least(
+            F.lit(55) - F.length(F.expr("bin(val)")),
+            F.lit(HLL_RANK_CAP),
+        )
+    )
+    regs = (
+        hashed.withColumn("rank", rank.cast("long"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rank").alias("mj"))
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(HLL_M).select(F.col("id").alias("bucket")))
+        )
+    )
+    full = grid.join(regs, ["source", "bucket"], "left").select(
+        "source", F.coalesce("mj", F.lit(0)).alias("m0")
+    )
+    agg = full.groupBy("source").agg(
+        F.count(F.when(F.col("m0") > 0, 1)).alias("used_buckets"),
+        F.sum(
+            F.expr(f"shiftleft(1L, cast({HLL_RANK_CAP} - m0 as int))")
+        ).alias("sum_scaled"),
+    )
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("t").alias("exact_tokens")
+    )
+    lc_arr = ", ".join(str(v) for v in _HLL_LC)
+    est = (
+        agg.withColumn(
+            "raw",
+            F.expr(f"{HLL_M * HLL_M * (1 << HLL_RANK_CAP)}L div sum_scaled"),
+        )
+        .withColumn("empty", F.lit(HLL_M) - F.col("used_buckets"))
+        .withColumn(
+            "est_tokens",
+            F.expr(
+                f"CASE WHEN empty > 0 AND raw <= {HLL_LC_THRESHOLD} "
+                f"THEN element_at(array({lc_arr}), cast(empty as int)) "
+                f"ELSE (raw div 1000000) * {HLL_ALPHA_MICRO}"
+                f" + ((raw % 1000000) * {HLL_ALPHA_MICRO}) div 1000000 "
+                "END"
+            ).cast("long"),
+        )
+    )
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "used_buckets",
+            "sum_scaled",
+            "est_tokens",
+            "exact_tokens",
+            F.expr(
+                "(abs(est_tokens - exact_tokens) * 1000)"
+                " div exact_tokens"
+            ).alias("err_permille"),
+        )
+        .orderBy("source")
+    )
+
+
 def x40_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length bucketing for pad-efficient batching: chunks
     (x19's 32/24 windows) grouped into width-8 length buckets with chunk
@@ -601,6 +720,7 @@ QUERIES = {
     "x40_length_buckets": x40_length_buckets,
     "x41_pagerank": x41_pagerank,
     "x44_score_fixed": x44_score_fixed,
+    "x45_hll_distinct": x45_hll_distinct,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -685,6 +805,60 @@ FROM aug ORDER BY doc_id
 
 
 ORACLES = {
+    # x45: from-scratch HLL — same h64 bucketing, bin()-length rank,
+    # integer-scaled register sum, micro-unit alpha; every step has an
+    # exact BIGINT twin on both engines.
+    "x45_hll_distinct": rf"""
+        WITH tok AS (SELECT source,
+                            unnest(str_split_regex(trim(text), '\s+')) AS t
+                     FROM documents),
+        tf AS (SELECT source, t FROM tok WHERE t <> ''),
+        hb AS (SELECT source,
+                      {H64.format(s='t')} % {HLL_M} AS bucket,
+                      {H64.format(s='t')} // {HLL_M} AS val
+               FROM tf),
+        r AS (SELECT source, bucket,
+                     CASE WHEN val = 0 THEN {HLL_RANK_CAP}
+                          ELSE least(55 - length(bin(val)),
+                                     {HLL_RANK_CAP}) END AS rank
+              FROM hb),
+        regs AS (SELECT source, bucket, max(rank) AS mj
+                 FROM r GROUP BY source, bucket),
+        grid AS (SELECT s.source, b.bucket
+                 FROM (SELECT DISTINCT source FROM documents) s
+                 CROSS JOIN (SELECT unnest(range({HLL_M})) AS bucket) b),
+        f AS (SELECT g.source, COALESCE(regs.mj, 0) AS m0
+              FROM grid g LEFT JOIN regs
+                ON regs.source = g.source AND regs.bucket = g.bucket),
+        agg AS (SELECT source,
+                       count(CASE WHEN m0 > 0 THEN 1 END) AS used_buckets,
+                       CAST(sum(1::BIGINT << CAST({HLL_RANK_CAP} - m0
+                                                  AS INT)) AS BIGINT)
+                           AS sum_scaled
+                FROM f GROUP BY source),
+        ex AS (SELECT source, count(DISTINCT t) AS exact_tokens
+               FROM tf GROUP BY source),
+        est AS (SELECT source, used_buckets, sum_scaled,
+                       {HLL_M * HLL_M * (1 << HLL_RANK_CAP)} // sum_scaled
+                           AS raw,
+                       {HLL_M} - used_buckets AS empty
+                FROM agg),
+        est2 AS (SELECT source, used_buckets, sum_scaled,
+                        CAST(CASE WHEN empty > 0
+                                       AND raw <= {HLL_LC_THRESHOLD}
+                             THEN ([{", ".join(str(v) for v in _HLL_LC)}])
+                                      [empty]
+                             ELSE (raw // 1000000) * {HLL_ALPHA_MICRO}
+                                  + ((raw % 1000000) * {HLL_ALPHA_MICRO})
+                                      // 1000000
+                             END AS BIGINT) AS est_tokens
+                 FROM est)
+        SELECT e.source, e.used_buckets, e.sum_scaled, e.est_tokens,
+               x.exact_tokens,
+               (abs(e.est_tokens - x.exact_tokens) * 1000)
+                   // x.exact_tokens AS err_permille
+        FROM est2 e JOIN ex x USING (source) ORDER BY e.source
+    """,
     # x44: the same h64 feature bucketing as x36, then the fixed
     # deterministic weight w[b] = (h64(str(b)) % 2001) - 1000 summed per
     # doc — pure BIGINT, so the scoring surface hashes bit-exact. Docs

@@ -58,3 +58,33 @@ def test_sql_api_over_registered_views(spark):
         "SELECT count(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
     ).collect()[0][0]
     assert n == 60000
+
+
+def test_hll_deterministic_sketch_accuracy(spark):
+    """x45's from-scratch HLL: the integer register state must yield an
+    estimate within the textbook error band (1.04/sqrt(64) ~ 13% std
+    error; assert a loose 3-sigma bound) and be partitioning-invariant."""
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        x45_hll_distinct,
+    )
+
+    out = {
+        r["source"]: r
+        for r in x45_hll_distinct(spark, SF).collect()
+    }
+    assert out, "no sources"
+    for src, r in out.items():
+        assert r["err_permille"] <= 400, (src, dict(r.asDict()))
+        assert 0 < r["used_buckets"] <= 64
+        assert r["sum_scaled"] > 0
+    # partitioning-invariance: max-register merge is order-independent,
+    # so a different shuffle layout must give identical sketch state
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        again = {
+            r["source"]: r["sum_scaled"]
+            for r in x45_hll_distinct(spark, SF).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert again == {s: r["sum_scaled"] for s, r in out.items()}
