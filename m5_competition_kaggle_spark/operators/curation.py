@@ -273,3 +273,105 @@ def repetition_features(
     return out.withColumn(
         "is_repetitive", F.col("dup_bigram_frac") > F.lit(flag_threshold)
     ).drop("__toks")
+
+
+BLOOM_M = 1 << 14  # bits in the filter
+BLOOM_K = 4  # hash probes per element
+
+
+def h64_sql(col_name: str) -> str:
+    """SQL-expression form of functions.text.h64 for expr() contexts."""
+    return f"cast(conv(substring(md5({col_name}), 1, 15), 16, 10) as bigint)"
+
+
+def _bloom_positions(col_name: str) -> Column:
+    """array<long> of the named string column's BLOOM_K bit positions,
+    by double hashing ONE h64: h1 = low 30 bits, h2 = high bits forced
+    odd, pos_i = (h1 + i·h2) mod m — pure int64, identical in any
+    engine."""
+    h = h64_sql(col_name)
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"pmod((({h}) % {1 << 30}) + {i} * ((({h}) div {1 << 30}) * 2 + 1), {BLOOM_M})"
+            for i in range(BLOOM_K)
+        )
+        + ")"
+    )
+
+
+def bloom_contamination_stats(
+    df: DataFrame,
+    key_col: str,
+    text_col: str | None,
+    bench_pred: Column,
+    shingle_size: int = 4,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Decontamination via a DETERMINISTIC Bloom filter — the broadcast
+    plan for 100 TB corpora: instead of equi-joining corpus shingle
+    STRINGS against the benchmark set (``contamination_hits``), the
+    benchmark compresses to ≤ 2^14 distinct set-bit positions which
+    broadcast as a tiny int join side; the corpus probes map-side with
+    integer keys and is never shuffled by shingle. The filter is built
+    from ``h64`` double hashing (``_bloom_positions``), so a SQL oracle
+    reproduces every bit and every probe — membership is exact-replica
+    certifiable even though Bloom membership itself is approximate.
+
+    Returns per corpus doc: shingle count, Bloom-positive count, EXACT
+    hit count (the precise string join, for false-positive accounting),
+    and observed false positives — certifying both the mechanism and
+    its accuracy, like x45 does for HLL. A production pipeline drops
+    docs with bloom_hits > 0 and pays only the (reported) FP rate."""
+    bench_sh = doc_shingles(
+        df.filter(bench_pred), key_col, text_col, shingle_size,
+        tokens_col=tokens_col,
+    ).select("shingle").distinct()
+    bits = (
+        bench_sh.select(
+            F.explode(_bloom_positions("shingle")).alias("pos")
+        )
+        .distinct()
+    )
+    corpus_sh = doc_shingles(
+        df.filter(~bench_pred), key_col, text_col, shingle_size,
+        tokens_col=tokens_col,
+    )
+    probes = corpus_sh.select(
+        key_col,
+        "shingle",
+        F.explode(_bloom_positions("shingle")).alias("pos"),
+    )
+    # a shingle is Bloom-positive iff ALL K of its bits are set
+    sh_flags = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy(key_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_K)
+        .select(key_col, "shingle")
+    )
+    bloom_per_doc = sh_flags.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("bloom_hits")
+    )
+    exact_per_doc = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    totals = corpus_sh.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        totals.join(bloom_per_doc, key_col, "left")
+        .join(exact_per_doc, key_col, "left")
+        .select(
+            F.col(key_col),
+            "n_shingles",
+            F.coalesce("bloom_hits", F.lit(0)).alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+            (
+                F.coalesce("bloom_hits", F.lit(0))
+                - F.coalesce("exact_hits", F.lit(0))
+            ).alias("false_positives"),
+        )
+    )

@@ -71,6 +71,7 @@ _HEAD = (
     "x41_pagerank",
     "x44_score_fixed",
     "x45_hll_distinct",
+    "x46_bloom_decontaminate",
     # -- similarity module consumers (sentinel fix) --------------------
     "x9_sim_topk",
     "x10_sim_topk_lsh",
@@ -97,9 +98,9 @@ _HEAD = (
     "g10_range_frame_window",
     "g11_gap_fill_locf",
     "g12_correlated_subquery",
-    "g13_cohort_retention",
-    # g14 yields its slot to x45 this round; the promotions queue
-    # re-certifies it next round with the rest of the stale overflow.
+    # g13/g14 yield their slots to x45/x46 this round; the promotions
+    # queue re-certifies them next round with the rest of the stale
+    # overflow.
     "g15_rank_distribution",
     "g16_pivot_multi_agg",
     "g17_sessionize_gaps",

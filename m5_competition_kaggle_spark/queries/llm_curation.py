@@ -43,6 +43,11 @@ CHUNK_SIZE, CHUNK_STRIDE = 32, 24
 DECON_SHINGLE = 4  # 5-grams flag ~0.2% of this corpus, 3-grams ~34%
 SAMPLE_PERMILLE = {"en": 500, "fr": 300, "es": 200}  # default 100
 
+from m5_competition_kaggle_spark.operators.curation import (  # noqa: E402
+    BLOOM_K as _BLOOM_K,
+    BLOOM_M as _BLOOM_M,
+)
+
 
 def x19_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (size 32, stride 24): the step that
@@ -59,6 +64,25 @@ def x20_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the docs a training run must drop."""
     docs = load_table(spark, sf_dir, "documents")
     return contamination_hits(
+        docs, "doc_id", "text", (F.col("doc_id") % 97) == 0, DECON_SHINGLE
+    ).orderBy("doc_id")
+
+
+def x46_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by deterministic Bloom filter
+    (``operators/curation.bloom_contamination_stats``): the benchmark's
+    4-shingles compress to ≤2^14 set-bit positions that broadcast as an
+    integer join side, so the 100 TB corpus probes map-side and is
+    never shuffled by shingle — the scale path behind x20's exact
+    string join. h64 double hashing makes every bit and probe SQL-
+    replicable; the exact hit count rides along so the output certifies
+    the mechanism AND its observed false-positive count per doc."""
+    from m5_competition_kaggle_spark.operators.curation import (
+        bloom_contamination_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_contamination_stats(
         docs, "doc_id", "text", (F.col("doc_id") % 97) == 0, DECON_SHINGLE
     ).orderBy("doc_id")
 
@@ -721,6 +745,7 @@ QUERIES = {
     "x41_pagerank": x41_pagerank,
     "x44_score_fixed": x44_score_fixed,
     "x45_hll_distinct": x45_hll_distinct,
+    "x46_bloom_decontaminate": x46_bloom_decontaminate,
 }
 
 # --------------------------------------------------------------- Oracle side
@@ -805,6 +830,49 @@ FROM aug ORDER BY doc_id
 
 
 ORACLES = {
+    # x46: deterministic Bloom decontamination — double-hashed h64 bit
+    # positions, identical bit set and probe semantics (including the
+    # duplicate-probe-position quirk of double hashing) on both engines.
+    "x46_bloom_decontaminate": rf"""
+        WITH docs AS (SELECT doc_id,
+                             str_split_regex(trim(text), '\s+') AS toks
+                      FROM documents),
+        {_shingle_cte(DECON_SHINGLE)},
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+        ii AS (SELECT unnest(range({_BLOOM_K})) AS i),
+        bits AS (SELECT DISTINCT
+                        ((h % {1 << 30})
+                         + i * ((h // {1 << 30}) * 2 + 1)) % {_BLOOM_M}
+                            AS pos
+                 FROM (SELECT {H64.format(s='shingle')} AS h FROM bench)
+                 CROSS JOIN ii),
+        probes AS (SELECT doc_id, shingle,
+                          ((h % {1 << 30})
+                           + i * ((h // {1 << 30}) * 2 + 1)) % {_BLOOM_M}
+                              AS pos
+                   FROM (SELECT doc_id, shingle,
+                                {H64.format(s='shingle')} AS h FROM corp)
+                   CROSS JOIN ii),
+        shflag AS (SELECT doc_id, shingle
+                   FROM probes JOIN bits USING (pos)
+                   GROUP BY doc_id, shingle
+                   HAVING count(*) = {_BLOOM_K}),
+        bpd AS (SELECT doc_id, count(*) AS bloom_hits
+                FROM shflag GROUP BY doc_id),
+        epd AS (SELECT c.doc_id, count(*) AS exact_hits
+                FROM corp c JOIN bench b USING (shingle)
+                GROUP BY c.doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_shingles
+                FROM corp GROUP BY doc_id)
+        SELECT t.doc_id, t.n_shingles,
+               COALESCE(bpd.bloom_hits, 0) AS bloom_hits,
+               COALESCE(epd.exact_hits, 0) AS exact_hits,
+               COALESCE(bpd.bloom_hits, 0) - COALESCE(epd.exact_hits, 0)
+                   AS false_positives
+        FROM tot t LEFT JOIN bpd USING (doc_id) LEFT JOIN epd USING (doc_id)
+        ORDER BY t.doc_id
+    """,
     # x45: from-scratch HLL — same h64 bucketing, bin()-length rank,
     # integer-scaled register sum, micro-unit alpha; every step has an
     # exact BIGINT twin on both engines.

@@ -220,3 +220,30 @@ def test_temperature_mix_flattens_skew(spark):
     assert out["head"]["n_kept"] == exp["head"] < 400
     # flattening: rare keep fraction strictly above head keep fraction
     assert out["rare"]["n_kept"] * n["head"] > out["head"]["n_kept"] * n["rare"]
+
+
+def test_bloom_decontamination_guarantees(spark):
+    """Bloom membership has NO false negatives (every exact hit is a
+    bloom hit) and the observed FP count per doc is non-negative and
+    small at this filter load; the bits side must broadcast so the
+    corpus probe stays map-side."""
+    from pyspark.sql import functions as F
+
+    from m5_competition_kaggle_spark.operators.curation import (
+        bloom_contamination_stats,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = bloom_contamination_stats(
+        docs, "doc_id", "text", (F.col("doc_id") % 97) == 0, 4
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["false_positives"] >= 0, dict(r.asDict())  # no false negs
+        assert r["bloom_hits"] <= r["n_shingles"]
+    total_fp = sum(r["false_positives"] for r in rows)
+    total_sh = sum(r["n_shingles"] for r in rows)
+    assert total_fp <= max(10, total_sh // 100), (total_fp, total_sh)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
