@@ -207,9 +207,11 @@ def x18_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x17_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct
-    counts and quantile sketches per event_type. No SQL oracle — sketch
-    outputs are engine-specific by design; accuracy vs exact values is
-    asserted in tests/test_sketches.py (rows-only driver check)."""
+    counts and quantile sketches per event_type. No SQL oracle — these
+    BUILT-IN sketch outputs are Spark-internal by design; accuracy vs
+    exact values is asserted in tests/test_sketches.py (rows-only
+    driver check). For a fully hash-certified sketch see
+    x45_hll_distinct (from-scratch deterministic HLL on h64)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
