@@ -88,3 +88,57 @@ def test_hll_deterministic_sketch_accuracy(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert again == {s: r["sum_scaled"] for s, r in out.items()}
+
+
+def test_hll_union_merge_property(spark):
+    """The property that makes HLL distributable: the register state of
+    A∪B equals the elementwise max of A's and B's registers — i.e., the
+    per-(source,bucket) max-agg is a true monoid merge, so partial
+    sketches from different partitions/files combine losslessly."""
+    from pyspark.sql import functions as F
+
+    from m5_competition_kaggle_spark.functions.text import h64, tokens
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        HLL_M,
+        HLL_RANK_CAP,
+    )
+
+    def registers(df):
+        hashed = (
+            df.select(F.explode(tokens("text")).alias("t"))
+            .filter(F.col("t") != "")
+            .select(h64(F.col("t")).alias("h"))
+            .select(
+                F.pmod("h", F.lit(HLL_M)).alias("bucket"),
+                F.expr(f"h div {HLL_M}").alias("val"),
+            )
+            .withColumn(
+                "rank",
+                F.when(F.col("val") == 0, F.lit(HLL_RANK_CAP)).otherwise(
+                    F.least(
+                        F.lit(55) - F.length(F.expr("bin(val)")),
+                        F.lit(HLL_RANK_CAP),
+                    )
+                ),
+            )
+        )
+        return {
+            r["bucket"]: r["mj"]
+            for r in hashed.groupBy("bucket")
+            .agg(F.max("rank").alias("mj"))
+            .collect()
+        }
+
+    a = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, f"delta{i} beta{i % 5} eps{i}") for i in range(40, 90)],
+        "doc_id long, text string",
+    )
+    ra, rb, rab = registers(a), registers(b), registers(a.unionByName(b))
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert rab == merged
