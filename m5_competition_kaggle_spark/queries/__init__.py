@@ -29,19 +29,23 @@ _MODULES = (core, extensions, streaming_shaped, analytics, llm_curation)
 # ENFORCES via per-query transitive code hashes), so the head-50 is a
 # rotating certification window:
 #
-# Round-4 head composition (VERDICT.md r3 items 1-3): this round edited
-# llm_curation (x33 integer-exact), similarity (top-k sentinel fix),
-# graph (CC invariant check), streaming_shaped (s8 integer-exact), and
-# catalog (schema-sniff fallback) — catalog is in EVERY query's closure,
-# so all 92 banked rows went stale at once. The r4 head takes every
-# query whose own module changed semantically; the leftover stale set
-# (core q1–q23 + the untouched extensions) is promotion-queued for r5.
+# Round-5 head composition (VERDICT.md r4 item 1): the r4 edit to
+# sources/catalog.py staled every banked row at once; the r4 head
+# re-certified the 50 semantically-edited queries, leaving 45 — all of
+# core q1–q23 plus the untouched extensions — promotion-queued. This
+# round the deliberate _HEAD shrinks to the minimum so ALL 45
+# STALE_PROMOTIONS enter the window (45 + 4 picks = 49, one slot spare
+# for a newly-registered query):
 #
-#   1. x33 — r3's one hash-FAIL, now integer-exact; must re-certify.
-#   2. All 20 llm_curation queries (module edited).
-#   3. x9/x10/x12 — similarity module consumers (sentinel fix).
-#   4. s1–s8 (streaming_shaped edited for s8).
-#   5. g1–g18 (analytics; banking fresh post-catalog-change rows).
+#   1. x33 — one green row (r4, after its r3 FAIL); bank a second.
+#   2. x44/x45/x46 — new in r4, one green row each; bank a second.
+#
+# NO file in any of the 45 promotions' closures may be edited this round
+# (that would re-stale it out of its own re-certification); the closure
+# audit is `python -c "...dep_closure..."` — new capability this round
+# therefore lands in NEW modules only (operators/similarity_scaled.py,
+# operators/curation_scale.py, ...), with in-place consolidation batched
+# for r6 when the window has slack again.
 #
 # Everything not in the effective head lands in the tail, ordered as
 # registered. Stale/never-certified tail queries are auto-promoted into
@@ -49,62 +53,9 @@ _MODULES = (core, extensions, streaming_shaped, analytics, llm_curation)
 # _HEAD entries always keep priority; see _effective_head).
 _HEAD = (
     "x33_source_caps",
-    # -- llm_curation module (edited this round) -----------------------
-    "x19_chunk_docs",
-    "x20_decontaminate",
-    "x21_stratified_sample",
-    "x22_repetition_quality",
-    "x23_sim_topk_ivf",
-    "x24_dedup_clusters",
-    "x25_pii_redact",
-    "x26_pack_shards",
-    "x27_importance_sample",
-    "x28_model_quality",
-    "x29_corpus_to_shards",
-    "x30_vocab_topk",
-    "x31_lm_surprisal",
-    "x32_tfidf_keywords",
-    "x34_dup_spans",
-    "x35_temperature_mix",
-    "x36_hashed_tf",
-    "x40_length_buckets",
-    "x41_pagerank",
     "x44_score_fixed",
     "x45_hll_distinct",
     "x46_bloom_decontaminate",
-    # -- similarity module consumers (sentinel fix) --------------------
-    "x9_sim_topk",
-    "x10_sim_topk_lsh",
-    "x12_embed_near_dup",
-    # -- streaming_shaped (s8 integer-exact rewrite) -------------------
-    "s1_tumbling",
-    "s2_sliding",
-    "s3_session",
-    "s4_running_totals",
-    "s5_ewma",
-    "s6_stream_dedup",
-    "s7_funnel_join",
-    "s8_stream_static_enrich",
-    # -- analytics ------------------------------------------------------
-    "g1_pricing_summary",
-    "g2_revenue_by_nation",
-    "g3_top_customers_per_segment",
-    "g4_rollup_revenue",
-    "g5_distinct_agg",
-    "g6_semi_anti_joins",
-    "g7_set_ops",
-    "g8_median_quantiles",
-    "g9_cube_revenue",
-    "g10_range_frame_window",
-    "g11_gap_fill_locf",
-    "g12_correlated_subquery",
-    # g13/g14 yield their slots to x45/x46 this round; the promotions
-    # queue re-certifies them next round with the rest of the stale
-    # overflow.
-    "g15_rank_distribution",
-    "g16_pivot_multi_agg",
-    "g17_sessionize_gaps",
-    "g18_transition_counts",
 )
 
 HEAD_CAP = 50
@@ -119,6 +70,10 @@ HEAD_CAP = 50
 # stale set is larger than the remaining slots (e.g. a catalog.py edit
 # staling all 92 closures at once), the overflow stays promotion-queued
 # for the following round.
+#
+# NOTE: STALE_PROMOTIONS is snapshotted at import time — a regenerated
+# _promotions.py is not seen by an already-running session; restart (or
+# re-import the package) after running scripts/certification_ledger.py.
 try:
     from m5_competition_kaggle_spark.queries._promotions import (
         STALE_PROMOTIONS,

@@ -67,6 +67,12 @@ def _imports(path: str, current_mod: str) -> set[str]:
     tree = ast.parse(open(os.path.join(REPO, path)).read())
     found: set[str] = set()
     pkg_parts = current_mod.split(".")
+    # A package __init__'s module name is the package itself (the
+    # `.__init__` suffix is stripped), so a level-1 relative import
+    # written inside it resolves against the package, not its parent:
+    # `from . import core` in pkg/queries/__init__.py means pkg.queries
+    # .core. Treat the name as one component longer for the arithmetic.
+    is_pkg = os.path.basename(path) == "__init__.py"
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for a in node.names:
@@ -74,7 +80,8 @@ def _imports(path: str, current_mod: str) -> set[str]:
                     found.add(a.name)
         elif isinstance(node, ast.ImportFrom):
             if node.level:  # relative: resolve against current module
-                base = pkg_parts[: len(pkg_parts) - node.level]
+                keep = len(pkg_parts) - node.level + (1 if is_pkg else 0)
+                base = pkg_parts[:keep]
                 mod = ".".join(base + ([node.module] if node.module else []))
             else:
                 mod = node.module or ""
@@ -123,30 +130,187 @@ def dep_closure() -> dict[str, set[str]]:
     }
 
 
-def _hash_fileset(paths: set[str], blob: dict[str, str]) -> str:
-    """Stable hash of a file set given per-file content digests."""
+def _hash_fileset(
+    paths: set[str],
+    blob: dict[str, str],
+    catalog: dict[str, str] | None = None,
+    tables: set[str] | None = None,
+) -> str:
+    """Stable hash of a file set given per-file content digests.
+
+    ``catalog.py`` sits in EVERY query's closure, so hashing it whole
+    means any edit stales all ~95 banked rows at once (the r4 incident).
+    When ``catalog`` (per-section digests from :func:`_catalog_sections`)
+    and ``tables`` (the query's table set from :func:`_closure_tables`)
+    are provided, catalog.py contributes only its SHARED code sections
+    plus the schema entries of the tables this query actually reads — a
+    pure one-table schema edit then stales only that table's consumers,
+    while any edit to load/normalize logic still stales everyone.
+    ``tables=None`` means "could not be determined" and conservatively
+    includes every table section.
+    """
     h = hashlib.sha256()
     for p in sorted(paths):
-        h.update(f"{p}\0{blob.get(p, 'ABSENT')}\n".encode())
+        if p == CATALOG_PATH and catalog is not None:
+            names = sorted(
+                t for t in catalog if t != SHARED_KEY
+                and (tables is None or t in tables)
+            )
+            part = catalog[SHARED_KEY] + "".join(
+                f"{t}={catalog[t]}" for t in names
+            )
+            # A referenced table with no section entry (renamed/dropped)
+            # must still perturb the hash:
+            if tables is not None:
+                part += "".join(
+                    f"{t}=ABSENT" for t in sorted(tables)
+                    if t not in catalog
+                )
+            h.update(f"{p}\0{part}\n".encode())
+        else:
+            h.update(f"{p}\0{blob.get(p, 'ABSENT')}\n".encode())
     return h.hexdigest()[:16]
 
 
-def _worktree_blobs() -> dict[str, str]:
+CATALOG_PATH = f"{PKG}/sources/catalog.py"
+SHARED_KEY = ""  # section key for catalog code outside per-table schemas
+
+
+def _catalog_sections(src: str) -> dict[str, str] | None:
+    """Per-section content digests of a catalog.py source text.
+
+    Splits the module into the per-table ``SCHEMAS`` dict entries (one
+    section per table, keyed by table name) and everything else (the
+    shared load/normalize/sniff logic, keyed by ``SHARED_KEY``). Returns
+    None when the structure can't be recognized (syntax error, no
+    literal SCHEMAS dict) — callers then fall back to whole-file
+    hashing, which is strictly conservative.
+    """
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    schema_dict = None
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            targets = node.targets
+        elif isinstance(node, ast.AnnAssign):  # SCHEMAS: dict[...] = {...}
+            targets = [node.target]
+        else:
+            continue
+        if (
+            any(
+                isinstance(t, ast.Name) and t.id == "SCHEMAS"
+                for t in targets
+            )
+            and isinstance(node.value, ast.Dict)
+        ):
+            schema_dict = node.value
+            break
+    if schema_dict is None:
+        return None
+    line_start = [0]
+    for line in src.splitlines(keepends=True):
+        line_start.append(line_start[-1] + len(line))
+
+    def offset(lineno: int, col: int) -> int:
+        return line_start[lineno - 1] + col
+
+    sections: dict[str, str] = {}
+    spans: list[tuple[int, int]] = []
+    for k, v in zip(schema_dict.keys, schema_dict.values):
+        if not (isinstance(k, ast.Constant) and isinstance(k.value, str)):
+            return None  # computed key — can't attribute; fall back
+        a = offset(k.lineno, k.col_offset)
+        b = offset(v.end_lineno, v.end_col_offset)
+        sections[k.value] = hashlib.sha256(src[a:b].encode()).hexdigest()
+        spans.append((a, b))
+    shared = []
+    pos = 0
+    for a, b in sorted(spans):
+        shared.append(src[pos:a])
+        pos = b
+    shared.append(src[pos:])
+    sections[SHARED_KEY] = hashlib.sha256(
+        "".join(shared).encode()
+    ).hexdigest()
+    return sections
+
+
+def _closure_tables(
+    files: set[str],
+    table_names: tuple[str, ...],
+    read_file,
+) -> set[str] | None:
+    """Catalog tables a query's closure references, or None for "all".
+
+    Scans every closure file (except catalog.py itself) for string
+    constants mentioning a table name — load_table("lineitem") and
+    f-string path constants like "events.parquet" both match via the
+    substring test, which over-includes but never under-includes for
+    literal references. Two cases force the conservative ALL answer:
+    the closure touches the full-catalog surface (TABLES / SCHEMAS /
+    register_views), or no table literal is found at all (a dynamic
+    name must be assumed to reach any table).
+    """
+    found: set[str] = set()
+    dynamic = False
+    for p in sorted(files):
+        if p == CATALOG_PATH:
+            continue
+        try:
+            tree = ast.parse(read_file(p))
+        except (OSError, SyntaxError):
+            return None
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Constant) and isinstance(
+                node.value, str
+            ):
+                for t in table_names:
+                    if t in node.value:
+                        found.add(t)
+            elif isinstance(node, ast.Name) and node.id in (
+                "TABLES", "SCHEMAS", "register_views"
+            ):
+                dynamic = True
+            elif isinstance(node, ast.Attribute) and node.attr in (
+                "TABLES", "SCHEMAS", "register_views"
+            ):
+                dynamic = True
+            elif isinstance(node, ast.ImportFrom) and any(
+                a.name in ("TABLES", "SCHEMAS", "register_views")
+                for a in node.names
+            ):
+                dynamic = True
+    if dynamic or not found:
+        return None
+    return found
+
+
+def _worktree_blobs() -> tuple[dict[str, str], dict[str, str] | None]:
+    """(path -> content sha256, catalog section digests) for the tree."""
     out = {}
+    catalog = None
     for path in glob.glob(os.path.join(REPO, PKG, "**", "*.py"),
                           recursive=True):
         rel = os.path.relpath(path, REPO)
-        out[rel] = hashlib.sha256(open(path, "rb").read()).hexdigest()
-    return out
+        content = open(path, "rb").read()
+        out[rel] = hashlib.sha256(content).hexdigest()
+        if rel == CATALOG_PATH:
+            catalog = _catalog_sections(content.decode())
+    return out, catalog
 
 
-def _commit_blobs(commit: str) -> dict[str, str]:
-    """repo-relative path -> content sha256 at `commit` (package only)."""
+def _commit_blobs(
+    commit: str,
+) -> tuple[dict[str, str], dict[str, str] | None]:
+    """(path -> content sha256, catalog section digests) at `commit`."""
     ls = subprocess.run(
         ["git", "ls-tree", "-r", commit, "--", PKG],
         capture_output=True, text=True, cwd=REPO, check=True,
     ).stdout
     out = {}
+    catalog = None
     for line in ls.splitlines():
         meta, path = line.split("\t", 1)
         blob_sha = meta.split()[2]
@@ -155,23 +319,31 @@ def _commit_blobs(commit: str) -> dict[str, str]:
             capture_output=True, cwd=REPO, check=True,
         ).stdout
         out[path] = hashlib.sha256(content).hexdigest()
-    return out
+        if path == CATALOG_PATH:
+            try:
+                catalog = _catalog_sections(content.decode())
+            except UnicodeDecodeError:
+                catalog = None
+    return out, catalog
 
 
 def _round_commit(corr_path: str) -> str | None:
     """Commit whose tree the round's driver run certified: the parent of
-    the commit that added CORRECTNESS_r{N}.json (the driver runs the
-    last committed code, then commits its result files on top)."""
+    the LAST commit touching CORRECTNESS_r{N}.json (the driver runs the
+    last committed code, then commits its result files on top). Last, not
+    first: if the driver re-runs within a round and amends the file, the
+    current contents were produced against the amending commit's parent
+    tree — validating amended rows against the original parent would
+    hash-compare the wrong code."""
     name = os.path.basename(corr_path)
-    adds = subprocess.run(
-        ["git", "log", "--diff-filter=A", "--format=%H", "--", name],
+    last = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", name],
         capture_output=True, text=True, cwd=REPO,
-    ).stdout.split()
-    if not adds:
+    ).stdout.strip()
+    if not last:
         return None
-    first = adds[-1]
     parent = subprocess.run(
-        ["git", "rev-parse", f"{first}^"],
+        ["git", "rev-parse", f"{last}^"],
         capture_output=True, text=True, cwd=REPO,
     )
     return parent.stdout.strip() if parent.returncode == 0 else None
@@ -187,7 +359,7 @@ def main() -> int:
     )
 
     rounds: dict[str, dict] = {}
-    round_blobs: dict[str, dict[str, str] | None] = {}
+    round_blobs: dict[str, tuple[dict, dict | None] | None] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
         rounds[rnd] = json.load(open(path))
@@ -202,20 +374,49 @@ def main() -> int:
     base_order = [n for mod in _MODULES for n in mod.QUERIES]
 
     closure = dep_closure()
-    now_blobs = _worktree_blobs()
+    now_blobs, now_catalog = _worktree_blobs()
     qmod = {name: fn.__module__ for name, fn in queries.items()}
     qfiles = {name: closure.get(qmod[name], set()) for name in base_order}
-    now_hash = {
-        name: _hash_fileset(qfiles[name], now_blobs) for name in base_order
+    from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+    def _read_worktree(rel: str) -> str:
+        return open(os.path.join(REPO, rel)).read()
+
+    qtables = {
+        name: _closure_tables(qfiles[name], TABLES, _read_worktree)
+        for name in base_order
     }
+    now_hash = {
+        name: _hash_fileset(
+            qfiles[name], now_blobs, now_catalog, qtables[name]
+        )
+        for name in base_order
+    }
+    # Sectioned catalog hashing applies only when BOTH the round's blob
+    # and the worktree parse into sections; otherwise both sides fall
+    # back to whole-file so the comparison stays apples-to-apples.
     round_hash: dict[str, dict[str, str]] = {}
-    for rnd, blobs in round_blobs.items():
-        if blobs is None:
+    now_hash_for: dict[str, dict[str, str]] = {}
+    for rnd, bc in round_blobs.items():
+        if bc is None:
             round_hash[rnd] = {}
+            now_hash_for[rnd] = {}
             continue
+        blobs, cat = bc
+        sectioned = cat is not None and now_catalog is not None
         round_hash[rnd] = {
-            name: _hash_fileset(qfiles[name], blobs) for name in base_order
+            name: _hash_fileset(
+                qfiles[name], blobs,
+                cat if sectioned else None, qtables[name],
+            )
+            for name in base_order
         }
+        now_hash_for[rnd] = (
+            now_hash if sectioned else {
+                name: _hash_fileset(qfiles[name], now_blobs, None, None)
+                for name in base_order
+            }
+        )
 
     # First pass: which queries hold a CURRENTLY-VALID green row?
     def row_valid(name: str) -> bool:
@@ -224,7 +425,7 @@ def main() -> int:
             if row is None:
                 continue
             rh = round_hash[rnd].get(name)
-            if rh is None or rh != now_hash[name]:
+            if rh is None or rh != now_hash_for[rnd].get(name):
                 continue
             if row.get("hash_match"):
                 return True
@@ -271,7 +472,7 @@ def main() -> int:
         for rnd, data in rounds.items():
             row = data.get(name)
             rh = round_hash[rnd].get(name)
-            fresh = rh is not None and rh == now_hash[name]
+            fresh = rh is not None and rh == now_hash_for[rnd].get(name)
             if row is None:
                 marks.append("—")
             elif row.get("err") and name not in oracles and row.get(
@@ -331,6 +532,10 @@ def main() -> int:
             "module": qmod[name],
             "code_hash": now_hash[name],
             "n_files": len(qfiles[name]),
+            "tables": (
+                "ALL" if qtables[name] is None
+                else sorted(qtables[name])
+            ),
         }
         for name in qs
     }

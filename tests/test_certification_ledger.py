@@ -11,8 +11,13 @@ import sys
 sys.path.insert(0, ".")
 
 from scripts.certification_ledger import (  # noqa: E402
+    CATALOG_PATH,
     EXCLUDE,
+    SHARED_KEY,
+    _catalog_sections,
+    _closure_tables,
     _hash_fileset,
+    _imports,
     dep_closure,
 )
 
@@ -65,14 +70,141 @@ def test_promotions_fill_after_deliberate_head(monkeypatch):
     assert ("zz_fake" in eff) == (len(q._HEAD) < q.HEAD_CAP)
 
 
-def test_registered_head_is_50_and_contains_x33():
+def test_registered_head_contains_all_stale_promotions():
     import m5_competition_kaggle_spark.queries as q
 
     importlib.reload(q)
     names = list(q.all_queries())
     assert len(names) >= 50
-    head = names[:50]
-    # r4 priority slots: the r3 FAIL and the semantically-changed queries
-    for must in ("x33_source_caps", "x9_sim_topk",
-                 "s8_stream_static_enrich", "x24_dedup_clusters"):
+    head = set(names[:50])
+    # r5 contract (VERDICT r4 item 1): every promotion-queued stale query
+    # — all of core q1–q23 included — must re-enter the window, plus the
+    # single-green r4 picks getting their second banked row.
+    from m5_competition_kaggle_spark.queries._promotions import (
+        STALE_PROMOTIONS,
+    )
+    missing = [n for n in STALE_PROMOTIONS if n not in head]
+    assert not missing, missing
+    for must in ("q1_filter_project", "q23_conditional_functions",
+                 "x33_source_caps", "x45_hll_distinct"):
         assert must in head, must
+
+
+# --- r5: per-table catalog sectioning (VERDICT r4 item 2) -------------
+
+CATALOG_V1 = '''
+from pyspark.sql import types as T
+
+SCHEMAS: dict[str, T.StructType] = {
+    "alpha": T.StructType([T.StructField("a", T.LongType())]),
+    "beta": T.StructType([T.StructField("b", T.StringType())]),
+}
+
+def load_table(spark, sf_dir, name):
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}")
+'''
+
+
+def test_catalog_sections_split_tables_from_shared():
+    s1 = _catalog_sections(CATALOG_V1)
+    assert set(s1) == {SHARED_KEY, "alpha", "beta"}
+    # one-table schema edit: only that table's section moves
+    s2 = _catalog_sections(
+        CATALOG_V1.replace('"b", T.StringType()', '"b", T.DoubleType()')
+    )
+    assert s2["beta"] != s1["beta"]
+    assert s2["alpha"] == s1["alpha"]
+    assert s2[SHARED_KEY] == s1[SHARED_KEY]
+    # shared load-logic edit: shared section moves, tables don't
+    s3 = _catalog_sections(
+        CATALOG_V1.replace("def load_table", "def load_table2")
+    )
+    assert s3[SHARED_KEY] != s1[SHARED_KEY]
+    assert s3["alpha"] == s1["alpha"] and s3["beta"] == s1["beta"]
+
+
+def test_catalog_sections_conservative_fallbacks():
+    assert _catalog_sections("not python ((((") is None
+    assert _catalog_sections("X = 1") is None  # no SCHEMAS dict
+    # computed key: can't attribute sections — whole-file fallback
+    assert _catalog_sections("SCHEMAS = {f'{1}': 2}") is None
+
+
+def test_real_catalog_sections_parse():
+    src = open(CATALOG_PATH).read()
+    sections = _catalog_sections(src)
+    from m5_competition_kaggle_spark.sources.catalog import TABLES
+    assert sections is not None
+    assert set(sections) == set(TABLES) | {SHARED_KEY}
+
+
+def test_one_table_edit_stales_only_consumers():
+    """The blast-radius contract: a no-op-for-others edit to one table's
+    schema section flips only that table's consumers stale."""
+    files = {CATALOG_PATH, f"{PKG}/queries/core.py"}
+    blobs = {p: "X" for p in files}
+    cat1 = {SHARED_KEY: "s", "events": "e", "documents": "d"}
+    cat2 = {SHARED_KEY: "s", "events": "e", "documents": "D"}  # doc edit
+    ev_reader = {"events"}
+    doc_reader = {"documents"}
+    assert _hash_fileset(files, blobs, cat1, ev_reader) == \
+        _hash_fileset(files, blobs, cat2, ev_reader)
+    assert _hash_fileset(files, blobs, cat1, doc_reader) != \
+        _hash_fileset(files, blobs, cat2, doc_reader)
+    # shared-code edit still stales everyone
+    cat3 = {SHARED_KEY: "S", "events": "e", "documents": "d"}
+    assert _hash_fileset(files, blobs, cat1, ev_reader) != \
+        _hash_fileset(files, blobs, cat3, ev_reader)
+    # unknown table set (None) conservatively includes every section
+    assert _hash_fileset(files, blobs, cat1, None) != \
+        _hash_fileset(files, blobs, cat2, None)
+    # a referenced table missing its section entry perturbs the hash
+    assert _hash_fileset(files, blobs, cat1, {"events", "gone"}) != \
+        _hash_fileset(files, blobs, cat1, {"events"})
+
+
+def test_closure_tables_scan(tmp_path):
+    reads = {
+        "a.py": 'def q(s, d):\n    return load_table(s, d, "lineitem")\n',
+        "b.py": 'PATH = f"{d}/events.parquet"\n',
+        "c.py": "from x import register_views\n",
+        "d.py": "y = 1\n",
+    }
+
+    def rf(p):
+        return reads[p]
+
+    tables = ("lineitem", "events", "orders")
+    assert _closure_tables({"a.py"}, tables, rf) == {"lineitem"}
+    # f-string path constants match via substring
+    assert _closure_tables({"a.py", "b.py"}, tables, rf) == {
+        "lineitem", "events"
+    }
+    # full-catalog surface → conservative ALL
+    assert _closure_tables({"a.py", "c.py"}, tables, rf) is None
+    # no literal at all → conservative ALL
+    assert _closure_tables({"d.py"}, tables, rf) is None
+    # catalog.py itself is skipped, not parsed
+    assert _closure_tables({"a.py", CATALOG_PATH}, tables, rf) == {
+        "lineitem"
+    }
+
+
+def test_relative_import_in_package_init(tmp_path):
+    """ADVICE r4: `from . import core` inside pkg/queries/__init__.py
+    must resolve to pkg.queries.core, not pkg.core."""
+    d = tmp_path / "queries"
+    d.mkdir()
+    init = d / "__init__.py"
+    init.write_text("from . import core\nfrom .. import config\n")
+    import scripts.certification_ledger as L
+    old = L.REPO
+    try:
+        L.REPO = str(tmp_path.parent)
+        rel = str(init.relative_to(tmp_path.parent))
+        got = _imports(rel, f"{PKG}.queries")
+    finally:
+        L.REPO = old
+    assert f"{PKG}.queries.core" in got
+    assert f"{PKG}.config" in got
+    assert f"{PKG}.core" not in got
