@@ -16,11 +16,18 @@ from m5_competition_kaggle_spark.queries import (
     analytics,
     core,
     extensions,
+    extensions_r5,
     llm_curation,
     streaming_shaped,
 )
 
-_MODULES = (core, extensions, streaming_shaped, analytics, llm_curation)
+# extensions_r5 registers LAST so its new queries append to the base
+# order: auto-promoted never-certified entries then queue BEHIND the 45
+# stale re-certifications instead of displacing any of them.
+_MODULES = (
+    core, extensions, streaming_shaped, analytics, llm_curation,
+    extensions_r5,
+)
 
 # Registration order is a driver contract: the driver records correctness
 # rows for exactly the FIRST 50 registered queries. Certification is
@@ -56,6 +63,9 @@ _HEAD = (
     "x44_score_fixed",
     "x45_hll_distinct",
     "x46_bloom_decontaminate",
+    # the window's one spare slot: the new occupancy-scaled LSH query
+    # (x48_bloom_fast, also new, auto-queues for r6 behind the 45).
+    "x47_sim_topk_lsh_auto",
 )
 
 HEAD_CAP = 50

@@ -99,6 +99,18 @@ def dep_closure() -> dict[str, set[str]]:
     files = _module_files()
     direct: dict[str, set[str]] = {}
     for mod, path in files.items():
+        if path in EXCLUDE:
+            # Registration/rotation metadata (queries/__init__.py): its
+            # imports are the REGISTRY LIST, not semantic dependencies.
+            # Traversing them would make every query module that imports
+            # any sibling query module transitively depend on ALL
+            # registered modules — so merely REGISTERING a new module
+            # would stale unrelated banked rows (observed in r5: adding
+            # extensions_r5 flipped all 19 llm_curation rows stale).
+            # The file itself is already excluded from hash filesets;
+            # prune its edges too.
+            direct[mod] = set()
+            continue
         deps = {m for m in _imports(path, mod) if m in files}
         # importing pkg.a.b implies pkg.a's __init__ runs too
         for m in list(deps):
