@@ -30,22 +30,25 @@ def label_encode(
 
     ``scalable=False`` (default) ranks the distinct values with a global
     window — exact and fine up to ~millions of distinct values, but it is
-    a single-partition sort. ``scalable=True`` ranks via a range-partitioned
-    sort + ``zipWithIndex`` — fully distributed, for high-cardinality
-    columns (e.g. 3 M item ids); same codes, and the code table then joins
-    (not broadcasts) if it outgrows the broadcast threshold.
+    a single-partition sort. ``scalable=True`` ranks via the two-phase
+    range-partitioned prefix scan (``operators.prefix.global_running_sum``
+    of a constant 1: a value's 0-based rank is its exclusive running
+    count) — fully distributed and DataFrame-native end to end (no RDD
+    API, stays inside Catalyst/codegen), for high-cardinality columns
+    (e.g. 3 M item ids); same codes, and the code table then joins (not
+    broadcasts) if it outgrows the broadcast threshold.
     """
+    from m5_competition_kaggle_spark.operators.prefix import (
+        global_running_sum,
+    )
+
     out = out_col or f"{col}_code"
     distinct = df.select(col).distinct().filter(F.col(col).isNotNull())
     if scalable:
-        spark = df.sparkSession
-        ranked = (
-            distinct.orderBy(col)
-            .rdd.map(lambda r: r[0])
-            .zipWithIndex()  # preserves the sorted order, distributed
-            .map(lambda kv: (kv[0], kv[1]))
+        ranked = global_running_sum(
+            distinct.withColumn("__one", F.lit(1)), "__one", (col,), "__rk"
         )
-        codes = spark.createDataFrame(ranked, [col, out])
+        codes = ranked.select(col, (F.col("__rk") - 1).alias(out))
         joined = df.join(codes, [col], "left")
     else:
         codes = distinct.withColumn(
