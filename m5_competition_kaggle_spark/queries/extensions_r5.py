@@ -75,6 +75,20 @@ def x48_bloom_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def x49_fit_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One integer-exact perceptron training iteration of the quality
+    classifier (``ml/quality_step.perceptron_step``): from the x44
+    fixed weight vector, compute per-doc predictions, the per-bucket
+    gradient against an integer weak label (n_chars ≥ 200), and the
+    updated weights — all int64, reproduced bit-for-bit by the oracle.
+    Shrinks x28's rows-only residue to just L-BFGS float convergence."""
+    from m5_competition_kaggle_spark.ml.quality_step import perceptron_step
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = (F.col("n_chars") >= 200).cast("int")
+    return perceptron_step(docs, label).orderBy("bucket")
+
+
 def _lsh_topk_auto_oracle(
     k: int,
     target_occupancy: int,
@@ -174,9 +188,41 @@ ORDER BY t.doc_id
 """
 
 
+# Twin of ml/quality_step.perceptron_step over the x36 feature relation
+# and the x44 weight rule; sums CAST to BIGINT (DuckDB sum → HUGEINT).
+_FIT_STEP_ORACLE = rf"""
+WITH tok AS (SELECT doc_id,
+                    unnest(str_split_regex(trim(lower(text)),
+                                           '\s+')) AS t
+             FROM documents),
+tfp AS (SELECT doc_id,
+               CAST({H64.format(s='t')} % 4096 AS INT) AS bucket,
+               count(*) AS tf
+        FROM tok WHERE t <> ''
+        GROUP BY doc_id, bucket),
+wb AS (SELECT DISTINCT bucket,
+              ({H64.format(s="CAST(bucket AS VARCHAR)")} % 2001) - 1000
+                  AS w0
+       FROM tfp),
+lg AS (SELECT doc_id, CAST(sum(tf * w0) AS BIGINT) AS logit
+       FROM tfp JOIN wb USING (bucket) GROUP BY doc_id),
+errs AS (SELECT d.doc_id,
+                CAST(COALESCE(l.logit, 0) >= 0 AS BIGINT)
+                - CAST(d.n_chars >= 200 AS BIGINT) AS err
+         FROM documents d LEFT JOIN lg l USING (doc_id)),
+g AS (SELECT t.bucket, CAST(sum(e.err * t.tf) AS BIGINT) AS grad_units
+      FROM tfp t JOIN errs e USING (doc_id) GROUP BY t.bucket)
+SELECT g.bucket, w.w0 AS w0_units, g.grad_units,
+       w.w0 - g.grad_units AS w1_units
+FROM g JOIN wb w USING (bucket)
+ORDER BY g.bucket
+"""
+
+
 QUERIES = {
     "x47_sim_topk_lsh_auto": x47_sim_topk_lsh_auto,
     "x48_bloom_fast": x48_bloom_fast,
+    "x49_fit_step": x49_fit_step,
 }
 
 ORACLES = {
@@ -184,4 +230,5 @@ ORACLES = {
         10, TARGET_OCCUPANCY, MAX_PLANES, 8, 64, 50
     ),
     "x48_bloom_fast": _BLOOM_FAST_ORACLE,
+    "x49_fit_step": _FIT_STEP_ORACLE,
 }
