@@ -188,6 +188,73 @@ ORDER BY t.doc_id
 """
 
 
+def x50_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch frequency estimation (``operators/cms.py``):
+    build the D×W sketch over the corpus token stream, then point-
+    estimate every token whose exact count ≥ 50 and report the
+    overcount — certifying sketch build AND estimate end to end, with
+    the exact counts riding along for accuracy accounting (the x45/x46
+    pattern). Sketch state is ≤ D·W cells regardless of corpus size."""
+    from m5_competition_kaggle_spark.functions.text import tokens
+    from m5_competition_kaggle_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_tf"))
+    cand = exact.filter(F.col("exact_tf") >= 50)
+    sketch = cms_build(toks, "token")
+    est = cms_estimate(
+        sketch, cand.select("token"), "token", out_col="est_tf"
+    )
+    return (
+        cand.join(est, "token")
+        .select(
+            "token",
+            "exact_tf",
+            "est_tf",
+            (F.col("est_tf") - F.col("exact_tf")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+# Twin of operators/cms.py: one h64 per token, double-hashed into D
+# cells of width W; estimate = min over the D cells; sums CAST to
+# BIGINT (DuckDB count/min stay BIGINT, but be explicit on est).
+def _cms_oracle(d: int, w: int, min_tf: int) -> str:
+    h = H64.format(s="token")
+    pos = f"((h % {1 << 30}) + dd.d * ((h // {1 << 30}) * 2 + 1)) % {w}"
+    return rf"""
+WITH tok AS (SELECT unnest(str_split_regex(trim(lower(text)),
+                                           '\s+')) AS t
+             FROM documents),
+tf AS (SELECT t AS token FROM tok WHERE t <> ''),
+exact AS (SELECT token, count(*) AS exact_tf FROM tf GROUP BY token),
+dd AS (SELECT unnest(range({d})) AS d),
+hh AS (SELECT token, {h} AS h FROM tf),
+cells AS (SELECT dd.d, {pos} AS pos, count(*) AS cnt
+          FROM hh CROSS JOIN dd
+          GROUP BY dd.d, pos),
+cand AS (SELECT token, exact_tf, {h} AS h
+         FROM exact WHERE exact_tf >= {min_tf}),
+probes AS (SELECT cand.token, cand.exact_tf, dd.d, {pos} AS pos
+           FROM cand CROSS JOIN dd),
+est AS (SELECT token, exact_tf,
+               CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_tf
+        FROM probes LEFT JOIN cells USING (d, pos)
+        GROUP BY token, exact_tf)
+SELECT token, exact_tf, est_tf, est_tf - exact_tf AS overcount
+FROM est ORDER BY token
+"""
+
+
 # Twin of ml/quality_step.perceptron_step over the x36 feature relation
 # and the x44 weight rule; sums CAST to BIGINT (DuckDB sum → HUGEINT).
 _FIT_STEP_ORACLE = rf"""
@@ -223,6 +290,7 @@ QUERIES = {
     "x47_sim_topk_lsh_auto": x47_sim_topk_lsh_auto,
     "x48_bloom_fast": x48_bloom_fast,
     "x49_fit_step": x49_fit_step,
+    "x50_cms_freq": x50_cms_freq,
 }
 
 ORACLES = {
@@ -231,4 +299,5 @@ ORACLES = {
     ),
     "x48_bloom_fast": _BLOOM_FAST_ORACLE,
     "x49_fit_step": _FIT_STEP_ORACLE,
+    "x50_cms_freq": _cms_oracle(4, 1024, 50),
 }
