@@ -1,0 +1,109 @@
+"""SemDeDup-style semantic deduplication (Abbas et al., 2023 shape).
+
+Pairwise embedding near-dup (``embedding_near_dup_pairs``, x12) bounds
+candidates with LSH buckets; the SemDeDup alternative bounds them with
+CLUSTER STRUCTURE instead: assign every vector to its nearest centroid,
+then compare only within a cluster, keeping one canonical member per
+near-dup neighborhood. At web scale the intra-cluster join touches
+~N²/k pairs instead of N² and every stage is a keyed equi-join on the
+cluster id — no all-pairs anywhere.
+
+Determinism (the repo's oracle policy): centroids are the k lowest-id
+vectors and assignment ranks by the same quantized int64 dot with
+(dot desc, cid asc) tie-break as ``ivf_topk`` — a production build
+swaps in trained k-means centroids, identical plan. The keep rule is
+deterministic too: a vector is DROPPED iff some LOWER-ID member of its
+cluster has quantized dot ≥ threshold with it (the lowest such id is
+reported as the canonical the row deduplicates to), so any engine
+reproduces the identical keep set — certified end to end by x51.
+
+Scale notes: the centroid table is bounded (broadcast); assignment is
+one map-side pass; the intra-cluster self-join keys on cid, so skewed
+(over-full) clusters are AQE skew-join territory — or pre-split by
+recursing the assignment inside hot clusters, plan unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.operators.similarity import quantize_expr
+
+
+def _int_dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cid): nearest deterministic centroid per vector — the
+    ``ivf_topk`` assignment stage exposed as its own operator."""
+    qz = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
+    )
+    cent = qz.filter(F.col("vid") < n_centroids).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vid").orderBy(F.desc("__cdot"), F.asc("cid"))
+    return (
+        qz.crossJoin(F.broadcast(cent))
+        .withColumn("__cdot", _int_dot("v", "cv"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "v", "cid")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold_dot: int,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One row per vector: (vec_id, cid, keep, canonical_id).
+
+    ``keep=0`` iff a lower-id vector in the SAME cluster has quantized
+    dot ≥ ``threshold_dot``; ``canonical_id`` is the lowest such id
+    (the member this row deduplicates to), or the vector's own id when
+    kept. Downstream: ``filter(keep == 1)`` is the deduplicated corpus.
+    """
+    assigned = assign_clusters(vectors, n_centroids, id_col, vec_col)
+    lo = assigned.select(
+        F.col("cid"), F.col("vid").alias("lo_id"), F.col("v").alias("lo_v")
+    )
+    hi = assigned.select(
+        F.col("cid"), F.col("vid").alias("hi_id"), F.col("v").alias("hi_v")
+    )
+    kills = (
+        hi.join(lo, "cid")
+        .filter(F.col("lo_id") < F.col("hi_id"))
+        .withColumn("__dot", _int_dot("lo_v", "hi_v"))
+        .filter(F.col("__dot") >= threshold_dot)
+        .groupBy("hi_id")  # hi_id is unique; cid rides along via assigned
+        .agg(F.min("lo_id").alias("canonical_id"))
+    )
+    return (
+        assigned.join(
+            kills, assigned["vid"] == kills["hi_id"], "left"
+        )
+        .select(
+            F.col("vid").alias(id_col),
+            "cid",
+            F.when(F.col("canonical_id").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+            F.coalesce(F.col("canonical_id"), F.col("vid")).alias(
+                "canonical_id"
+            ),
+        )
+    )

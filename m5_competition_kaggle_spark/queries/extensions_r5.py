@@ -286,11 +286,63 @@ ORDER BY g.bucket
 """
 
 
+def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (``operators/semantic_dedup.py``):
+    deterministic centroid assignment bounds the near-dup comparison to
+    intra-cluster pairs (~N²/k, keyed on cid — never all-pairs), then a
+    canonical-keep rule drops every vector that a lower-id cluster-mate
+    covers at quantized dot ≥ 350000 (≈ cosine 0.35 for ~unit vectors,
+    matching x12's threshold). One row per vector with the keep bit and
+    the canonical id it deduplicates to — all int64, oracle-replayed."""
+    from m5_competition_kaggle_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, 350_000, n_centroids=16).orderBy("vec_id")
+
+
+_SEMANTIC_DEDUP_ORACLE = """
+WITH qv AS (SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+            FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM qv WHERE vec_id < 16),
+scored AS (SELECT q.vec_id, q.v, c.cid,
+                  CAST(list_sum(list_transform(
+                      generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.cv[i])) AS BIGINT) AS cdot
+           FROM qv q CROSS JOIN cent c),
+assigned AS (SELECT vec_id, v, cid
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cdot DESC, cid) AS rn
+                   FROM scored)
+             WHERE rn = 1),
+kills AS (SELECT hi.cid, hi.vec_id AS hi_id,
+                 min(lo.vec_id) AS canonical_id
+          FROM assigned hi
+          JOIN assigned lo
+            ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+          WHERE CAST(list_sum(list_transform(
+                    generate_series(1, len(hi.v)),
+                    i -> hi.v[i] * lo.v[i])) AS BIGINT) >= 350000
+          GROUP BY hi.cid, hi.vec_id)
+SELECT a.vec_id, a.cid,
+       CAST(k.canonical_id IS NULL AS INT) AS keep,
+       COALESCE(k.canonical_id, a.vec_id) AS canonical_id
+FROM assigned a
+LEFT JOIN kills k ON a.cid = k.cid AND a.vec_id = k.hi_id
+ORDER BY a.vec_id
+"""
+
+
 QUERIES = {
     "x47_sim_topk_lsh_auto": x47_sim_topk_lsh_auto,
     "x48_bloom_fast": x48_bloom_fast,
     "x49_fit_step": x49_fit_step,
     "x50_cms_freq": x50_cms_freq,
+    "x51_semantic_dedup": x51_semantic_dedup,
 }
 
 ORACLES = {
@@ -300,4 +352,5 @@ ORACLES = {
     "x48_bloom_fast": _BLOOM_FAST_ORACLE,
     "x49_fit_step": _FIT_STEP_ORACLE,
     "x50_cms_freq": _cms_oracle(4, 1024, 50),
+    "x51_semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
 }

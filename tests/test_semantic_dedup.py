@@ -1,0 +1,77 @@
+"""SemDeDup-style semantic dedup (operators/semantic_dedup.py)."""
+
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.operators.semantic_dedup import (
+    assign_clusters,
+    semantic_dedup,
+)
+from m5_competition_kaggle_spark.operators.similarity import (
+    exact_near_dup_pairs,
+)
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+THR = 350_000
+
+
+def test_every_vector_assigned_once(spark):
+    emb = load_table(spark, SF, "embeddings")
+    assigned = assign_clusters(emb, 16)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vid").distinct().count() == emb.count()
+    cids = {r["cid"] for r in assigned.select("cid").distinct().collect()}
+    assert cids <= set(range(16))
+
+
+def test_drops_match_exact_pairs_within_clusters(spark):
+    """keep=0 exactly when the EXACT all-pairs audit finds a lower-id
+    neighbor >= threshold in the same cluster; canonical is the lowest
+    such neighbor."""
+    emb = load_table(spark, SF, "embeddings")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, THR, 16).collect()}
+    cid = {
+        r["vid"]: r["cid"]
+        for r in assign_clusters(emb, 16).select("vid", "cid").collect()
+    }
+    pairs = exact_near_dup_pairs(emb, THR).collect()
+    expected_canon: dict[int, int] = {}
+    for r in pairs:  # id_a < id_b by construction
+        if cid[r["id_a"]] == cid[r["id_b"]]:
+            b = r["id_b"]
+            expected_canon[b] = min(expected_canon.get(b, r["id_a"]),
+                                    r["id_a"])
+    dropped = {v for v, r in out.items() if r["keep"] == 0}
+    assert dropped == set(expected_canon), (
+        dropped ^ set(expected_canon)
+    )
+    for v, canon in expected_canon.items():
+        assert out[v]["canonical_id"] == canon
+    for v, r in out.items():
+        if r["keep"] == 1:
+            assert r["canonical_id"] == v
+
+
+def test_cluster_minimum_always_kept(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = semantic_dedup(emb, THR, 16)
+    mins = out.groupBy("cid").agg(F.min("vec_id").alias("m"))
+    kept_mins = out.join(
+        mins, (out["vec_id"] == mins["m"]) & (out["cid"] == mins["cid"])
+    ).select("keep")
+    assert all(r["keep"] == 1 for r in kept_mins.collect())
+
+
+def test_intra_cluster_join_is_keyed(spark):
+    """The near-dup comparison must plan as an equi-join on cid — the
+    only cross join is the bounded broadcast centroid assignment."""
+    emb = load_table(spark, SF, "embeddings")
+    plan = semantic_dedup(emb, THR, 16)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for line in plan.splitlines():
+        if "CartesianProduct" in line:
+            raise AssertionError(line)
+        if "BroadcastNestedLoopJoin" in line:
+            # allowed only for the centroid fan-out (broadcast side is
+            # the <=16-row centroid table)
+            assert "cv" in plan
