@@ -286,6 +286,35 @@ ORDER BY g.bucket
 """
 
 
+def s9_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming CMS (``streaming/sketches.py``):
+    the full D×W cell table over the events stream's user_id values.
+    The identical ``cms_build`` aggregation runs unchanged as a
+    no-watermark streaming agg — safe ONLY because the sketch bounds
+    its own state at D·W cells (stream == batch proven in
+    tests/test_streaming_sketches.py; this query certifies the cells
+    against DuckDB)."""
+    from m5_competition_kaggle_spark.operators.cms import cms_build
+
+    ev = load_table(spark, sf_dir, "events")
+    items = ev.select(F.col("user_id").cast("string").alias("__item"))
+    return cms_build(items, "__item").orderBy("d", "pos")
+
+
+_STREAM_CMS_ORACLE = rf"""
+WITH hh AS (SELECT {H64.format(s='CAST(user_id AS VARCHAR)')} AS h
+            FROM events),
+dd AS (SELECT unnest(range(4)) AS d),
+cells AS (SELECT dd.d,
+                 ((h % {1 << 30})
+                  + dd.d * ((h // {1 << 30}) * 2 + 1)) % 1024 AS pos,
+                 count(*) AS cnt
+          FROM hh CROSS JOIN dd
+          GROUP BY dd.d, pos)
+SELECT d, pos, cnt FROM cells ORDER BY d, pos
+"""
+
+
 def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (``operators/semantic_dedup.py``):
     deterministic centroid assignment bounds the near-dup comparison to
@@ -343,6 +372,7 @@ QUERIES = {
     "x49_fit_step": x49_fit_step,
     "x50_cms_freq": x50_cms_freq,
     "x51_semantic_dedup": x51_semantic_dedup,
+    "s9_stream_cms": s9_stream_cms,
 }
 
 ORACLES = {
@@ -353,4 +383,5 @@ ORACLES = {
     "x49_fit_step": _FIT_STEP_ORACLE,
     "x50_cms_freq": _cms_oracle(4, 1024, 50),
     "x51_semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
+    "s9_stream_cms": _STREAM_CMS_ORACLE,
 }
