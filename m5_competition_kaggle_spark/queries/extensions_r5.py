@@ -366,6 +366,60 @@ ORDER BY a.vec_id
 """
 
 
+def x52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quantiles over events.value
+    (``operators/quantiles.py``): exact rank-based values via the
+    two-phase distributed prefix scan, next to the mergeable
+    histogram-sketch estimate — the certified twin for the quantile
+    half of x17's approx_percentile (x45 twins its HLL half). The
+    sketch's a-priori bound shows in the output: err_units ∈
+    [0, bin_width)."""
+    from m5_competition_kaggle_spark.operators.quantiles import (
+        DEFAULT_BIN_UNITS,
+        exact_quantiles,
+        hist_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = exact_quantiles(ev, "value")
+    est = hist_quantiles(ev, "value", bin_units=DEFAULT_BIN_UNITS)
+    return (
+        exact.join(est, "permille")
+        .select(
+            "permille",
+            "exact_units",
+            "est_units",
+            (F.col("exact_units") - F.col("est_units")).alias("err_units"),
+        )
+        .orderBy("permille")
+    )
+
+
+_HIST_QUANTILES_ORACLE = """
+WITH v AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS v
+           FROM events),
+n AS (SELECT count(*) AS n FROM v),
+qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS permille),
+ranks AS (SELECT permille,
+                 (permille * n + 999) // 1000 AS r
+          FROM qs CROSS JOIN n),
+counts AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM counts),
+exact AS (SELECT permille, min(v) AS exact_units
+          FROM ranks JOIN cum ON cum.cum >= ranks.r
+          GROUP BY permille),
+bins AS (SELECT v // 100000 AS bin, count(*) AS c FROM v GROUP BY bin),
+bcum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM bins),
+est AS (SELECT permille, min(bin) * 100000 AS est_units
+        FROM ranks JOIN bcum ON bcum.cum >= ranks.r
+        GROUP BY permille)
+SELECT x.permille, x.exact_units, e.est_units,
+       x.exact_units - e.est_units AS err_units
+FROM exact x JOIN est e USING (permille)
+ORDER BY x.permille
+"""
+
+
 QUERIES = {
     "x47_sim_topk_lsh_auto": x47_sim_topk_lsh_auto,
     "x48_bloom_fast": x48_bloom_fast,
@@ -373,6 +427,7 @@ QUERIES = {
     "x50_cms_freq": x50_cms_freq,
     "x51_semantic_dedup": x51_semantic_dedup,
     "s9_stream_cms": s9_stream_cms,
+    "x52_hist_quantiles": x52_hist_quantiles,
 }
 
 ORACLES = {
@@ -384,4 +439,5 @@ ORACLES = {
     "x50_cms_freq": _cms_oracle(4, 1024, 50),
     "x51_semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
     "s9_stream_cms": _STREAM_CMS_ORACLE,
+    "x52_hist_quantiles": _HIST_QUANTILES_ORACLE,
 }
