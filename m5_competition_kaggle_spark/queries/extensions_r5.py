@@ -1,25 +1,38 @@
-"""Round-5 extension queries — scale-mode variants of certified ops.
+"""Round-5 extension queries.
 
-Both queries here certify the 100 TB "mode" of an operator whose
-certified baseline keeps a deliberately fixed/audited configuration:
+Scale-mode variants of certified operators plus the round's new
+surface, all hash-certified against DuckDB twins:
 
-- x47: ``lsh_topk_auto`` — occupancy-scaled plane count (the fix for
-  the r4 audit's one super-linear entry, x10 at fixed planes). The
-  plane-count rule is integer-exact, so the oracle derives the same
-  count from ``count(*)`` and reproduces buckets bit-for-bit.
-- x48: ``bloom_decontaminate(exact_audit=False)`` — Bloom probing by
-  shingle h64 only, no exact string join anywhere (the flag the r4
-  verdict asked for; x46 keeps the audited variant).
+- x47 ``lsh_topk_auto`` — occupancy-scaled plane count (the fix for
+  the r4 audit's one super-linear entry, x10 at fixed planes); the
+  integer-exact sizing rule lets the oracle derive the same count
+  from ``count(*)``.
+- x48 ``bloom_decontaminate(exact_audit=False)`` — Bloom probing by
+  shingle h64 only, no exact string join (the r4-verdict flag; x46
+  keeps the audited variant).
+- x49 ``perceptron_step`` — one integer-exact training iteration of
+  the quality classifier (shrinks x28's rows-only residue to L-BFGS
+  convergence only).
+- x50 ``cms_build``/``cms_estimate`` — Count-Min frequency sketch.
+- x51 ``semantic_dedup`` — SemDeDup-style cluster-bounded near-dup.
+- x52 ``exact_quantiles``/``hist_quantiles`` — distributed exact
+  quantiles + mergeable histogram sketch (twins x17's quantile half).
+- x53 ``seeded_shuffle`` — deterministic global training order via
+  the distributed prefix scan.
+- x54 exact-K per-group sampling — "exactly K eval docs per domain"
+  via one keyed window over h64 order.
+- s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
+  bounded-state streaming agg.
 
 New module on purpose: r5's certification window is fully booked by the
 45 stale re-certifications, so no file in their hash closures may
 change (see queries/__init__.py). x47 takes the window's one spare
-slot; x48 auto-queues for r6.
+slot; the rest auto-queue for the r6 window.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from m5_competition_kaggle_spark.operators.curation import BLOOM_K, BLOOM_M
@@ -420,6 +433,69 @@ ORDER BY x.permille
 """
 
 
+def x53_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle (``operators/shuffle.py``):
+    every document's 1-based position in the seed-42 pseudo-random
+    order, assigned via the distributed prefix scan (no global
+    single-partition sort). The permutation is reproducible across
+    engines — the oracle replays it with row_number() over the same
+    h64 order."""
+    from m5_competition_kaggle_spark.operators.shuffle import seeded_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seeded_shuffle(docs, "doc_id", seed=42).orderBy("doc_id")
+
+
+_SEEDED_SHUFFLE_ORACLE = rf"""
+WITH h AS (SELECT doc_id,
+                  {H64.format(s="'42:' || CAST(doc_id AS VARCHAR)")} AS hk
+           FROM documents)
+SELECT doc_id,
+       row_number() OVER (ORDER BY hk, doc_id) AS shuffle_pos
+FROM h ORDER BY doc_id
+"""
+
+
+def x54_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K deterministic sampling per group: the K=5 documents per
+    source with the smallest h64(seed:doc_id) — "give me exactly K
+    eval docs per domain", a guarantee the permille-based samplers
+    (x21 stratified, x27 importance) deliberately don't make. One
+    keyed window (partitioned by source — scales with executors);
+    reproducible and engine-independent like x53's shuffle."""
+    from m5_competition_kaggle_spark.functions.text import h64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("__hk", "doc_id")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            h64(
+                F.concat(F.lit("11:"), F.col("doc_id").cast("string"))
+            ).alias("__hk"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+_EXACT_K_SAMPLE_ORACLE = rf"""
+WITH h AS (SELECT source, doc_id,
+                  {H64.format(s="'11:' || CAST(doc_id AS VARCHAR)")} AS hk
+           FROM documents),
+r AS (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hk, doc_id) AS sample_rank
+      FROM h)
+SELECT source, doc_id, sample_rank
+FROM r WHERE sample_rank <= 5
+ORDER BY source, sample_rank
+"""
+
+
 QUERIES = {
     "x47_sim_topk_lsh_auto": x47_sim_topk_lsh_auto,
     "x48_bloom_fast": x48_bloom_fast,
@@ -428,6 +504,8 @@ QUERIES = {
     "x51_semantic_dedup": x51_semantic_dedup,
     "s9_stream_cms": s9_stream_cms,
     "x52_hist_quantiles": x52_hist_quantiles,
+    "x53_seeded_shuffle": x53_seeded_shuffle,
+    "x54_exact_k_sample": x54_exact_k_sample,
 }
 
 ORACLES = {
@@ -440,4 +518,6 @@ ORACLES = {
     "x51_semantic_dedup": _SEMANTIC_DEDUP_ORACLE,
     "s9_stream_cms": _STREAM_CMS_ORACLE,
     "x52_hist_quantiles": _HIST_QUANTILES_ORACLE,
+    "x53_seeded_shuffle": _SEEDED_SHUFFLE_ORACLE,
+    "x54_exact_k_sample": _EXACT_K_SAMPLE_ORACLE,
 }
