@@ -76,7 +76,10 @@ def semantic_dedup(
     (the member this row deduplicates to), or the vector's own id when
     kept. Downstream: ``filter(keep == 1)`` is the deduplicated corpus.
     """
-    assigned = assign_clusters(vectors, n_centroids, id_col, vec_col)
+    # Both sides of the intra-cluster join and the final overlay consume
+    # the assignment — persist it so the centroid fan-out + rank runs
+    # once, not three times (measured ~1.5x at sf0.1).
+    assigned = assign_clusters(vectors, n_centroids, id_col, vec_col).persist()
     lo = assigned.select(
         F.col("cid"), F.col("vid").alias("lo_id"), F.col("v").alias("lo_v")
     )

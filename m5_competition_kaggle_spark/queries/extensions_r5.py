@@ -215,6 +215,10 @@ def x50_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # each branch re-tokenizes from the pruned scan — measured CHEAPER
+    # than persisting the exploded token stream (cache materialization
+    # exceeds the re-scan cost, and at 100 TB caching a corpus-sized
+    # token stream is the wrong trade vs a column-pruned parquet scan)
     toks = docs.select(
         F.explode(
             F.filter(tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
