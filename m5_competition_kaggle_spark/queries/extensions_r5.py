@@ -21,6 +21,8 @@ surface, all hash-certified against DuckDB twins:
   the distributed prefix scan.
 - x54 exact-K per-group sampling — "exactly K eval docs per domain"
   via one keyed window over h64 order.
+- x55 audio time-segmentation — the third multimodal modality:
+  Arrow-batched fake-codec decode + overlapping segment fan-out.
 - s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
   bounded-state streaming agg.
 
@@ -500,6 +502,53 @@ ORDER BY source, sample_rank
 """
 
 
+def x55_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio time-segmentation plumbing (``multimodal/audio.py``):
+    opaque blob → Arrow-batched fake-codec decode (sample rate,
+    duration) → overlapping 1000 ms / 600 ms-hop segment fan-out. The
+    third multimodal modality next to x11 (image meta) and x42 (video
+    frames); all integer arithmetic, oracle-replayed."""
+    from m5_competition_kaggle_spark.multimodal.audio import (
+        audio_meta,
+        segment_audio,
+    )
+    from m5_competition_kaggle_spark.multimodal.ops import to_binary_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = audio_meta(to_binary_assets(docs, "doc_id", "text"))
+    return (
+        segment_audio(meta, seg_ms=1000, hop_ms=600)
+        .select(
+            "doc_id", "sample_rate", "duration_ms", "seg_idx",
+            "start_ms", "end_ms",
+        )
+        .orderBy("doc_id", "seg_idx")
+    )
+
+
+_AUDIO_SEGMENTS_ORACLE = """
+WITH m AS (SELECT doc_id,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+           FROM documents),
+m2 AS (SELECT doc_id,
+              CAST(CASE n_bytes % 3 WHEN 0 THEN 8000
+                   WHEN 1 THEN 16000 ELSE 44100 END AS BIGINT)
+                  AS sample_rate,
+              n_bytes * 64 AS n_samples
+       FROM m),
+m3 AS (SELECT doc_id, sample_rate,
+              (n_samples * 1000) // sample_rate AS duration_ms
+       FROM m2),
+seg AS (SELECT doc_id, sample_rate, duration_ms,
+               unnest(range(0, duration_ms, 600)) AS start_ms
+        FROM m3 WHERE duration_ms > 0)
+SELECT doc_id, sample_rate, duration_ms,
+       start_ms // 600 AS seg_idx, start_ms,
+       least(start_ms + 1000, duration_ms) AS end_ms
+FROM seg ORDER BY doc_id, seg_idx
+"""
+
+
 QUERIES = {
     "x47_sim_topk_lsh_auto": x47_sim_topk_lsh_auto,
     "x48_bloom_fast": x48_bloom_fast,
@@ -510,6 +559,7 @@ QUERIES = {
     "x52_hist_quantiles": x52_hist_quantiles,
     "x53_seeded_shuffle": x53_seeded_shuffle,
     "x54_exact_k_sample": x54_exact_k_sample,
+    "x55_audio_segments": x55_audio_segments,
 }
 
 ORACLES = {
@@ -524,4 +574,5 @@ ORACLES = {
     "x52_hist_quantiles": _HIST_QUANTILES_ORACLE,
     "x53_seeded_shuffle": _SEEDED_SHUFFLE_ORACLE,
     "x54_exact_k_sample": _EXACT_K_SAMPLE_ORACLE,
+    "x55_audio_segments": _AUDIO_SEGMENTS_ORACLE,
 }
