@@ -23,6 +23,8 @@ surface, all hash-certified against DuckDB twins:
   via one keyed window over h64 order.
 - x55 audio time-segmentation — the third multimodal modality:
   Arrow-batched fake-codec decode + overlapping segment fan-out.
+- x56 snapshot diff — dataset-versioning added/removed/changed by
+  content hash via one full outer join.
 - s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
   bounded-state streaming agg.
 
@@ -549,6 +551,65 @@ FROM seg ORDER BY doc_id, seg_idx
 """
 
 
+def x56_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: compare two corpus snapshots by key and
+    content hash and classify every key as added / removed / changed /
+    unchanged, with per-class counts and id ranges. Snapshots here are
+    deterministic slices of ``documents`` (old = doc_id % 10 != 0, new
+    = doc_id % 7 != 0 with text 'changed' when doc_id % 13 == 0 —
+    simulated edits); production passes two real snapshot frames. One
+    full outer join on the key + md5 compare — keyed, shuffle-minimal,
+    and the per-class agg output is tiny at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("old_hash")
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" v2")),
+            ).otherwise(F.col("text"))
+        ).alias("new_hash"),
+    )
+    classified = old.join(new, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return (
+        classified.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("status")
+    )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+WITH old AS (SELECT doc_id, md5(text) AS old_hash
+             FROM documents WHERE doc_id % 10 <> 0),
+new AS (SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                        ELSE text END) AS new_hash
+        FROM documents WHERE doc_id % 7 <> 0),
+c AS (SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+             CASE WHEN old_hash IS NULL THEN 'added'
+                  WHEN new_hash IS NULL THEN 'removed'
+                  WHEN old_hash <> new_hash THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old FULL OUTER JOIN new USING (doc_id))
+SELECT status, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM c GROUP BY status ORDER BY status
+"""
+
+
 QUERIES = {
     "x47_sim_topk_lsh_auto": x47_sim_topk_lsh_auto,
     "x48_bloom_fast": x48_bloom_fast,
@@ -560,6 +621,7 @@ QUERIES = {
     "x53_seeded_shuffle": x53_seeded_shuffle,
     "x54_exact_k_sample": x54_exact_k_sample,
     "x55_audio_segments": x55_audio_segments,
+    "x56_snapshot_diff": x56_snapshot_diff,
 }
 
 ORACLES = {
@@ -575,4 +637,5 @@ ORACLES = {
     "x53_seeded_shuffle": _SEEDED_SHUFFLE_ORACLE,
     "x54_exact_k_sample": _EXACT_K_SAMPLE_ORACLE,
     "x55_audio_segments": _AUDIO_SEGMENTS_ORACLE,
+    "x56_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
 }
