@@ -38,14 +38,32 @@ def _int_dot(a: str, b: str) -> Column:
     )
 
 
+def auto_n_centroids(n_vectors: int) -> int:
+    """k = ⌊√N⌋ (≥1): balances the two cost terms — assignment is N·k
+    dots, intra-cluster pairs are ~N²/k — so total work grows as N^1.5
+    instead of N² at any fixed k (the 10× probe that motivated this
+    measured fixed-k=16 at ~10× wall-clock for 10× data). IEEE sqrt is
+    correctly rounded on both engines, so ``floor(sqrt(N))`` is
+    engine-portable for any feasible count (< 2^52). For strictly
+    LINEAR scaling use ``semantic_dedup_lsh`` (occupancy-scaled
+    buckets, constant occupancy ⇒ ~N pairs)."""
+    import math
+
+    return max(1, math.isqrt(max(0, n_vectors)))
+
+
 def assign_clusters(
     vectors: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, v, cid): nearest deterministic centroid per vector — the
-    ``ivf_topk`` assignment stage exposed as its own operator."""
+    ``ivf_topk`` assignment stage exposed as its own operator.
+    ``n_centroids=None`` auto-scales k with the corpus
+    (:func:`auto_n_centroids`)."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(vectors.count())
     qz = vectors.select(
         F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
     )
@@ -65,7 +83,7 @@ def assign_clusters(
 def semantic_dedup(
     vectors: DataFrame,
     threshold_dot: int,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -80,6 +98,15 @@ def semantic_dedup(
     # the assignment — persist it so the centroid fan-out + rank runs
     # once, not three times (measured ~1.5x at sf0.1).
     assigned = assign_clusters(vectors, n_centroids, id_col, vec_col).persist()
+    return _canonical_keep(assigned, threshold_dot, id_col)
+
+
+def _canonical_keep(
+    assigned: DataFrame, threshold_dot: int, id_col: str
+) -> DataFrame:
+    """The SemDeDup keep rule over any (vid, v, cid) partition: drop a
+    vector iff a lower-id member of its cell covers it at quantized dot
+    ≥ threshold; report the lowest such id as the canonical."""
     lo = assigned.select(
         F.col("cid"), F.col("vid").alias("lo_id"), F.col("v").alias("lo_v")
     )
@@ -110,3 +137,41 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def semantic_dedup_lsh(
+    vectors: DataFrame,
+    threshold_dot: int,
+    num_planes: int | None = None,
+    target_occupancy: int = 32,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The LINEAR-scaling semantic dedup: cells are occupancy-scaled
+    hyperplane LSH buckets (x47's ``auto_num_planes``) instead of
+    centroid clusters — cell occupancy stays in a constant band as the
+    corpus grows, so bucketing is one map-side pass (no N·k assignment
+    dots) and intra-cell pairs grow ~N·occupancy. The trade vs
+    ``semantic_dedup``: a near-dup pair straddling a hyperplane is
+    missed by the single-table partition (recall < centroid clustering
+    near cell edges) — same trade x12 makes, with the same answer
+    (multiple tables) when recall matters more than a strict
+    one-cell-per-vector partition. Keep rule and output schema are
+    identical (cid = bucket id)."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_col,
+        quantize_expr,
+    )
+    from m5_competition_kaggle_spark.operators.similarity_scaled import (
+        auto_num_planes,
+    )
+
+    if num_planes is None:
+        num_planes = auto_num_planes(vectors.count(), target_occupancy)
+    planes = hyperplanes(num_planes, dim)
+    assigned = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
+    ).withColumn("cid", lsh_bucket_col("v", planes))
+    return _canonical_keep(assigned, threshold_dot, id_col)

@@ -14,7 +14,10 @@ surface, all hash-certified against DuckDB twins:
   the quality classifier (shrinks x28's rows-only residue to L-BFGS
   convergence only).
 - x50 ``cms_build``/``cms_estimate`` — Count-Min frequency sketch.
-- x51 ``semantic_dedup`` — SemDeDup-style cluster-bounded near-dup.
+- x51 ``semantic_dedup`` — SemDeDup-style cluster-bounded near-dup
+  (auto k = ⌊√N⌋: N^1.5 total work, never N²).
+- x57 ``semantic_dedup_lsh`` — the strictly-linear variant: cells are
+  occupancy-scaled LSH buckets, one map-side bucketing pass.
 - x52 ``exact_quantiles``/``hist_quantiles`` — distributed exact
   quantiles + mergeable histogram sketch (twins x17's quantile half).
 - x53 ``seeded_shuffle`` — deterministic global training order via
@@ -339,17 +342,21 @@ SELECT d, pos, cnt FROM cells ORDER BY d, pos
 def x51_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (``operators/semantic_dedup.py``):
     deterministic centroid assignment bounds the near-dup comparison to
-    intra-cluster pairs (~N²/k, keyed on cid — never all-pairs), then a
+    intra-cluster pairs (keyed on cid — never all-pairs), then a
     canonical-keep rule drops every vector that a lower-id cluster-mate
     covers at quantized dot ≥ 350000 (≈ cosine 0.35 for ~unit vectors,
-    matching x12's threshold). One row per vector with the keep bit and
-    the canonical id it deduplicates to — all int64, oracle-replayed."""
+    matching x12's threshold). ``n_centroids=None`` auto-scales
+    k = ⌊√N⌋ from one count() so total work grows N^1.5, not N² (the
+    10× probe that caught fixed k=16 at ~10× wall-clock); the oracle
+    derives the same k from count(*). One row per vector with the keep
+    bit and the canonical id — all int64, oracle-replayed. x57 is the
+    strictly-linear LSH-bucketed variant."""
     from m5_competition_kaggle_spark.operators.semantic_dedup import (
         semantic_dedup,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, 350_000, n_centroids=16).orderBy("vec_id")
+    return semantic_dedup(emb, 350_000, n_centroids=None).orderBy("vec_id")
 
 
 _SEMANTIC_DEDUP_ORACLE = """
@@ -358,7 +365,10 @@ WITH qv AS (SELECT vec_id,
                        x -> CAST(round(CAST(x AS DOUBLE) * 1000)
                                  AS BIGINT)) AS v
             FROM embeddings),
-cent AS (SELECT vec_id AS cid, v AS cv FROM qv WHERE vec_id < 16),
+kk AS (SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+                              AS BIGINT)) AS k
+       FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM qv, kk WHERE vec_id < k),
 scored AS (SELECT q.vec_id, q.v, c.cid,
                   CAST(list_sum(list_transform(
                       generate_series(1, len(q.v)),
@@ -384,6 +394,69 @@ SELECT a.vec_id, a.cid,
 FROM assigned a
 LEFT JOIN kills k ON a.cid = k.cid AND a.vec_id = k.hi_id
 ORDER BY a.vec_id
+"""
+
+
+def x57_semantic_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strictly-linear semantic dedup: cells are occupancy-scaled
+    single-table hyperplane buckets (x47's integer-exact plane-count
+    rule) instead of x51's centroid clusters — bucketing is one
+    map-side pass (no N·k assignment dots) and cell occupancy stays in
+    a constant band, so intra-cell pair work grows ~N·occupancy. Same
+    canonical-keep rule and output schema (cid = bucket id)."""
+    from m5_competition_kaggle_spark.operators.semantic_dedup import (
+        semantic_dedup_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_lsh(
+        emb, 350_000, num_planes=None,
+        target_occupancy=TARGET_OCCUPANCY, dim=64,
+    ).orderBy("vec_id")
+
+
+def _semantic_dedup_lsh_oracle(
+    threshold_dot: int, target_occupancy: int, max_planes: int, dim: int
+) -> str:
+    """Twin of ``semantic_dedup_lsh``: x47's count-derived gated plane
+    count (single table 0, prefix-stable literals) builds the bucket
+    partition, then x51's keep rule runs within buckets."""
+    planes = hyperplanes(max_planes, dim)
+    bucket = " + ".join(
+        "CASE WHEN {p} < n_planes AND "
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> v[i] * ([{w}])[i])) >= 0 THEN {bit} ELSE 0 END".format(
+            p=p, d=dim, w=", ".join(str(x) for x in w), bit=1 << p
+        )
+        for p, w in enumerate(planes)
+    )
+    dot = (
+        f"CAST(list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> hi.v[i] * lo.v[i])) AS BIGINT)"
+    )
+    occ = target_occupancy
+    return f"""
+WITH qv AS (SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+            FROM embeddings),
+np AS (SELECT least({max_planes}, greatest(1,
+           (SELECT min(p) FROM range(0, 63) t(p)
+            WHERE (CAST(1 AS BIGINT) << p) >=
+                  (SELECT greatest(1, (count(*) + {occ - 1}) // {occ})
+                   FROM embeddings)))) AS n_planes),
+bk AS (SELECT vec_id, v, ({bucket}) AS cid FROM qv, np),
+kills AS (SELECT hi.vec_id AS hi_id, min(lo.vec_id) AS canonical_id
+          FROM bk hi JOIN bk lo
+            ON hi.cid = lo.cid AND lo.vec_id < hi.vec_id
+          WHERE {dot} >= {threshold_dot}
+          GROUP BY hi.vec_id)
+SELECT b.vec_id, b.cid,
+       CAST(k.canonical_id IS NULL AS INT) AS keep,
+       COALESCE(k.canonical_id, b.vec_id) AS canonical_id
+FROM bk b LEFT JOIN kills k ON b.vec_id = k.hi_id
+ORDER BY b.vec_id
 """
 
 
@@ -622,6 +695,7 @@ QUERIES = {
     "x54_exact_k_sample": x54_exact_k_sample,
     "x55_audio_segments": x55_audio_segments,
     "x56_snapshot_diff": x56_snapshot_diff,
+    "x57_semantic_dedup_lsh": x57_semantic_dedup_lsh,
 }
 
 ORACLES = {
@@ -638,4 +712,7 @@ ORACLES = {
     "x54_exact_k_sample": _EXACT_K_SAMPLE_ORACLE,
     "x55_audio_segments": _AUDIO_SEGMENTS_ORACLE,
     "x56_snapshot_diff": _SNAPSHOT_DIFF_ORACLE,
+    "x57_semantic_dedup_lsh": _semantic_dedup_lsh_oracle(
+        350_000, TARGET_OCCUPANCY, MAX_PLANES, 64
+    ),
 }

@@ -62,6 +62,42 @@ def test_cluster_minimum_always_kept(spark):
     assert all(r["keep"] == 1 for r in kept_mins.collect())
 
 
+def test_auto_k_is_sqrt(spark):
+    from m5_competition_kaggle_spark.operators.semantic_dedup import (
+        auto_n_centroids,
+    )
+
+    assert auto_n_centroids(0) == 1
+    assert auto_n_centroids(1) == 1
+    assert auto_n_centroids(500) == 22
+    assert auto_n_centroids(20_000) == 141
+    emb = load_table(spark, SF, "embeddings")
+    # auto mode = explicit sqrt(N) mode, bit for bit
+    a = semantic_dedup(emb, THR, None).collect()
+    b = semantic_dedup(emb, THR, auto_n_centroids(emb.count())).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_variant_keep_rule_consistent(spark):
+    """x57's bucketed variant obeys the same keep semantics within its
+    cells: drops exactly the vectors the exact audit finds a lower-id
+    >=threshold neighbor for in the SAME bucket."""
+    from m5_competition_kaggle_spark.operators.semantic_dedup import (
+        semantic_dedup_lsh,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    out = {r["vec_id"]: r for r in semantic_dedup_lsh(emb, THR).collect()}
+    assert len(out) == emb.count()  # exactly one cell per vector
+    cid = {v: r["cid"] for v, r in out.items()}
+    pairs = exact_near_dup_pairs(emb, THR).collect()
+    expected = set()
+    for r in pairs:
+        if cid[r["id_a"]] == cid[r["id_b"]]:
+            expected.add(r["id_b"])
+    assert {v for v, r in out.items() if r["keep"] == 0} == expected
+
+
 def test_intra_cluster_join_is_keyed(spark):
     """The near-dup comparison must plan as an equi-join on cid — the
     only cross join is the bounded broadcast centroid assignment."""
