@@ -28,6 +28,8 @@ surface, all hash-certified against DuckDB twins:
   Arrow-batched fake-codec decode + overlapping segment fan-out.
 - x56 snapshot diff — dataset-versioning added/removed/changed by
   content hash via one full outer join.
+- x58 triangle counts — degree-oriented wedge join over the near-dup
+  pair graph (clique-vs-chain signal next to x24/x41).
 - s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
   bounded-state streaming agg.
 
@@ -51,7 +53,11 @@ from m5_competition_kaggle_spark.operators.similarity_scaled import (
     MAX_PLANES,
     lsh_topk_auto,
 )
-from m5_competition_kaggle_spark.queries.extensions import H64, _shingle_cte
+from m5_competition_kaggle_spark.queries.extensions import (
+    H64,
+    _minhash_verified_ctes,
+    _shingle_cte,
+)
 from m5_competition_kaggle_spark.sources.catalog import load_table
 
 TARGET_OCCUPANCY = 32  # expected vectors per LSH bucket in auto mode
@@ -460,6 +466,58 @@ ORDER BY b.vec_id
 """
 
 
+def x58_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the MinHash near-dup pair
+    graph (``operators/graph_metrics.py``): the local-density signal
+    that distinguishes tight duplicate cliques (safe to collapse to
+    one canonical) from triangle-free chains (possible transitive
+    false positives). Degree-oriented wedge join — O(E^1.5) wedge
+    work on any graph, every join keyed. Completes the graph toolbox
+    next to x24 (components) and x41 (PageRank) on the same edges."""
+    from m5_competition_kaggle_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from m5_competition_kaggle_spark.operators.graph_metrics import (
+        triangle_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    return (
+        triangle_counts(pairs)
+        .select(F.col("node").alias("doc_id"), "n_triangles")
+        .orderBy("doc_id")
+    )
+
+
+_TRIANGLES_ORACLE = f"""
+WITH {_minhash_verified_ctes(16, 4)},
+vpairs AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+e AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM vpairs WHERE id_a <> id_b),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n),
+o AS (SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS src,
+             CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS dst
+      FROM e JOIN deg d1 ON d1.n = e.u JOIN deg d2 ON d2.n = e.v),
+wed AS (SELECT w1.src, w1.dst AS x, w2.dst AS y
+        FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst),
+tris AS (SELECT src, x, y
+         FROM wed JOIN e ON x = e.u AND y = e.v)
+SELECT node AS doc_id, count(*) AS n_triangles
+FROM (SELECT src AS node FROM tris
+      UNION ALL SELECT x FROM tris
+      UNION ALL SELECT y FROM tris)
+GROUP BY node ORDER BY doc_id
+"""
+
+
 def x52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantiles over events.value
     (``operators/quantiles.py``): exact rank-based values via the
@@ -696,6 +754,7 @@ QUERIES = {
     "x55_audio_segments": x55_audio_segments,
     "x56_snapshot_diff": x56_snapshot_diff,
     "x57_semantic_dedup_lsh": x57_semantic_dedup_lsh,
+    "x58_triangle_counts": x58_triangle_counts,
 }
 
 ORACLES = {
@@ -715,4 +774,5 @@ ORACLES = {
     "x57_semantic_dedup_lsh": _semantic_dedup_lsh_oracle(
         350_000, TARGET_OCCUPANCY, MAX_PLANES, 64
     ),
+    "x58_triangle_counts": _TRIANGLES_ORACLE,
 }
