@@ -30,6 +30,8 @@ surface, all hash-certified against DuckDB twins:
   content hash via one full outer join.
 - x58 triangle counts — degree-oriented wedge join over the near-dup
   pair graph (clique-vs-chain signal next to x24/x41).
+- x59 fuzzy (edit-distance) self-join — rare-q-gram filter + exact
+  Levenshtein verify: the record-linkage join class.
 - s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
   bounded-state streaming agg.
 
@@ -518,6 +520,42 @@ GROUP BY node ORDER BY doc_id
 """
 
 
+def x59_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join (``operators/fuzzy.py``) over 24-char
+    document prefixes — the record-linkage join class: rare-q-gram
+    candidate filter (df-pruned, deterministic) + exact Levenshtein
+    verify ≤ 4. Both engines implement classic Levenshtein, so the
+    whole filter-and-verify pipeline hash-certifies."""
+    from m5_competition_kaggle_spark.operators.fuzzy import fuzzy_self_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("title")
+    )
+    return fuzzy_self_join(
+        docs, "doc_id", "title", max_dist=4, q=3, max_df=100
+    ).orderBy("id_a", "id_b")
+
+
+_FUZZY_JOIN_ORACLE = """
+WITH k AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+g AS (SELECT DISTINCT doc_id, s,
+             unnest(list_transform(range(1, len(s) - 1),
+                                   i -> substr(s, i, 3))) AS gram
+      FROM k WHERE len(s) >= 3),
+rare AS (SELECT gram
+         FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         WHERE df <= 100),
+p AS (SELECT g.doc_id, g.s, g.gram FROM g JOIN rare USING (gram)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.s AS sa, b.s AS sb
+         FROM p a JOIN p b
+           ON a.gram = b.gram AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, levenshtein(sa, sb) AS dist
+FROM cand WHERE levenshtein(sa, sb) <= 4
+ORDER BY id_a, id_b
+"""
+
+
 def x52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantiles over events.value
     (``operators/quantiles.py``): exact rank-based values via the
@@ -755,6 +793,7 @@ QUERIES = {
     "x56_snapshot_diff": x56_snapshot_diff,
     "x57_semantic_dedup_lsh": x57_semantic_dedup_lsh,
     "x58_triangle_counts": x58_triangle_counts,
+    "x59_fuzzy_join": x59_fuzzy_join,
 }
 
 ORACLES = {
@@ -775,4 +814,5 @@ ORACLES = {
         350_000, TARGET_OCCUPANCY, MAX_PLANES, 64
     ),
     "x58_triangle_counts": _TRIANGLES_ORACLE,
+    "x59_fuzzy_join": _FUZZY_JOIN_ORACLE,
 }
