@@ -32,6 +32,8 @@ surface, all hash-certified against DuckDB twins:
   pair graph (clique-vs-chain signal next to x24/x41).
 - x59 fuzzy (edit-distance) self-join — rare-q-gram filter + exact
   Levenshtein verify: the record-linkage join class.
+- x60 incremental dedup — a new batch vs the existing corpus (daily
+  ingest shape; corpus side contributes precomputable signatures).
 - s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
   bounded-state streaming agg.
 
@@ -556,6 +558,50 @@ ORDER BY id_a, id_b
 """
 
 
+def x60_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection
+    (``operators/dedup_incremental.py``): the new batch (doc_id % 5 ==
+    0) checked against the existing corpus (the rest) and against
+    earlier batch members — the daily-ingest dedup shape where corpus
+    signatures are precomputed. Per new doc: keep/drop bit, the
+    smallest matching id, and which side it came from. The oracle
+    derives its truth from the FULL self-join's verified pair CTE
+    restricted to (new × corpus ∪ new × earlier-new), which the
+    side-independent signatures make exactly equivalent."""
+    from m5_competition_kaggle_spark.operators.dedup_incremental import (
+        incremental_near_dups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return incremental_near_dups(
+        new, corpus, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).orderBy("doc_id")
+
+
+_INCREMENTAL_DEDUP_ORACLE = f"""
+WITH {_minhash_verified_ctes(16, 4)},
+vp AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+und AS (SELECT id_a AS n, id_b AS m FROM vp
+        UNION ALL SELECT id_b AS n, id_a AS m FROM vp),
+m0 AS (SELECT n, min(m) AS matched_id
+       FROM und
+       WHERE n % 5 = 0 AND (m % 5 <> 0 OR m < n)
+       GROUP BY n)
+SELECT d.doc_id,
+       CAST(m0.matched_id IS NOT NULL AS INT) AS is_dup,
+       m0.matched_id,
+       CASE WHEN m0.matched_id IS NULL THEN 'none'
+            WHEN m0.matched_id % 5 <> 0 THEN 'corpus'
+            ELSE 'batch' END AS match_type
+FROM documents d LEFT JOIN m0 ON d.doc_id = m0.n
+WHERE d.doc_id % 5 = 0
+ORDER BY d.doc_id
+"""
+
+
 def x52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantiles over events.value
     (``operators/quantiles.py``): exact rank-based values via the
@@ -794,6 +840,7 @@ QUERIES = {
     "x57_semantic_dedup_lsh": x57_semantic_dedup_lsh,
     "x58_triangle_counts": x58_triangle_counts,
     "x59_fuzzy_join": x59_fuzzy_join,
+    "x60_incremental_dedup": x60_incremental_dedup,
 }
 
 ORACLES = {
@@ -815,4 +862,5 @@ ORACLES = {
     ),
     "x58_triangle_counts": _TRIANGLES_ORACLE,
     "x59_fuzzy_join": _FUZZY_JOIN_ORACLE,
+    "x60_incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
 }
