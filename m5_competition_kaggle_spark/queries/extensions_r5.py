@@ -34,6 +34,8 @@ surface, all hash-certified against DuckDB twins:
   Levenshtein verify: the record-linkage join class.
 - x60 incremental dedup — a new batch vs the existing corpus (daily
   ingest shape; corpus side contributes precomputable signatures).
+- x61 chunk-level dedup — cross-document copy-paste paragraphs via
+  exact hash-groupBy over x19's sliding chunks.
 - s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
   bounded-state streaming agg.
 
@@ -602,6 +604,76 @@ ORDER BY d.doc_id
 """
 
 
+# chunking params mirror x19 (llm_curation.CHUNK_SIZE/STRIDE = 32/24;
+# literals keep this module's closure off llm_curation.py until r6)
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+def x61_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup (the C4 move, at chunk level):
+    slide x19's token chunks over every document, then group by
+    chunk_hash — chunks appearing more than once anywhere in the
+    corpus are copy-paste paragraphs; the canonical occurrence is the
+    (min doc, min idx) one and the rest are droppable. Exact
+    hash-groupBy like x1, but at sub-document granularity."""
+    from m5_competition_kaggle_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", _CHUNK_SIZE, _CHUNK_STRIDE
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            # canonical = lexicographic (doc, idx) min via a packed
+            # integer key — portable where struct-min field access
+            # isn't; chunk_idx < 2^20 for any document under ~25M
+            # tokens at stride 24
+            F.min(
+                F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")
+            ).alias("__ck"),
+        )
+        .withColumns(
+            {
+                "canonical_doc": F.expr("__ck div 1048576"),
+                "canonical_idx": F.expr("__ck % 1048576"),
+            }
+        )
+        .drop("__ck")
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy("chunk_hash")
+    )
+
+
+_CHUNK_DEDUP_ORACLE = rf"""
+WITH docs AS (SELECT doc_id,
+                     str_split_regex(trim(text), '\s+') AS toks
+              FROM documents),
+st AS (SELECT doc_id, toks,
+              unnest(generate_series(0, len(toks) - 1,
+                                     {_CHUNK_STRIDE})) AS cs
+       FROM docs),
+ch AS (SELECT doc_id,
+              CAST(cs // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+              {H64.format(
+                  s=f"array_to_string(toks[cs+1:cs+{_CHUNK_SIZE}], ' ')")}
+                  AS chunk_hash
+       FROM st)
+SELECT chunk_hash,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id * 1048576 + chunk_idx) // 1048576 AS canonical_doc,
+       min(doc_id * 1048576 + chunk_idx) % 1048576 AS canonical_idx
+FROM ch GROUP BY chunk_hash
+HAVING count(*) > 1
+ORDER BY chunk_hash
+"""
+
+
 def x52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantiles over events.value
     (``operators/quantiles.py``): exact rank-based values via the
@@ -841,6 +913,7 @@ QUERIES = {
     "x58_triangle_counts": x58_triangle_counts,
     "x59_fuzzy_join": x59_fuzzy_join,
     "x60_incremental_dedup": x60_incremental_dedup,
+    "x61_chunk_dedup": x61_chunk_dedup,
 }
 
 ORACLES = {
@@ -863,4 +936,5 @@ ORACLES = {
     "x58_triangle_counts": _TRIANGLES_ORACLE,
     "x59_fuzzy_join": _FUZZY_JOIN_ORACLE,
     "x60_incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
+    "x61_chunk_dedup": _CHUNK_DEDUP_ORACLE,
 }
