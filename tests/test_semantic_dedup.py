@@ -98,6 +98,52 @@ def test_lsh_variant_keep_rule_consistent(spark):
     assert {v for v, r in out.items() if r["keep"] == 0} == expected
 
 
+def test_cells_capture_genuine_duplicates(spark):
+    """Quantify the approximation on the structure SemDeDup targets:
+    GENUINE duplicates (tiny perturbations of the same vector, cosine
+    ≈ 0.99+). Both cell structures must co-locate nearly all such
+    pairs — a recall collapse here breaks the operator's purpose. (At
+    loose thresholds like cosine 0.35 over random vectors, cells
+    legitimately split most 'pairs'; that regime belongs to x12's
+    multi-table LSH, not cluster dedup.)"""
+    from m5_competition_kaggle_spark.operators.semantic_dedup import (
+        semantic_dedup_lsh,
+    )
+
+    n_base = 200
+    base = spark.range(n_base).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast("
+            "(pmod(xxhash64(id, i), 2001) - 1000) / 1000.0 as float))"
+        ).alias("embedding"),
+    )
+    # duplicate of vector v: independent ±1%-of-scale noise per
+    # component — can flip a hyperplane only when the plane dot is
+    # already near zero, so dups stay co-located almost always
+    dup = base.select(
+        (F.col("vec_id") + n_base).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x + "
+            "(pmod(xxhash64(vec_id, i, 7), 21) - 10) / 1000.0 as float))"
+        ).alias("embedding"),
+    )
+    vecs = base.unionByName(dup)
+    true_pairs = [(i, i + n_base) for i in range(n_base)]
+    cid_k = {
+        r["vid"]: r["cid"]
+        for r in assign_clusters(vecs, None).select("vid", "cid").collect()
+    }
+    cid_l = {
+        r["vec_id"]: r["cid"]
+        for r in semantic_dedup_lsh(vecs, 10**9).collect()
+    }
+    rec_k = sum(cid_k[a] == cid_k[b] for a, b in true_pairs) / n_base
+    rec_l = sum(cid_l[a] == cid_l[b] for a, b in true_pairs) / n_base
+    assert rec_k >= 0.95, rec_k
+    assert rec_l >= 0.95, rec_l
+
+
 def test_intra_cluster_join_is_keyed(spark):
     """The near-dup comparison must plan as an equi-join on cid — the
     only cross join is the bounded broadcast centroid assignment."""
