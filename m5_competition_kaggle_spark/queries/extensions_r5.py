@@ -36,8 +36,12 @@ surface, all hash-certified against DuckDB twins:
   ingest shape; corpus side contributes precomputable signatures).
 - x61 chunk-level dedup — cross-document copy-paste paragraphs via
   exact hash-groupBy over x19's sliding chunks.
+- x62 per-doc OOV rate vs the corpus top-k vocabulary — tokenizer
+  coverage scoring, integer permille.
 - s9 ``streaming_cms_cells``'s batch twin — sketch maintenance as a
   bounded-state streaming agg.
+- s10 windowed streaming CMS — one bounded sketch per event-time
+  hour, watermarked; time-sliced frequency profiles.
 
 New module on purpose: r5's certification window is fully booked by the
 45 stale re-certifications, so no file in their hash closures may
@@ -674,6 +678,99 @@ ORDER BY chunk_hash
 """
 
 
+def s10_windowed_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the WINDOWED streaming CMS
+    (``streaming/sketches.windowed_cms_cells``): one bounded D×W
+    sketch per event-time hour — the time-sliced frequency profile.
+    The identical expression runs as a watermarked streaming agg
+    (tests/test_streaming_sketches.py proves stream == batch)."""
+    from m5_competition_kaggle_spark.streaming.sketches import (
+        windowed_cms_cells,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_cms_cells(ev, "user_id", "1 hour").orderBy(
+        "window_start", "d", "pos"
+    )
+
+
+_WINDOWED_CMS_ORACLE = rf"""
+WITH hh AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+                AS window_start,
+            {H64.format(s='CAST(user_id AS VARCHAR)')} AS h
+            FROM events),
+dd AS (SELECT unnest(range(4)) AS d),
+cells AS (SELECT window_start, dd.d,
+                 ((h % {1 << 30})
+                  + dd.d * ((h // {1 << 30}) * 2 + 1)) % 1024 AS pos,
+                 count(*) AS cnt
+          FROM hh CROSS JOIN dd
+          GROUP BY window_start, dd.d, pos)
+SELECT window_start, d, pos, cnt
+FROM cells ORDER BY window_start, d, pos
+"""
+
+
+def x62_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage scoring: per-document out-of-vocabulary rate
+    against the corpus's own top-16 vocabulary (the x30 deterministic
+    (tf DESC, token) cut). The metric tokenizer training iterates on —
+    high OOV docs are either junk or underrepresented domains. Vocab
+    is bounded (broadcast); OOV permille is integer floor-div."""
+    from m5_competition_kaggle_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.lower(F.col("text"))), lambda t: t != F.lit(""))
+        ).alias("t"),
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("t"))
+        .limit(16)
+        .select("t", F.lit(1).alias("__in_vocab"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(
+                F.when(F.col("__in_vocab").isNull(), 1)
+            ).alias("n_oov"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.expr("n_oov * 1000 div n_tokens").alias("oov_permille"),
+    ).orderBy("doc_id")
+
+
+_OOV_RATE_ORACLE = r"""
+WITH tok AS (SELECT doc_id, t
+             FROM (SELECT doc_id,
+                          unnest(str_split_regex(trim(lower(text)),
+                                                 '\s+')) AS t
+                   FROM documents)
+             WHERE t <> ''),
+vocab AS (SELECT t
+          FROM (SELECT t, count(*) AS c FROM tok GROUP BY t)
+          ORDER BY c DESC, t LIMIT 16),
+per AS (SELECT tok.doc_id, count(*) AS n_tokens,
+               count(*) FILTER (WHERE v.t IS NULL) AS n_oov
+        FROM tok LEFT JOIN vocab v USING (t)
+        GROUP BY tok.doc_id)
+SELECT doc_id, n_tokens, n_oov,
+       n_oov * 1000 // n_tokens AS oov_permille
+FROM per ORDER BY doc_id
+"""
+
+
 def x52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quantiles over events.value
     (``operators/quantiles.py``): exact rank-based values via the
@@ -914,6 +1011,8 @@ QUERIES = {
     "x59_fuzzy_join": x59_fuzzy_join,
     "x60_incremental_dedup": x60_incremental_dedup,
     "x61_chunk_dedup": x61_chunk_dedup,
+    "x62_oov_rate": x62_oov_rate,
+    "s10_windowed_cms": s10_windowed_cms,
 }
 
 ORACLES = {
@@ -937,4 +1036,6 @@ ORACLES = {
     "x59_fuzzy_join": _FUZZY_JOIN_ORACLE,
     "x60_incremental_dedup": _INCREMENTAL_DEDUP_ORACLE,
     "x61_chunk_dedup": _CHUNK_DEDUP_ORACLE,
+    "x62_oov_rate": _OOV_RATE_ORACLE,
+    "s10_windowed_cms": _WINDOWED_CMS_ORACLE,
 }

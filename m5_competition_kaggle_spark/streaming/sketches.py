@@ -39,3 +39,37 @@ def streaming_cms_cells(
     ev = read_events_stream(spark, source_dir)
     items = ev.select(F.col(item_col).cast("string").alias("__item"))
     return cms_build(items, "__item")
+
+
+def windowed_cms_cells(
+    events: DataFrame,
+    item_col: str = "user_id",
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Per-tumbling-window CMS cells (window_start, d, pos, cnt): one
+    bounded D·W sketch per event-time window instead of one global one
+    — the time-sliced frequency profile (per-hour heavy hitters, drift
+    detection between windows via cell-wise comparison). Identical
+    expression on batch and streaming frames; in streaming, pair with
+    ``withWatermark`` upstream so closed windows' state can age out —
+    per-window state is still bounded at D·W cells."""
+    items = events.select(
+        F.window("ts", duration)["start"].alias("window_start"),
+        F.col(item_col).cast("string").alias("__item"),
+    )
+    return cms_build(items, "__item", ("window_start",))
+
+
+def streaming_windowed_cms_cells(
+    spark: SparkSession,
+    source_dir: str,
+    item_col: str = "user_id",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The streaming form of :func:`windowed_cms_cells`, watermarked so
+    late data past ``watermark`` is dropped and window state expires."""
+    ev = read_events_stream(spark, source_dir).withWatermark(
+        "ts", watermark
+    )
+    return windowed_cms_cells(ev, item_col, duration)

@@ -56,6 +56,38 @@ def test_stream_equals_batch_cells(spark):
     assert got == expected
 
 
+def test_windowed_stream_equals_batch(spark):
+    """Per-event-time-hour CMS cells: the watermarked streaming agg
+    must equal the batch twin bit for bit."""
+    from m5_competition_kaggle_spark.streaming.sketches import (
+        streaming_windowed_cms_cells,
+        windowed_cms_cells,
+    )
+
+    batch = windowed_cms_cells(
+        load_table(spark, SF, "events"), "user_id", "1 hour"
+    )
+    expected = sorted(map(tuple, batch.collect()))
+    assert expected
+    stream = streaming_windowed_cms_cells(
+        spark, _staged_dir(), "user_id", "1 hour"
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("wcms_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM wcms_out").collect())
+        )
+    finally:
+        q.stop()
+    assert got == expected
+
+
 def test_live_sketch_serves_estimates(spark):
     """The serving pattern: estimates against the streamed cell table
     overestimate-never-underestimate the true per-user event counts."""
