@@ -88,3 +88,61 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return per_node
+
+
+def kcore_peel(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Fixed-round k-core peeling: iteratively delete nodes with degree
+    < k (and their edges) for ``rounds`` synchronized rounds; return the
+    surviving (node, deg) table.
+
+    k-core membership separates dense duplicate communities from the
+    noise fringe of a near-dup pair graph: a node in the 2-core sits on
+    a cycle of corroborating pair evidence, while degree-1 leaves are
+    single uncorroborated LSH hits. Degeneracy ordering (repeated
+    peeling) is also the standard preprocessing step before clique-ish
+    mining (it bounds x58's oriented out-degree).
+
+    Fixed ``rounds`` keeps the operator a finite, engine-independent
+    expression (each round is an unrollable keyed aggregate + semi-join,
+    so an ANSI-SQL oracle reproduces it exactly — x65). A production
+    run to the true fixpoint wraps the same per-round plan in the
+    convergence loop pattern of ``operators/graph.py``'s CC (1-row
+    count action per round, lazy localCheckpoint); per-round cost is
+    one keyed degree aggregate and two semi-joins — no all-pairs, no
+    driver-side data.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "leftsemi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "leftsemi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )

@@ -1,0 +1,129 @@
+"""Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin
+family: Bayardo et al. WWW'07, Xiao et al. WWW'08).
+
+The third point in the near-dup design space next to MinHash LSH
+(``operators/dedup.py``, probabilistic recall) and SemDeDup cells
+(``operators/semantic_dedup.py``, embedding-space): prefix filtering is
+EXACT — it returns precisely the pairs with Jaccard >= t — while still
+never materializing the all-pairs cross product. The trick: order every
+document's token set by a single global order (rarest token first), keep
+only a short *prefix* of each set as join keys, and verify candidates
+exactly. The prefix-filtering lemma makes the candidate set lossless:
+
+    If |a ∩ b| >= alpha, then under any common total order the first
+    (|a| - alpha + 1) tokens of a and the first (|b| - alpha + 1)
+    tokens of b share at least one token.
+
+    (If all alpha common tokens avoided a's prefix they would all sit
+    in a's last alpha-1 positions — impossible. So some common c_a is
+    in prefix(a), some c_b in prefix(b). If neither lies in the other
+    prefix, c_a sits after b's prefix while c_b sits inside it, forcing
+    order(c_b) < order(c_a); symmetrically order(c_a) < order(c_b) —
+    contradiction.)
+
+For Jaccard >= t the overlap bound is alpha = ceil(t * max(|a|, |b|))
+(o >= t*|a ∪ b| >= t*max). Taking each set's own prefix length
+p_x = |x| - ceil(t*|x|) + 1 is therefore lossless for both sides: the
+smaller set's prefix is at least as long as the lemma requires, the
+larger set's is exactly the requirement. Rarest-first ordering is a
+pure performance choice (prefixes of rare tokens collide seldom);
+correctness holds under ANY shared total order.
+
+Scale shape (100 TB): token df is one hash aggregate; per-doc ordering
+is a window keyed by doc; the candidate join keys on single (rare)
+tokens so the shuffle is bounded by prefix postings, not full postings;
+verification joins only candidate pairs against the distinct-token
+lists. No cross join anywhere. Skew guard: ubiquitous tokens never
+enter prefixes of large sets (a token in many docs has high df, so it
+sorts last and falls outside the prefix unless the set is tiny).
+
+Arithmetic is all-integer (threshold as a rational p/q), so results
+hash-reproduce exactly in ANSI SQL (x64 oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ceil_mul(n, p: int, q: int):
+    """ceil(p*n/q) for integer column n — exact in any engine."""
+    return F.floor((F.lit(p) * n + F.lit(q - 1)) / F.lit(q)).cast("long")
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_p: int = 3,
+    threshold_q: int = 5,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with distinct-token Jaccard >= p/q.
+
+    Returns (id_a, id_b, inter_cnt, union_cnt, jacc_permille) —
+    integer permille = floor(1000*inter/union), deterministic.
+    """
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            ).alias("token"),
+        )
+    )
+    # Global rarest-first order: (df ASC, token ASC). Ties broken by the
+    # token string so the order is total and engine-independent.
+    tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
+    ranked = tok.join(tdf, "token")
+    w_doc = Window.partitionBy("doc").orderBy("tok_df", "token")
+    sized = (
+        ranked.withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n_tok", F.count(F.lit(1)).over(
+            Window.partitionBy("doc")))
+    )
+    # p_x = n - ceil(t*n) + 1 (lossless; see module docstring).
+    prefix = sized.filter(
+        F.col("pos")
+        <= F.col("n_tok") - _ceil_mul(F.col("n_tok"),
+                                      threshold_p, threshold_q) + 1
+    ).select("doc", "token", "n_tok")
+
+    a = prefix.select(
+        F.col("doc").alias("id_a"), "token", F.col("n_tok").alias("na"))
+    b = prefix.select(
+        F.col("doc").alias("id_b"), "token", F.col("n_tok").alias("nb"))
+    # Length filter: J >= t forces t*max <= min — prunes before verify.
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _ceil_mul(F.greatest("na", "nb"), threshold_p, threshold_q)
+            <= F.least("na", "nb")
+        )
+        .select("id_a", "id_b", "na", "nb")
+        .distinct()
+    )
+
+    ta = tok.select(F.col("doc").alias("id_a"), "token")
+    tb = tok.select(F.col("doc").alias("id_b"), "token")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    # J >= p/q  <=>  q*inter >= p*(na+nb-inter), all-integer.
+    return (
+        inter.withColumn(
+            "union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
+        .filter(
+            F.lit(threshold_q) * F.col("inter_cnt")
+            >= F.lit(threshold_p) * F.col("union_cnt")
+        )
+        .select(
+            "id_a", "id_b", "inter_cnt", "union_cnt",
+            F.floor(F.lit(1000) * F.col("inter_cnt") / F.col("union_cnt"))
+            .cast("long").alias("jacc_permille"),
+        )
+    )

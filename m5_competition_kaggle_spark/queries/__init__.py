@@ -17,16 +17,17 @@ from m5_competition_kaggle_spark.queries import (
     core,
     extensions,
     extensions_r5,
+    extensions_r6,
     llm_curation,
     streaming_shaped,
 )
 
-# extensions_r5 registers LAST so its new queries append to the base
-# order: auto-promoted never-certified entries then queue BEHIND the 45
-# stale re-certifications instead of displacing any of them.
+# extensions_r5/_r6 register LAST so their new queries append to the
+# base order: auto-promoted never-certified entries then queue BEHIND
+# the 45 stale re-certifications instead of displacing any of them.
 _MODULES = (
     core, extensions, streaming_shaped, analytics, llm_curation,
-    extensions_r5,
+    extensions_r5, extensions_r6,
 )
 
 # Registration order is a driver contract: the driver records correctness

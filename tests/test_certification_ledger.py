@@ -80,14 +80,20 @@ def test_registered_head_contains_all_stale_promotions():
     # r5 contract (VERDICT r4 item 1): every promotion-queued stale query
     # — all of core q1–q23 included — must re-enter the window, plus the
     # single-green r4 picks getting their second banked row.
-    from m5_competition_kaggle_spark.queries import extensions_r5
+    from m5_competition_kaggle_spark.queries import (
+        extensions_r5,
+        extensions_r6,
+    )
     from m5_competition_kaggle_spark.queries._promotions import (
         STALE_PROMOTIONS,
     )
     missing = [n for n in STALE_PROMOTIONS if n not in head]
-    # Only brand-new (never-certified) r5 queries may overflow into the
-    # next round's queue; every STALE re-certification must be in-window.
-    assert set(missing) <= set(extensions_r5.QUERIES), missing
+    # Only brand-new (never-certified) r5/r6 queries may overflow into
+    # the next rounds' queue; every STALE re-certification must be
+    # in-window.
+    assert set(missing) <= (
+        set(extensions_r5.QUERIES) | set(extensions_r6.QUERIES)
+    ), missing
     for must in ("q1_filter_project", "q23_conditional_functions",
                  "x33_source_caps", "x45_hll_distinct"):
         assert must in head, must
