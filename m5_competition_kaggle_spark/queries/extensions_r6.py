@@ -299,3 +299,63 @@ ORACLES = {
     "x66_source_jaccard": _SOURCE_JACCARD_ORACLE,
     "g19_grouping_sets": _GROUPING_SETS_ORACLE,
 }
+
+
+def x67_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident-window enrichment via the bucket-expanded interval join
+    (``operators/interval.py``): every error event opens a 30-minute
+    incident window; count the events and distinct users inside each.
+    The BETWEEN predicate becomes an equi-join on 15-minute buckets
+    (keyed shuffle, bounded 2-3x interval fan-out, no nested-loop) —
+    the range-join class Spark's planner would otherwise execute as
+    BroadcastNestedLoopJoin. All-integer epoch-nanos arithmetic."""
+    from m5_competition_kaggle_spark.operators.interval import (
+        interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts_nanos").alias("p_tsn"),
+    )
+    half_hour = 30 * 60 * 1_000_000_000
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_nanos").alias("w_start"),
+        (F.col("ts_nanos") + F.lit(half_hour)).alias("w_end"),
+    )
+    quarter_hour = 15 * 60 * 1_000_000_000
+    return (
+        interval_join(
+            points, incidents, "p_tsn", "w_start", "w_end", quarter_hour
+        )
+        .groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("p_user_id").alias("n_users"),
+            F.min("p_tsn").alias("first_tsn"),
+            F.max("p_tsn").alias("last_tsn"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+QUERIES["x67_interval_join"] = x67_interval_join
+
+_INTERVAL_JOIN_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, epoch_ns(ts) AS tsn FROM events),
+inc AS (SELECT event_id AS incident_id, epoch_ns(ts) AS w_start,
+               epoch_ns(ts) + 1800000000000 AS w_end
+        FROM events WHERE event_type = 'error')
+SELECT incident_id,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       min(tsn) AS first_tsn,
+       max(tsn) AS last_tsn
+FROM inc JOIN ev ON ev.tsn >= inc.w_start AND ev.tsn < inc.w_end
+GROUP BY incident_id
+ORDER BY incident_id
+"""
+
+ORACLES["x67_interval_join"] = _INTERVAL_JOIN_ORACLE
