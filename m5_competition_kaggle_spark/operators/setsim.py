@@ -58,20 +58,35 @@ def jaccard_prefix_join(
     text_col: str,
     threshold_p: int = 3,
     threshold_q: int = 5,
+    shingle_size: int | None = None,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with distinct-token Jaccard >= p/q.
+    """All pairs (id_a < id_b) with distinct-element Jaccard >= p/q.
+
+    Elements are whitespace tokens, or ``shingle_size``-token shingles
+    when set — shingle sets are the right granularity for near-dup text
+    (token sets collapse on small vocabularies: duplicate-group pairs
+    grow quadratically and no filter can prune output that IS the
+    answer; shingles keep the element space |vocab|^n so only genuine
+    near-dups qualify).
 
     Returns (id_a, id_b, inter_cnt, union_cnt, jacc_permille) —
     integer permille = floor(1000*inter/union), deterministic.
     """
-    tok = (
-        df.select(
+    if shingle_size is not None:
+        from m5_competition_kaggle_spark.operators.dedup import (
+            doc_shingles,
+        )
+
+        tok = doc_shingles(df, id_col, text_col, shingle_size).select(
+            F.col(id_col).alias("doc"), F.col("shingle").alias("token")
+        )
+    else:
+        tok = df.select(
             F.col(id_col).alias("doc"),
             F.explode(
                 F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
             ).alias("token"),
         )
-    )
     # Global rarest-first order: (df ASC, token ASC). Ties broken by the
     # token string so the order is total and engine-independent.
     tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))

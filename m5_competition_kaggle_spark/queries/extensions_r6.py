@@ -55,17 +55,20 @@ def x63_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def x64_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.9 self-join via prefix filtering
-    (``operators/setsim.py``): rarest-first global token order, per-set
-    prefix keys, length filter, exact verify — provably the same pairs
-    as the brute-force oracle, without the all-pairs join. All-integer
-    threshold arithmetic (9/10), so the hash certifies losslessness.
-    (0.9, not 0.6: the synthetic corpus draws from a tiny vocabulary,
-    so over half of ALL pairs clear 0.6 — the stricter cut keeps the
-    output a near-dup pair list rather than a dense quadratic blob,
-    at sf0.1 ~0.9M of 12.5M possible pairs.)"""
+    (``operators/setsim.py``): rarest-first global element order,
+    per-set prefix keys, length filter, exact verify — provably the
+    same pairs as the brute-force oracle, without the all-pairs join.
+    All-integer threshold arithmetic (9/10), so the hash certifies
+    losslessness. Elements are 3-token shingles, not word tokens: the
+    synthetic corpus draws from a tiny vocabulary, so word-token SETS
+    collapse into duplicate groups (at sf0.1 one group holds 248 docs
+    — 965k qualifying pairs, and that output IS the answer, no filter
+    can prune it); shingle sets keep the element space |vocab|^3 so
+    only genuine near-dups qualify (~250 pairs at sf0.1, measured)."""
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_prefix_join(
-        docs, "doc_id", "text", threshold_p=9, threshold_q=10
+        docs, "doc_id", "text", threshold_p=9, threshold_q=10,
+        shingle_size=3,
     ).orderBy("id_a", "id_b")
 
 
@@ -200,8 +203,9 @@ FROM ranked WHERE rank <= 10 ORDER BY term, rank
 """
 
 _SETSIM_ORACLE = f"""
-WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOK}) AS token
-             FROM documents),
+WITH docs AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+{_shingle_cte(3)},
+tok AS (SELECT doc_id, shingle AS token FROM sh),
 sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  count(*) AS inter_cnt
@@ -359,3 +363,72 @@ ORDER BY incident_id
 """
 
 ORACLES["x67_interval_join"] = _INTERVAL_JOIN_ORACLE
+
+
+def s11_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the ONLINE near-dup probe
+    (``streaming/neardup.py``): even-doc_id documents form the static
+    corpus LSH index (the (key, band, bucket) artifact production
+    stores at ingest); odd-doc_id documents are the "arriving" stream
+    and emit one collision event per shared (band, bucket). The
+    streaming path — same signature arithmetic under a watermarked
+    windowed aggregate + stream-static probe join — is proven equal
+    bit-for-bit in tests/test_streaming_neardup.py; this query
+    certifies the collision set against DuckDB."""
+    from m5_competition_kaggle_spark.streaming.neardup import (
+        corpus_lsh_index,
+        near_dup_collisions,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    arriving = docs.filter(F.col("doc_id") % 2 == 1)
+    index = corpus_lsh_index(corpus, "doc_id", "text")
+    return (
+        near_dup_collisions(arriving, index, "doc_id", "text")
+        .orderBy("doc_id", "corpus_id", "band")
+    )
+
+
+QUERIES["s11_stream_neardup"] = s11_stream_neardup
+
+
+def _stream_neardup_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from m5_competition_kaggle_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+    from m5_competition_kaggle_spark.queries.extensions import (
+        _DOCS_TOKS,
+        H64,
+    )
+
+    rows = num_hashes // bands
+    base_h = H64.format(s="shingle")
+    mins = ",\n        ".join(
+        f"min(({a} * ({base_h} % {MINHASH_P}) + {b}) % {MINHASH_P})"
+        f" AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    # 'band_N' string labels match Spark's unpivot variable names.
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, 'band_{b}' AS band, md5(concat_ws(',', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_DOCS_TOKS}, {_shingle_cte(3)},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+)
+SELECT p.doc_id AS doc_id, c.doc_id AS corpus_id, p.band AS band
+FROM bands p JOIN bands c
+  ON p.band = c.band AND p.bucket = c.bucket
+WHERE p.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+ORDER BY doc_id, corpus_id, band
+"""
+
+
+ORACLES["s11_stream_neardup"] = _stream_neardup_oracle()

@@ -52,6 +52,36 @@ def test_prefix_join_lossless_random_corpus(spark):
             _brute_jaccard_pairs(texts, p, q), f"threshold {p}/{q}"
 
 
+def test_prefix_join_shingle_mode_lossless(spark):
+    """shingle_size=n must equal brute force over distinct n-shingle
+    sets (short docs contribute their whole text as one shingle,
+    matching doc_shingles)."""
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = [(i, " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(1, 10))))
+             for i in range(60)]
+
+    def shingle_set(t, n=2):
+        toks = t.split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    p, q = 1, 2
+    sets = {i: shingle_set(t) for i, t in texts}
+    expect = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(sets.items(), 2):
+        inter, union = len(sa & sb), len(sa | sb)
+        if q * inter >= p * union:
+            expect.add((min(ia, ib), max(ia, ib), inter, union))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    rows = jaccard_prefix_join(df, "doc_id", "text", p, q,
+                               shingle_size=2).collect()
+    got = {(r.id_a, r.id_b, r.inter_cnt, r.union_cnt) for r in rows}
+    assert got == expect
+
+
 def test_prefix_join_duplicate_tokens_use_set_semantics(spark):
     """Repeated tokens in a doc count once (distinct-token Jaccard)."""
     texts = [(1, "a a a b"), (2, "a b b b")]
