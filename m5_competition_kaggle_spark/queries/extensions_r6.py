@@ -432,3 +432,41 @@ ORDER BY doc_id, corpus_id, band
 
 
 ORACLES["s11_stream_neardup"] = _stream_neardup_oracle()
+
+
+def x68_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via the two-phase salted aggregate
+    (``operators/skew.py::salted_aggregate``): (l_returnflag,
+    l_linestatus) has ~6 groups over the whole fact table — exactly the
+    one-reducer-per-hot-key shape that stalls a stage at 100 TB. The
+    salt spreads each key over 16 reducers in phase 1 (map-side combine
+    intact); phase 2 merges 16 tiny partials per key. Quantities are
+    integral in this dataset, so integer units make salted == plain
+    bit-for-bit — certifying the rewrite's algebraic-aggregate
+    equivalence, not just approximate agreement."""
+    from m5_competition_kaggle_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "qty_units", F.col("l_quantity").cast("long")
+    )
+    return (
+        salted_aggregate(
+            li, ["l_returnflag", "l_linestatus"], "qty_units",
+            salt_buckets=16, spread_cols=["l_orderkey", "l_linenumber"],
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+QUERIES["x68_salted_agg"] = x68_salted_agg
+
+ORACLES["x68_salted_agg"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty_units,
+       count(l_quantity) AS count_qty_units
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
