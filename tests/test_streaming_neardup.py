@@ -93,3 +93,13 @@ def test_exactly_one_stateful_operator(spark):
         assert "StreamingRelation" in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_empty_stream_side_and_empty_corpus(spark):
+    docs = load_table(spark, SF, "documents")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = corpus_lsh_index(docs.limit(50), "doc_id", "text")
+    assert near_dup_collisions(empty, idx, "doc_id", "text").count() == 0
+    empty_idx = corpus_lsh_index(empty, "doc_id", "text")
+    assert near_dup_collisions(
+        docs.limit(50), empty_idx, "doc_id", "text").count() == 0
