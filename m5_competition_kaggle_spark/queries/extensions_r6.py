@@ -19,6 +19,14 @@ query's hash closure.
   overlap profiling (crawl-snapshot redundancy, source provenance).
 - g19 GROUPING SETS with grouping_id — the explicit grouping-sets
   path (g4 ROLLUP / g9 CUBE cover the sugared forms).
+- x67 bucket-expanded interval join — the range-join class without
+  nested loops.
+- s11 online streaming near-dup probe (batch twin; the live path is
+  ``streaming/neardup.py``).
+- x68 salted two-phase aggregate certified bit-exact vs plain GROUP BY.
+- x69 HLL-sketch source-overlap matrix — x66's 100 TB twin via the
+  register-max union monoid + inclusion-exclusion, error-accounted
+  against the exact flank.
 """
 
 from __future__ import annotations
@@ -470,3 +478,243 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def _hll_est_expr(used_col: str, scaled_col: str):
+    """x45's integer HLL estimate from (used_buckets, sum_scaled) —
+    identical literals/arithmetic so pair sketches certify bit-exact
+    against the same formula in SQL."""
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        _HLL_LC,
+        HLL_ALPHA_MICRO,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        HLL_RANK_CAP,
+    )
+
+    lc_arr = ", ".join(str(v) for v in _HLL_LC)
+    big = HLL_M * HLL_M * (1 << HLL_RANK_CAP)
+    raw = f"({big}L div {scaled_col})"
+    return F.expr(
+        f"CASE WHEN ({HLL_M} - {used_col}) > 0"
+        f" AND {raw} <= {HLL_LC_THRESHOLD}"
+        f" THEN element_at(array({lc_arr}),"
+        f" cast({HLL_M} - {used_col} as int))"
+        f" ELSE ({raw} div 1000000) * {HLL_ALPHA_MICRO}"
+        f" + (({raw} % 1000000) * {HLL_ALPHA_MICRO}) div 1000000 END"
+    ).cast("long")
+
+
+def x69_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of x66: pairwise source overlap estimated from
+    x45's integer HLL registers via inclusion-exclusion —
+    est_inter = est(A) + est(B) - est(A U B), where the union sketch
+    is the registerwise max (the HLL union monoid, property-tested for
+    x45). The register table is O(64 * sources) REGARDLESS of corpus
+    size, so the whole pair matrix costs 64 * sources^2 integer
+    max/sum operations — against x66's exact shingle self-join this is
+    the 100 TB path, with x66 as its audit. Exact distinct-token
+    overlap rides along for error accounting (the certify-the-error
+    pattern of x45/x46; a production run drops the exact flank).
+    All-integer arithmetic end to end."""
+    from m5_competition_kaggle_spark.functions.text import h64, tokens
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        HLL_M,
+        HLL_RANK_CAP,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    hashed = tf.select("source", h64(F.col("t")).alias("h")).select(
+        "source",
+        F.pmod("h", F.lit(HLL_M)).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("val"),
+    )
+    rank = F.when(F.col("val") == 0, F.lit(HLL_RANK_CAP)).otherwise(
+        F.least(
+            F.lit(55) - F.length(F.expr("bin(val)")),
+            F.lit(HLL_RANK_CAP),
+        )
+    )
+    regs = (
+        hashed.withColumn("rank", rank.cast("long"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rank").alias("mj"))
+    )
+    grid = (
+        docs.select("source")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(HLL_M).select(F.col("id").alias("bucket"))
+            )
+        )
+    )
+    full = grid.join(regs, ["source", "bucket"], "left").select(
+        "source", "bucket", F.coalesce("mj", F.lit(0)).alias("m0")
+    )
+
+    def sketch_agg(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count(F.when(F.col("m0") > 0, 1)).alias("used_buckets"),
+            F.sum(
+                F.expr(f"shiftleft(1L, cast({HLL_RANK_CAP} - m0 as int))")
+            ).alias("sum_scaled"),
+        )
+
+    per_src = sketch_agg(full, ["source"]).withColumn(
+        "est", _hll_est_expr("used_buckets", "sum_scaled")
+    ).select("source", "est")
+
+    a = full.select(F.col("source").alias("source_a"), "bucket",
+                    F.col("m0").alias("ma"))
+    b = full.select(F.col("source").alias("source_b"), "bucket",
+                    F.col("m0").alias("mb"))
+    pair_regs = (
+        a.join(b, "bucket")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a", "source_b",
+            F.greatest("ma", "mb").alias("m0"),
+        )
+    )
+    pair_union = sketch_agg(pair_regs, ["source_a", "source_b"]) \
+        .withColumn("est_union",
+                    _hll_est_expr("used_buckets", "sum_scaled")) \
+        .select("source_a", "source_b", "est_union")
+
+    ea = per_src.select(F.col("source").alias("source_a"),
+                        F.col("est").alias("est_a"))
+    eb = per_src.select(F.col("source").alias("source_b"),
+                        F.col("est").alias("est_b"))
+
+    dt = tf.select("source", "t").distinct()
+    xa = dt.select(F.col("source").alias("source_a"), "t")
+    xb = dt.select(F.col("source").alias("source_b"), "t")
+    exact = (
+        xa.join(xb, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+
+    return (
+        pair_union.join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .withColumn(
+            "est_inter",
+            F.greatest(
+                F.lit(0),
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+            ).cast("long"),
+        )
+        .join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a", "source_b", "est_a", "est_b", "est_union",
+            "est_inter",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+            F.expr(
+                "(abs(est_inter - coalesce(exact_inter, 0)) * 1000)"
+                " div greatest(coalesce(exact_inter, 0), 1)"
+            ).cast("long").alias("err_permille"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+QUERIES["x69_source_overlap_sketch"] = x69_source_overlap_sketch
+
+
+def _source_overlap_sketch_oracle() -> str:
+    from m5_competition_kaggle_spark.queries.llm_curation import (
+        _HLL_LC,
+        HLL_ALPHA_MICRO,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        HLL_RANK_CAP,
+    )
+    from m5_competition_kaggle_spark.queries.extensions import H64
+
+    big = HLL_M * HLL_M * (1 << HLL_RANK_CAP)
+    lc = ", ".join(str(v) for v in _HLL_LC)
+
+    def est(used, scaled):
+        raw = f"({big} // {scaled})"
+        return (
+            f"CAST(CASE WHEN ({HLL_M} - {used}) > 0"
+            f" AND {raw} <= {HLL_LC_THRESHOLD}"
+            f" THEN ([{lc}])[{HLL_M} - {used}]"
+            f" ELSE ({raw} // 1000000) * {HLL_ALPHA_MICRO}"
+            f" + (({raw} % 1000000) * {HLL_ALPHA_MICRO}) // 1000000"
+            f" END AS BIGINT)"
+        )
+
+    h = H64.format(s="t")
+    return f"""
+WITH tf AS (SELECT source,
+                   unnest(str_split_regex(trim(text), '\\s+')) AS t
+            FROM documents),
+tfx AS (SELECT source, t FROM tf WHERE t <> ''),
+hb AS (SELECT source, {h} % {HLL_M} AS bucket,
+              {h} // {HLL_M} AS val
+       FROM tfx),
+r AS (SELECT source, bucket,
+             CASE WHEN val = 0 THEN {HLL_RANK_CAP}
+                  ELSE least(55 - length(bin(val)), {HLL_RANK_CAP}) END
+                 AS rank
+      FROM hb),
+regs AS (SELECT source, bucket, max(rank) AS mj
+         FROM r GROUP BY source, bucket),
+grid AS (SELECT s.source, b.bucket
+         FROM (SELECT DISTINCT source FROM documents) s
+         CROSS JOIN (SELECT unnest(range({HLL_M})) AS bucket) b),
+f AS (SELECT g.source, g.bucket, COALESCE(regs.mj, 0) AS m0
+      FROM grid g LEFT JOIN regs
+        ON regs.source = g.source AND regs.bucket = g.bucket),
+sagg AS (SELECT source,
+                count(CASE WHEN m0 > 0 THEN 1 END) AS used_buckets,
+                CAST(sum(1::BIGINT << CAST({HLL_RANK_CAP} - m0 AS INT))
+                     AS BIGINT) AS sum_scaled
+         FROM f GROUP BY source),
+sest AS (SELECT source, {est("used_buckets", "sum_scaled")} AS est
+         FROM sagg),
+pr AS (SELECT a.source AS source_a, b.source AS source_b,
+              greatest(a.m0, b.m0) AS m0
+       FROM f a JOIN f b
+         ON a.bucket = b.bucket AND a.source < b.source),
+pagg AS (SELECT source_a, source_b,
+                count(CASE WHEN m0 > 0 THEN 1 END) AS used_buckets,
+                CAST(sum(1::BIGINT << CAST({HLL_RANK_CAP} - m0 AS INT))
+                     AS BIGINT) AS sum_scaled
+         FROM pr GROUP BY source_a, source_b),
+pest AS (SELECT source_a, source_b,
+                {est("used_buckets", "sum_scaled")} AS est_union
+         FROM pagg),
+dt AS (SELECT DISTINCT source, t FROM tfx),
+ex AS (SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS exact_inter
+       FROM dt a JOIN dt b
+         ON a.t = b.t AND a.source < b.source
+       GROUP BY 1, 2),
+m AS (SELECT p.source_a, p.source_b,
+             ea.est AS est_a, eb.est AS est_b, p.est_union,
+             CAST(greatest(0, ea.est + eb.est - p.est_union) AS BIGINT)
+                 AS est_inter,
+             COALESCE(ex.exact_inter, 0) AS exact_inter
+      FROM pest p
+      JOIN sest ea ON ea.source = p.source_a
+      JOIN sest eb ON eb.source = p.source_b
+      LEFT JOIN ex ON ex.source_a = p.source_a
+                  AND ex.source_b = p.source_b)
+SELECT source_a, source_b, est_a, est_b, est_union, est_inter,
+       exact_inter,
+       CAST((abs(est_inter - exact_inter) * 1000)
+            // greatest(exact_inter, 1) AS BIGINT) AS err_permille
+FROM m ORDER BY source_a, source_b
+"""
+
+
+ORACLES["x69_source_overlap_sketch"] = _source_overlap_sketch_oracle()

@@ -222,3 +222,22 @@ def test_bm25_term_selection_is_df_ordered(spark):
 def test_bm25_empty_docs(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert bm25_topk(df, "doc_id", "text").count() == 0
+
+
+# ------------------------------------------- HLL overlap sketch (x69)
+
+
+def test_hll_overlap_union_dominates_parts(spark):
+    """Register-max union is monotone: raising any register can only
+    raise the integer estimate, so est_union >= max(est_a, est_b) for
+    EVERY pair, and the inclusion-exclusion intersection stays within
+    [0, min(est_a, est_b)] + nothing (upper bound holds exactly when
+    union >= max)."""
+    import m5_competition_kaggle_spark.queries.extensions_r6 as r6
+
+    rows = r6.QUERIES["x69_source_overlap_sketch"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.est_union >= max(r.est_a, r.est_b), r
+        assert 0 <= r.est_inter <= min(r.est_a, r.est_b), r
