@@ -718,3 +718,89 @@ FROM m ORDER BY source_a, source_b
 
 
 ORACLES["x69_source_overlap_sketch"] = _source_overlap_sketch_oracle()
+
+
+HH_THRESHOLD = 400  # occurrences; heavy-hitter cut for x70
+
+
+def x70_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter extraction — the standard CMS application on top of
+    x50's build/estimate primitives: candidate tokens are those whose
+    CMS estimate clears the threshold (the sketch NEVER underestimates,
+    so no true heavy hitter is missed — the no-false-negative property
+    this query certifies end-to-end), then candidates alone get an
+    exact count and the survivors equal the brute-force frequency
+    filter bit-for-bit. At 100 TB the sketch is <= D*W cells (fixed),
+    candidates are bounded by the threshold (at most total/T distinct
+    items can exceed T), and only candidates pay an exact count — the
+    classic two-phase 'filter by sketch, verify exact' shape. Output:
+    token, est_cnt, exact_cnt, overcount."""
+    from m5_competition_kaggle_spark.functions.text import tokens
+    from m5_competition_kaggle_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    items = docs.select(
+        F.explode(tokens("text")).alias("__item")
+    ).filter(F.col("__item") != "")
+    sketch = cms_build(items, "__item")
+    distinct_items = items.distinct()
+    cand = cms_estimate(sketch, distinct_items, "__item").filter(
+        F.col("est_cnt") >= HH_THRESHOLD
+    )
+    exact = (
+        items.join(F.broadcast(cand.select("__item")), "__item",
+                   "leftsemi")
+        .groupBy("__item")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    return (
+        cand.join(exact, "__item")
+        .filter(F.col("exact_cnt") >= HH_THRESHOLD)
+        .select(
+            F.col("__item").alias("token"),
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("token")
+    )
+
+
+QUERIES["x70_heavy_hitters"] = x70_heavy_hitters
+
+
+def _heavy_hitters_oracle(d: int, w: int, thr: int) -> str:
+    from m5_competition_kaggle_spark.queries.extensions import H64
+
+    h = H64.format(s="token")
+    pos = f"((h % {1 << 30}) + dd.d * ((h // {1 << 30}) * 2 + 1)) % {w}"
+    # est >= exact always (CMS never underestimates), so the engine's
+    # est-filtered-then-exact-verified set IS the plain exact filter —
+    # the equivalence this oracle certifies.
+    return rf"""
+WITH tok AS (SELECT unnest(str_split_regex(trim(text), '\s+')) AS t
+             FROM documents),
+tf AS (SELECT t AS token FROM tok WHERE t <> ''),
+exact AS (SELECT token, count(*) AS exact_cnt FROM tf GROUP BY token),
+dd AS (SELECT unnest(range({d})) AS d),
+hh AS (SELECT token, {h} AS h FROM tf),
+cells AS (SELECT dd.d, {pos} AS pos, count(*) AS cnt
+          FROM hh CROSS JOIN dd
+          GROUP BY dd.d, pos),
+cand AS (SELECT token, exact_cnt, {h} AS h
+         FROM exact WHERE exact_cnt >= {thr}),
+probes AS (SELECT cand.token, cand.exact_cnt, dd.d, {pos} AS pos
+           FROM cand CROSS JOIN dd),
+est AS (SELECT token, exact_cnt,
+               CAST(min(COALESCE(cells.cnt, 0)) AS BIGINT) AS est_cnt
+        FROM probes LEFT JOIN cells USING (d, pos)
+        GROUP BY token, exact_cnt)
+SELECT token, est_cnt, exact_cnt, est_cnt - exact_cnt AS overcount
+FROM est ORDER BY token
+"""
+
+
+ORACLES["x70_heavy_hitters"] = _heavy_hitters_oracle(4, 1024, HH_THRESHOLD)

@@ -241,3 +241,27 @@ def test_hll_overlap_union_dominates_parts(spark):
     for r in rows:
         assert r.est_union >= max(r.est_a, r.est_b), r
         assert 0 <= r.est_inter <= min(r.est_a, r.est_b), r
+
+
+# ---------------------------------------------- CMS heavy hitters (x70)
+
+
+def test_heavy_hitters_equal_exact_filter_and_never_undercount(spark):
+    import m5_competition_kaggle_spark.queries.extensions_r6 as r6
+    from m5_competition_kaggle_spark.functions.text import tokens
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = r6.QUERIES["x70_heavy_hitters"](spark, sf).collect()
+    assert rows
+    assert all(r.overcount >= 0 for r in rows)  # CMS never undercounts
+    docs = load_table(spark, sf, "documents")
+    exact = {
+        r.t: r.c
+        for r in docs.select(F.explode(tokens("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= r6.HH_THRESHOLD)
+        .collect()
+    }
+    assert {r.token: r.exact_cnt for r in rows} == exact
