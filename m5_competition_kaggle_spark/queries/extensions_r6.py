@@ -27,6 +27,10 @@ query's hash closure.
 - x69 HLL-sketch source-overlap matrix — x66's 100 TB twin via the
   register-max union monoid + inclusion-exclusion, error-accounted
   against the exact flank.
+- x70 CMS heavy hitters — sketch-filter-then-verify, certified
+  no-false-negative.
+- s12 streaming interval join — live points vs static windows with
+  zero join state (``streaming/interval.py``).
 """
 
 from __future__ import annotations
@@ -804,3 +808,56 @@ FROM est ORDER BY token
 
 
 ORACLES["x70_heavy_hitters"] = _heavy_hitters_oracle(4, 1024, HH_THRESHOLD)
+
+
+def s12_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING interval join
+    (``streaming/interval.py``): the bucket expansion that turns the
+    range predicate into an equi-join is stateless on the point side,
+    so live events match static incident windows as they arrive with
+    zero join state; the per-incident count is then one ordinary
+    streaming aggregate. Stream == batch proven bit-for-bit in
+    tests/test_streaming_interval.py; this twin (same plan over the
+    batch frame) certifies the match set + aggregate against the
+    DuckDB range join. Same windows as x67; output keeps per-incident
+    event counts only (the streaming aggregate's natural shape)."""
+    from m5_competition_kaggle_spark.streaming.interval import (
+        expanded_intervals,
+        streaming_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts_nanos").alias("p_tsn"),
+    )
+    half_hour = 30 * 60 * 1_000_000_000
+    quarter_hour = 15 * 60 * 1_000_000_000
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.col("ts_nanos").alias("w_start"),
+        (F.col("ts_nanos") + F.lit(half_hour)).alias("w_end"),
+    )
+    exp = expanded_intervals(
+        incidents, "w_start", "w_end", quarter_hour)
+    return (
+        streaming_interval_join(
+            points, exp, "p_tsn", "w_start", "w_end", quarter_hour)
+        .groupBy("incident_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("incident_id")
+    )
+
+
+QUERIES["s12_stream_interval_join"] = s12_stream_interval_join
+
+ORACLES["s12_stream_interval_join"] = """
+WITH ev AS (SELECT event_id, epoch_ns(ts) AS tsn FROM events),
+inc AS (SELECT event_id AS incident_id, epoch_ns(ts) AS w_start,
+               epoch_ns(ts) + 1800000000000 AS w_end
+        FROM events WHERE event_type = 'error')
+SELECT incident_id, count(*) AS n_events
+FROM inc JOIN ev ON ev.tsn >= inc.w_start AND ev.tsn < inc.w_end
+GROUP BY incident_id
+ORDER BY incident_id
+"""
