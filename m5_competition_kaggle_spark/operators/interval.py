@@ -20,8 +20,15 @@ avg_span/G, both keyed; fan-out is bounded by the expansion factor, and
 AQE's skew-join split handles hot buckets (burst windows). For
 pathological skew, compose with ``operators/skew.py::salted_*``.
 
-All arithmetic is integer (epoch-nanos longs), so results reproduce
-bit-for-bit in ANSI SQL (x67).
+All COMPARISON arithmetic is integer (epoch-nanos longs), so results
+reproduce bit-for-bit in ANSI SQL (x67). The bucket id itself computes
+through double division, and epoch-nanos exceed double's 2^52 integer
+range — bucket ids near boundaries may round to a neighbor. That is
+harmless BY CONSTRUCTION: float division is monotone, so
+floor(s/g) <= floor(t/g) <= floor((e-1)/g) still holds for every true
+match (containment property-tested over the full nanos range in
+tests/test_r6_properties.py), the exact integer filter runs after the
+join, and both sides of the join use the same arithmetic.
 """
 
 from __future__ import annotations
