@@ -861,3 +861,81 @@ FROM inc JOIN ev ON ev.tsn >= inc.w_start AND ev.tsn < inc.w_end
 GROUP BY incident_id
 ORDER BY incident_id
 """
+
+
+def x71_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the cross-family composition:
+    fuzzy (edit-distance) record-linkage pairs (x59's operator) feed
+    connected components (x24's operator), and each cluster elects a
+    canonical record (minimum id, the same deterministic rule x24
+    certifies). This is the production record-dedup pipeline shape —
+    blocking + verify + transitive closure + survivorship — with every
+    stage an already-certified operator; the composition itself is what
+    this query hash-certifies. Scale: q-gram candidate filter keyed and
+    df-bounded, Levenshtein only on candidates, CC 1 keyed shuffle per
+    round bounded by cluster diameter."""
+    from m5_competition_kaggle_spark.operators.fuzzy import (
+        fuzzy_self_join,
+    )
+    from m5_competition_kaggle_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("title")
+    )
+    pairs = fuzzy_self_join(
+        docs, "doc_id", "title", max_dist=4, q=3, max_df=100
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    csize = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(F.broadcast(csize), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+QUERIES["x71_entity_clusters"] = x71_entity_clusters
+
+# Same fuzzy CTE chain as the x59 oracle (re-declared so this module's
+# closure stays off extensions_r5), then x24's recursive-reach
+# component computation over the verified pairs.
+ORACLES["x71_entity_clusters"] = """
+WITH RECURSIVE
+k AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents),
+g AS (SELECT DISTINCT doc_id, s,
+             unnest(list_transform(range(1, len(s) - 1),
+                                   i -> substr(s, i, 3))) AS gram
+      FROM k WHERE len(s) >= 3),
+rare AS (SELECT gram
+         FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         WHERE df <= 100),
+p AS (SELECT g.doc_id, g.s, g.gram FROM g JOIN rare USING (gram)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.s AS sa, b.s AS sb
+         FROM p a JOIN p b
+           ON a.gram = b.gram AND a.doc_id < b.doc_id),
+vpairs AS (SELECT id_a, id_b FROM cand
+           WHERE levenshtein(sa, sb) <= 4),
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, reached) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached
+),
+comp AS (SELECT node, min(reached) AS cluster_id FROM reach GROUP BY node),
+csize AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT c.node AS doc_id, c.cluster_id, s.cluster_size,
+       c.node = c.cluster_id AS is_canonical
+FROM comp c JOIN csize s USING (cluster_id)
+ORDER BY cluster_id, doc_id
+"""
