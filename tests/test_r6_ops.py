@@ -265,3 +265,72 @@ def test_heavy_hitters_equal_exact_filter_and_never_undercount(spark):
         .collect()
     }
     assert {r.token: r.exact_cnt for r in rows} == exact
+
+
+# ------------------------------------------------ PQ ANN rerank (x72)
+
+
+def test_pq_rerank_recall_floor(spark):
+    """Two-stage PQ (ADC shortlist -> exact rerank) must keep >= 90%
+    of the true quantized-L2 top-10 on the sf0.001 embeddings — the
+    production-recipe guarantee the ADC stage alone can't make on
+    near-random vectors."""
+    from pyspark.sql import Window
+
+    from m5_competition_kaggle_spark.operators.similarity import (
+        quantize_expr,
+    )
+    from m5_competition_kaggle_spark.operators.similarity_pq import (
+        pq_topk_rerank,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    got = pq_topk_rerank(emb, q, k=10, shortlist=100,
+                         m=16, n_codes=64)
+    qz = emb.select(F.col("vec_id").alias("vid"),
+                    quantize_expr("embedding").alias("v"))
+    a = qz.select(F.col("vid").alias("query_id"),
+                  F.col("v").alias("qv")).filter(F.col("query_id") < 20)
+    d = (
+        a.crossJoin(qz)
+        .filter(F.col("query_id") != F.col("vid"))
+        .withColumn("dist", F.expr(
+            "aggregate(zip_with(qv, v, (x,y)->(x-y)*(x-y)),"
+            " 0L, (acc,v)->acc+v)"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vid")
+    exact = (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", F.col("vid").alias("vec_id"))
+    )
+    n_true = exact.count()
+    hits = got.join(exact, ["query_id", "vec_id"], "leftsemi").count()
+    assert n_true == 200
+    assert hits / n_true >= 0.90, hits / n_true
+
+
+def test_pq_rerank_distances_are_exact(spark):
+    """Stage-2 distances must equal the true quantized L2 (the rerank
+    is exact, only the candidate set is approximate)."""
+    from m5_competition_kaggle_spark.operators.similarity_pq import (
+        pq_topk_rerank,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = pq_topk_rerank(emb, q, k=3, shortlist=50,
+                          m=16, n_codes=64).collect()
+    vecs = {r.vec_id: r.embedding
+            for r in emb.filter(F.col("vec_id") < 1000).collect()}
+
+    def qdist(a, b):
+        qa = [round(float(x) * 1000) for x in a]
+        qb = [round(float(x) * 1000) for x in b]
+        return sum((x - y) * (x - y) for x, y in zip(qa, qb))
+
+    for r in rows:
+        assert r.dist == qdist(vecs[r.query_id], vecs[r.vec_id]), r
