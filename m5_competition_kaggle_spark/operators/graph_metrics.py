@@ -93,13 +93,12 @@ def triangle_counts(
 def kcore_peel(
     pairs: DataFrame,
     k: int = 2,
-    rounds: int = 4,
+    rounds: int | None = 4,
     a_col: str = "id_a",
     b_col: str = "id_b",
 ) -> DataFrame:
-    """Fixed-round k-core peeling: iteratively delete nodes with degree
-    < k (and their edges) for ``rounds`` synchronized rounds; return the
-    surviving (node, deg) table.
+    """k-core peeling: iteratively delete nodes with degree < k (and
+    their edges); return the surviving (node, deg) table.
 
     k-core membership separates dense duplicate communities from the
     noise fringe of a near-dup pair graph: a node in the 2-core sits on
@@ -110,12 +109,14 @@ def kcore_peel(
 
     Fixed ``rounds`` keeps the operator a finite, engine-independent
     expression (each round is an unrollable keyed aggregate + semi-join,
-    so an ANSI-SQL oracle reproduces it exactly — x65). A production
-    run to the true fixpoint wraps the same per-round plan in the
-    convergence loop pattern of ``operators/graph.py``'s CC (1-row
-    count action per round, lazy localCheckpoint); per-round cost is
-    one keyed degree aggregate and two semi-joins — no all-pairs, no
-    driver-side data.
+    so an ANSI-SQL oracle reproduces it exactly — x65).
+    ``rounds=None`` is the production mode: peel to the TRUE fixpoint,
+    detecting convergence from the edge count the round's checkpoint
+    materializes anyway (a 1-row count action per round, the same
+    convergence shape as ``operators/graph.py``'s CC loop; rounds are
+    bounded by the peel depth, itself at most the degeneracy ordering's
+    length). Per-round cost either way: one keyed degree aggregate and
+    two semi-joins — no all-pairs, no driver-side data.
     """
     e = (
         pairs.select(
@@ -126,7 +127,11 @@ def kcore_peel(
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(rounds):
+    n_edges = e.count() if rounds is None else None
+    done = 0
+    while True:
+        if rounds is not None and done >= rounds:
+            break
         deg = (
             e.select(F.col("u").alias("n"))
             .unionAll(e.select(F.col("v").alias("n")))
@@ -140,6 +145,12 @@ def kcore_peel(
             .select("u", "v")
             .localCheckpoint()
         )
+        done += 1
+        if rounds is None:
+            n_now = e.count()
+            if n_now == n_edges:  # no edge left the graph: fixpoint
+                break
+            n_edges = n_now
     return (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

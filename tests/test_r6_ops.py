@@ -334,3 +334,19 @@ def test_pq_rerank_distances_are_exact(spark):
 
     for r in rows:
         assert r.dist == qdist(vecs[r.query_id], vecs[r.vec_id]), r
+
+
+def test_kcore_fixpoint_mode(spark):
+    """rounds=None peels to the TRUE fixpoint regardless of depth: a
+    long pendant chain (peel depth ~ chain length) hanging off a
+    triangle must fully dissolve, leaving exactly the 2-core."""
+    chain = [(i, i + 1) for i in range(3, 30)]
+    edges = [(1, 2), (2, 3), (1, 3)] + chain
+    got = _run_kcore(spark, edges, k=2, rounds=None)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    rng = random.Random(17)
+    redges = list({tuple(sorted(rng.sample(range(40), 2)))
+                   for _ in range(60)})
+    assert _run_kcore(spark, redges, k=3, rounds=None) == \
+        _true_kcore(redges, 3)
