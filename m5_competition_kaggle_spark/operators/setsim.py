@@ -142,3 +142,66 @@ def jaccard_prefix_join(
             .cast("long").alias("jacc_permille"),
         )
     )
+
+
+def source_jaccard_matrix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pairwise group-level shingle Jaccard (x66): distinct
+    (group, shingle) via one keyed aggregate, pair matrix via a
+    shingle-keyed self-join aggregated to the bounded groups² rows.
+
+    ``max_df`` is the 100 TB skew knob the exact form lacks: shingles
+    present in more than ``max_df`` groups are dropped BEFORE the pair
+    join. A shingle in g groups contributes C(g,2) join rows, so the
+    near-universal shingles dominate the shuffle while carrying almost
+    no discriminative signal — capping df bounds per-shingle fan-out at
+    C(max_df,2) and biases Jaccard toward the distinctive overlap
+    (set sizes shrink consistently too: sizes are computed AFTER the
+    cap so inter <= union still holds and permille stays in [0, 1000]).
+    ``None`` keeps the exact measure (the certified x66 path).
+    """
+    from m5_competition_kaggle_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(df, id_col, text_col, shingle_size)
+    ssh = (
+        sh.join(df.select(id_col, group_col), id_col)
+        .select(group_col, "shingle")
+        .distinct()
+    )
+    if max_df is not None:
+        gdf = ssh.groupBy("shingle").agg(
+            F.count(F.lit(1)).alias("__gdf"))
+        ssh = (
+            ssh.join(gdf.filter(F.col("__gdf") <= max_df), "shingle",
+                     "leftsemi")
+        )
+    sizes = ssh.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    a = ssh.select(F.col(group_col).alias("source_a"), "shingle")
+    b = ssh.select(F.col(group_col).alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    na = sizes.select(F.col(group_col).alias("source_a"),
+                      F.col("n").alias("na"))
+    nb = sizes.select(F.col(group_col).alias("source_b"),
+                      F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .withColumn(
+            "union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
+        .select(
+            "source_a", "source_b", "inter_cnt", "union_cnt",
+            F.floor(F.lit(1000) * F.col("inter_cnt") / F.col("union_cnt"))
+            .cast("long").alias("jacc_permille"),
+        )
+    )

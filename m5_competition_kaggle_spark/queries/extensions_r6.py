@@ -117,41 +117,18 @@ def x66_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides which source pairs need cross-source dedup at all. Distinct
     (source, shingle) is one keyed aggregate; the pair matrix is a
     shingle-keyed self-join aggregated to source pairs (bounded output:
-    sources² rows). Integer permille, exact. At 100 TB the join skew
-    knob is a df-cap on ubiquitous shingles (they contribute equally to
-    every pair); kept exact here so the oracle certifies."""
+    sources² rows). Integer permille, exact. At 100 TB the join skew knob is the
+    operator's ``max_df`` cap on ubiquitous shingles (they contribute
+    C(g,2) join rows each and little signal); the certified query keeps
+    ``max_df=None`` so the oracle certifies the exact measure."""
+    from m5_competition_kaggle_spark.operators.setsim import (
+        source_jaccard_matrix,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(docs, "doc_id", "text", 3)
-    ssh = (
-        sh.join(docs.select("doc_id", "source"), "doc_id")
-        .select("source", "shingle")
-        .distinct()
-    )
-    sizes = ssh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    a = ssh.select(F.col("source").alias("source_a"), "shingle")
-    b = ssh.select(F.col("source").alias("source_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("inter_cnt"))
-    )
-    na = sizes.select(F.col("source").alias("source_a"),
-                      F.col("n").alias("na"))
-    nb = sizes.select(F.col("source").alias("source_b"),
-                      F.col("n").alias("nb"))
-    return (
-        inter.join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
-        .withColumn(
-            "union_cnt", F.col("na") + F.col("nb") - F.col("inter_cnt"))
-        .select(
-            "source_a", "source_b", "inter_cnt", "union_cnt",
-            F.floor(F.lit(1000) * F.col("inter_cnt") / F.col("union_cnt"))
-            .cast("long").alias("jacc_permille"),
-        )
-        .orderBy("source_a", "source_b")
-    )
+    return source_jaccard_matrix(
+        docs, "source", "doc_id", "text", shingle_size=3, max_df=None
+    ).orderBy("source_a", "source_b")
 
 
 def g19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -350,3 +350,30 @@ def test_kcore_fixpoint_mode(spark):
                    for _ in range(60)})
     assert _run_kcore(spark, redges, k=3, rounds=None) == \
         _true_kcore(redges, 3)
+
+
+def test_source_jaccard_max_df_knob(spark):
+    """max_df=None reproduces the exact matrix; a cap drops only the
+    shingles above it (here: the shingle shared by ALL groups), and
+    permille stays in range."""
+    from m5_competition_kaggle_spark.operators.setsim import (
+        source_jaccard_matrix,
+    )
+
+    rows = [
+        (1, "g1", "common common common alpha beta gamma"),
+        (2, "g2", "common common common delta epsilon zeta"),
+        (3, "g3", "common common common eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    exact = {(r.source_a, r.source_b): r.inter_cnt
+             for r in source_jaccard_matrix(
+                 df, "source", "doc_id", "text", shingle_size=2).collect()}
+    capped = {(r.source_a, r.source_b): (r.inter_cnt, r.jacc_permille)
+              for r in source_jaccard_matrix(
+                  df, "source", "doc_id", "text", shingle_size=2,
+                  max_df=2).collect()}
+    # 'common common' appears in all 3 groups -> dropped at max_df=2;
+    # with it, every pair intersects; without it, none do.
+    assert all(v >= 1 for v in exact.values())
+    assert capped == {}  # no shared shingle survives the cap
