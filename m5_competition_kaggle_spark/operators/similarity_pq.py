@@ -50,7 +50,7 @@ def _sub_l2(a: str, b: str) -> Column:
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
-    k: int = 10,
+    k: int | None = 10,
     m: int = 4,
     n_codes: int = 8,
     id_col: str = "vec_id",
@@ -59,7 +59,10 @@ def pq_topk(
 ) -> DataFrame:
     """ADC top-k: (query_id, vec_id, est_dist, rank), rank 1..k per
     query by (estimated squared L2 ASC, vec_id ASC); the query's own
-    vector is excluded. ``dim`` must divide by ``m``."""
+    vector is excluded. ``dim`` must divide by ``m``. ``k=None``
+    returns the FULL estimate table without the ranking window — the
+    streaming-safe form (``streaming/ann.py`` cuts it with an
+    aggregate instead)."""
     sub = dim // m
     assert sub * m == dim, "m must divide dim"
 
@@ -107,14 +110,18 @@ def pq_topk(
         .select("query_id", "s", F.col("cid").alias("code"), "__d")
     )
 
-    w_rank = Window.partitionBy("query_id").orderBy(
-        "est_dist", "vec_id")
-    return (
+    est = (
         codes.join(F.broadcast(adc), ["s", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("__d").alias("est_dist"))
         .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("long"))
+    )
+    if k is None:  # full ADC estimate table, no ranking window
+        return est
+    w_rank = Window.partitionBy("query_id").orderBy(
+        "est_dist", "vec_id")
+    return (
+        est.withColumn("rank", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "est_dist", "rank")
     )

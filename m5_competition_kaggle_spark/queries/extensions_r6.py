@@ -35,6 +35,8 @@ query's hash closure.
   canonical election, certified as one pipeline.
 - x72 product-quantization ANN with exact rerank — the compression
   member completing the ANN quartet (``operators/similarity_pq.py``).
+- s13 online ANN probe — foreachBatch replay of the ADC plan
+  (``streaming/ann.py``), the third streaming integration style.
 """
 
 from __future__ import annotations
@@ -1009,4 +1011,71 @@ FROM r WHERE rank <= {k} ORDER BY query_id, rank
 
 ORACLES["x72_sim_topk_pq"] = _pq_oracle(
     10, PQ_M, PQ_CODES, PQ_QUERIES, shortlist=PQ_SHORTLIST
+)
+
+
+def s13_stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the ONLINE ANN probe (``streaming/ann.py``):
+    per query embedding, the ADC nearest corpus neighbor against the
+    static PQ index — the retrieval sibling of s11's dedup-at-ingest.
+    The live path replays this exact plan per micro-batch via
+    foreachBatch (one query's partials never span batches, so holding
+    a queries-x-corpus streaming-agg state would grow unboundedly for
+    nothing — the third streaming integration style next to s11's
+    watermarked aggregate and s12's zero-state join; stream == batch
+    by construction, proven in tests/test_streaming_ann.py). Ranking
+    is a min(struct) aggregate, not a window, so the plan is
+    streaming-legal end to end."""
+    from m5_competition_kaggle_spark.streaming.ann import ann_top1
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQ_QUERIES)
+    return ann_top1(
+        queries, emb, m=PQ_M, n_codes=PQ_CODES
+    ).orderBy("query_id")
+
+
+QUERIES["s13_stream_ann_probe"] = s13_stream_ann_probe
+
+
+def _ann_top1_oracle(m: int, n_codes: int, n_queries: int,
+                     dim: int = 64) -> str:
+    sub = dim // m
+    return f"""
+WITH qz AS (SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS v
+            FROM embeddings),
+ss AS (SELECT vec_id, sp.s, v[sp.s * {sub} + 1 : sp.s * {sub} + {sub}]
+              AS sv
+       FROM qz CROSS JOIN (SELECT unnest(range({m})) AS s) sp),
+cents AS (SELECT vec_id AS cid, s, sv AS cv FROM ss
+          WHERE vec_id < {n_codes}),
+dists AS (SELECT a.vec_id, a.s, c.cid,
+                 CAST(list_sum(list_transform(range(1, {sub + 1}),
+                      i -> (a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i])))
+                      AS BIGINT) AS d
+          FROM ss a JOIN cents c USING (s)),
+codes AS (SELECT vec_id, s, cid AS code FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, cid) AS rn
+            FROM dists) WHERE rn = 1),
+adc AS (SELECT vec_id AS query_id, s, cid AS code, d
+        FROM dists WHERE vec_id < {n_queries}),
+est AS (SELECT a.query_id, c.vec_id,
+               CAST(sum(a.d) AS BIGINT) AS est_dist
+        FROM codes c JOIN adc a ON a.s = c.s AND a.code = c.code
+        GROUP BY 1, 2),
+r AS (SELECT query_id, vec_id, est_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY est_dist, vec_id) AS rn
+      FROM est WHERE query_id <> vec_id)
+SELECT query_id, vec_id, est_dist FROM r WHERE rn = 1 ORDER BY query_id
+"""
+
+
+ORACLES["s13_stream_ann_probe"] = _ann_top1_oracle(
+    PQ_M, PQ_CODES, PQ_QUERIES
 )
