@@ -87,6 +87,14 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # Materialize the (small: one row per triangle-bearing node) result
+    # eagerly so `oriented` can be unpersisted HERE — otherwise every
+    # call in a long-lived session pins an edge-sized cache entry until
+    # the session dies. The localCheckpoint RDDs behind `e`/`per_node`
+    # are released by the ContextCleaner once the returned DataFrame is
+    # garbage-collected (same caching contract as graph.py's CC loop).
+    per_node = per_node.localCheckpoint(eager=True)
+    oriented.unpersist()
     return per_node
 
 

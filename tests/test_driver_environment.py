@@ -15,20 +15,22 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture
-def perturbed_tz(spark):
+def restore_tz(spark):
     orig = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     yield spark
     spark.conf.set("spark.sql.session.timeZone", orig)
 
 
-def test_time_features_survive_foreign_timezone(spark, perturbed_tz):
+def test_time_features_survive_foreign_timezone(spark, restore_tz):
     """q13's date parts must not shift when a foreign driver session
-    arrives in a non-UTC timezone."""
+    arrives in a non-UTC timezone. The baseline runs BEFORE the
+    perturbation (an earlier version perturbed first via fixture,
+    making the comparison vacuous — r5 ADVICE)."""
     import m5_competition_kaggle_spark.queries.core as core
 
     baseline = core.QUERIES["q13_time_features"](spark, SF).collect()
-    # conf is America/New_York now (fixture); load_table must re-pin
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    # conf is America/New_York now; load_table must re-pin
     perturbed = core.QUERIES["q13_time_features"](spark, SF).collect()
     assert sorted(map(tuple, perturbed)) == sorted(map(tuple, baseline))
     # and the query path genuinely restored UTC for its own evaluation
@@ -47,12 +49,14 @@ def test_events_nanos_readable_after_conf_clear(spark):
         assert r.ts is not None and isinstance(r.ts_nanos, int)
 
 
-def test_interval_query_stable_under_foreign_timezone(spark, perturbed_tz):
+def test_interval_query_stable_under_foreign_timezone(spark, restore_tz):
     """x67 does all time arithmetic in integer epoch-nanos, so a
-    foreign session timezone must not move a single window boundary."""
+    foreign session timezone must not move a single window boundary.
+    Baseline in UTC, rerun under a perturbed session timezone."""
     import m5_competition_kaggle_spark.queries.extensions_r6 as r6
 
     a = r6.QUERIES["x67_interval_join"](spark, SF).collect()
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     b = r6.QUERIES["x67_interval_join"](spark, SF).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0
