@@ -1,0 +1,94 @@
+"""Forward as-of join with tolerance — the lookahead twin of
+``operators/asof.py``.
+
+Attach to every left row the EARLIEST right row with
+``right.ts >= left.ts`` for the same key, optionally only if it arrives
+within ``tolerance`` time units (next price tick after an order, first
+error after a deploy event, next heartbeat after a probe).
+
+Same union + cumulative-window technique as the backward operator —
+tag both sides, union, one window sort per key — but with a FOLLOWING
+frame and ``first(..., ignorenulls=True)``. One shuffle on the key,
+O(|L| + |R|) work after the sort; an inequality join would materialize
+O(|L| · match_width) candidates instead.
+
+Tie rule: a right row at exactly left.ts IS visible (inclusive) — the
+right side orders after the left at equal timestamps so it falls inside
+the [current row, unbounded following] frame. The matched right
+timestamp is returned (``matched_ts``), and with ``tolerance`` set,
+matches farther than ``left.ts + tolerance`` are nulled out — the
+window still finds the nearest following row first, so tolerance is a
+post-filter, not a second scan. Integer timestamps keep the whole
+operator engine-exact (x82).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tolerance: int | None = None,
+) -> DataFrame:
+    """Left as-of-forward join. ``right`` must contain ``on + [ts_col] +
+    value_cols`` and be unique per (on, ts_col). Output: all left
+    columns + ``matched_ts`` + ``value_cols`` (NULL when no right row
+    follows within tolerance)."""
+    keys = list(on)
+    vals = list(value_cols)
+
+    r_side = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("__side"),  # right sorts AFTER left at equal ts
+        F.col(ts_col).alias("__rts"),
+        *[F.col(c) for c in vals],
+    )
+    l_side = left.withColumn("__side", F.lit(0)).withColumn(
+        "__rts", F.lit(None).cast(r_side.schema["__rts"].dataType)
+    )
+    for c in vals:
+        if c not in left.columns:
+            l_side = l_side.withColumn(
+                c, F.lit(None).cast(r_side.schema[c].dataType)
+            )
+    for c in left.columns:
+        if c not in r_side.columns:
+            r_side = r_side.withColumn(
+                c, F.lit(None).cast(l_side.schema[c].dataType)
+            )
+    unioned = l_side.unionByName(r_side)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("__side"))
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__side"),
+        F.first("__rts", ignorenulls=True).over(w).alias("matched_ts"),
+        *[
+            F.first(c, ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in vals
+        ],
+    ).filter(F.col("__side") == 0)
+
+    in_tol = (
+        F.lit(True)
+        if tolerance is None
+        else F.col("matched_ts") <= F.col(ts_col) + F.lit(int(tolerance))
+    )
+    return filled.select(
+        *[F.col(c) for c in left.columns],
+        F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),
+        *[F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in vals],
+    )

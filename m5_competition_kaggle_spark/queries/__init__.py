@@ -18,16 +18,17 @@ from m5_competition_kaggle_spark.queries import (
     extensions,
     extensions_r5,
     extensions_r6,
+    extensions_r6b,
     llm_curation,
     streaming_shaped,
 )
 
-# extensions_r5/_r6 register LAST so their new queries append to the
-# base order: auto-promoted never-certified entries then queue BEHIND
-# the 45 stale re-certifications instead of displacing any of them.
+# extensions_r5/_r6/_r6b register LAST so their new queries append to
+# the base order: auto-promoted never-certified entries then queue
+# BEHIND earlier promotions instead of displacing any of them.
 _MODULES = (
     core, extensions, streaming_shaped, analytics, llm_curation,
-    extensions_r5, extensions_r6,
+    extensions_r5, extensions_r6, extensions_r6b,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -59,13 +60,13 @@ _MODULES = (
 # registered. Stale/never-certified tail queries are auto-promoted into
 # remaining head slots via the generated _promotions.py (deliberate
 # _HEAD entries always keep priority; see _effective_head).
+# Round-6 head composition: the r5 window re-banked all 45 stale rows
+# AND double-banked x33/x44/x45/x46 (two valid greens each), so the
+# only deliberate pick left is x47 (single green, r5). The rest of the
+# window fills from _promotions.py: 31 never-certified r5-built queries
+# (x48–x72, s9–s13, g19) then the 12 new r6 queries (x73–x83, g20) —
+# 1 + 31 + 12 = 44, leaving 6 tail-fill slots for extra q1+ re-banks.
 _HEAD = (
-    "x33_source_caps",
-    "x44_score_fixed",
-    "x45_hll_distinct",
-    "x46_bloom_decontaminate",
-    # the window's one spare slot: the new occupancy-scaled LSH query
-    # (x48_bloom_fast, also new, auto-queues for r6 behind the 45).
     "x47_sim_topk_lsh_auto",
 )
 
