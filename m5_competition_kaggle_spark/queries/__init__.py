@@ -19,16 +19,17 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r5,
     extensions_r6,
     extensions_r6b,
+    extensions_r6c,
     llm_curation,
     streaming_shaped,
 )
 
-# extensions_r5/_r6/_r6b register LAST so their new queries append to
-# the base order: auto-promoted never-certified entries then queue
+# extensions_r5/_r6/_r6b/_r6c register LAST so their new queries append
+# to the base order: auto-promoted never-certified entries then queue
 # BEHIND earlier promotions instead of displacing any of them.
 _MODULES = (
     core, extensions, streaming_shaped, analytics, llm_curation,
-    extensions_r5, extensions_r6, extensions_r6b,
+    extensions_r5, extensions_r6, extensions_r6b, extensions_r6c,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -64,8 +65,9 @@ _MODULES = (
 # AND double-banked x33/x44/x45/x46 (two valid greens each), so the
 # only deliberate pick left is x47 (single green, r5). The rest of the
 # window fills from _promotions.py: 31 never-certified r5-built queries
-# (x48–x72, s9–s13, g19) then the 12 new r6 queries (x73–x83, g20) —
-# 1 + 31 + 12 = 44, leaving 6 tail-fill slots for extra q1+ re-banks.
+# (x48–x72, s9–s13, g19), the 12 r6b queries (x73–x83, g20), then the
+# 6 r6c queries (x84–x89) — 1 + 31 + 12 + 6 = 50 exactly, full window
+# utilization with zero redundant re-banks.
 _HEAD = (
     "x47_sim_topk_lsh_auto",
 )
