@@ -20,16 +20,21 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r6,
     extensions_r6b,
     extensions_r6c,
+    extensions_r7,
     llm_curation,
     streaming_shaped,
 )
 
-# extensions_r5/_r6/_r6b/_r6c register LAST so their new queries append
+# extensions_r5/_r6*/_r7 register LAST so their new queries append
 # to the base order: auto-promoted never-certified entries then queue
 # BEHIND earlier promotions instead of displacing any of them.
+# extensions_r7 overflows the (full) r6 window by design — its 9
+# queries are locally certified this round and promotion-queued for
+# the r7 driver window.
 _MODULES = (
     core, extensions, streaming_shaped, analytics, llm_curation,
     extensions_r5, extensions_r6, extensions_r6b, extensions_r6c,
+    extensions_r7,
 )
 
 # Registration order is a driver contract: the driver records correctness
