@@ -1,0 +1,105 @@
+"""Targeted tests for the round-7b query batch (composition-level
+invariants the oracle fixtures don't isolate)."""
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_cusum_identity_matches_bruteforce(spark):
+    from m5_competition_kaggle_spark.queries.extensions_r7b import (
+        x101_cusum_drift,
+    )
+
+    out = x101_cusum_drift(spark, "/root/testdata/sf0.001").collect()
+    # recompute per type in pure python (catalog-normalized timestamps)
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    rows = ev.select(
+        "event_type", "event_id",
+        F.col("ts_nanos").alias("tsn"),
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    expect = {}
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: (r.tsn, r.event_id))
+        n = len(rs)
+        s = sum(r.v for r in rs)
+        p = 0
+        m = 0
+        cus = []
+        for r in rs:
+            p += n * r.v - s
+            m = min(m, p)
+            cus.append((p - m, r.event_id))
+        top = sorted(cus, key=lambda x: (-x[0], x[1]))[:5]
+        expect[t] = top
+    for r in out:
+        c, eid = expect[r.event_type][r.rank - 1]
+        assert (r.cusum, r.event_id) == (c, eid), (r.event_type, r.rank)
+
+
+def test_threshold_quintiles_partition_users(spark):
+    from m5_competition_kaggle_spark.queries.extensions_r7b import (
+        x100_rfm_segments,
+    )
+
+    out = x100_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_users for r in out)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    n_users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total == n_users  # every purchaser lands in exactly one segment
+    for r in out:
+        seg = r.segment
+        rs, fs, ms = seg // 100, (seg // 10) % 10, seg % 10
+        assert 1 <= rs <= 5 and 1 <= fs <= 5 and 1 <= ms <= 5
+
+
+def test_hard_negative_margin_sign_random_check(spark):
+    from m5_competition_kaggle_spark.queries.extensions_r7b import (
+        x97_hard_negatives,
+    )
+
+    out = x97_hard_negatives(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    rnd = random.Random(3)
+    sample = rnd.sample(out, min(5, len(out)))
+    # brute-force verify a sample against all-pairs quantized dots
+    emb = {
+        r.vec_id: (r.label, [round(float(x) * 1000) for x in r.embedding])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+    }
+
+    def dot(a, b):
+        return sum(int(x) * int(y) for x, y in zip(a, b))
+
+    for r in sample:
+        q_label, qv = emb[r.query_id]
+        scored = sorted(
+            (
+                (-dot(qv, v), vid, lab)
+                for vid, (lab, v) in emb.items()
+                if vid != r.query_id
+            ),
+        )[:50]
+        pos = [(d, vid) for (d, vid, lab) in scored if lab == q_label]
+        neg = [(d, vid) for (d, vid, lab) in scored if lab != q_label]
+        if pos:
+            assert (r.hp_id, r.hp_dot) == (pos[0][1], -pos[0][0])
+        else:
+            assert r.hp_id is None
+        if neg:
+            assert (r.hn_id, r.hn_dot) == (neg[0][1], -neg[0][0])
+        else:
+            assert r.hn_id is None
