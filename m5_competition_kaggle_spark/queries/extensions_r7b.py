@@ -297,11 +297,42 @@ def x101_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s16_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online CUSUM against a FIXED reference level (mu = 100.0 in
+    milli-units) through the shared pandas kernel
+    (``streaming/cusum_state.py``): the batch grouped-map certified
+    here is kernel-identical to the ``applyInPandasWithState`` form
+    whose per-key state is TWO int64s — the bounded-state online
+    monitor x101's self-centered batch statistic cannot be. Top-5
+    drift peaks per series."""
+    from m5_competition_kaggle_spark.streaming.cusum_state import (
+        batch_cusum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type"),
+        "event_id",
+        F.col("ts_nanos").alias("tsn"),
+        F.floor(F.col("value") * F.lit(1000)).cast("long").alias("v"),
+    )
+    c = batch_cusum(ev, "event_type", "v", mu=100_000)
+    w = Window.partitionBy("group").orderBy(
+        F.col("cusum").desc(), F.col("event_id")
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("group", "event_id", "tsn", "cusum", "rank")
+        .orderBy("group", "rank")
+    )
+
+
 QUERIES = {
     "x97_hard_negatives": x97_hard_negatives,
     "x98_leakage_free_split": x98_leakage_free_split,
     "x100_rfm_segments": x100_rfm_segments,
     "x101_cusum_drift": x101_cusum_drift,
+    "s16_stream_cusum": s16_stream_cusum,
 }
 
 # ----------------------------------------------------------------- oracles
@@ -440,6 +471,26 @@ GROUP BY 1 ORDER BY segment
 
 
 ORACLES["x100_rfm_segments"] = _rfm_oracle()
+
+ORACLES["s16_stream_cusum"] = """
+WITH ev AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn,
+                   CAST(FLOOR(value * 1000) AS BIGINT) AS v
+            FROM events),
+c1 AS (SELECT *, CAST(sum(v - 100000) OVER w AS BIGINT) AS p
+       FROM ev
+       WINDOW w AS (PARTITION BY event_type ORDER BY tsn, event_id
+                    ROWS UNBOUNDED PRECEDING)),
+c AS (SELECT *, least(0, CAST(min(p) OVER w2 AS BIGINT)) AS m
+      FROM c1
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY tsn, event_id
+                    ROWS UNBOUNDED PRECEDING))
+SELECT event_type AS "group", event_id, tsn, p - m AS cusum, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY p - m DESC, event_id) AS rank
+      FROM c)
+WHERE rank <= 5
+ORDER BY "group", rank
+"""
 
 ORACLES["x101_cusum_drift"] = """
 WITH ev AS (SELECT event_type, event_id, epoch_ns(ts) AS tsn,

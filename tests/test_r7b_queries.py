@@ -103,3 +103,62 @@ def test_hard_negative_margin_sign_random_check(spark):
             assert (r.hn_id, r.hn_dot) == (neg[0][1], -neg[0][0])
         else:
             assert r.hn_id is None
+
+
+def test_streaming_cusum_state_equals_batch(spark, tmp_path):
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+    from m5_competition_kaggle_spark.streaming.cusum_state import (
+        batch_cusum,
+        streaming_cusum,
+    )
+    from m5_competition_kaggle_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    full = load_table(spark, "/root/testdata/sf0.001", "events")
+    mid = full.agg(
+        F.expr("percentile_approx(ts_nanos, 0.5)").alias("m")
+    ).collect()[0].m
+    src = tmp_path / "cusum_src"
+    os.makedirs(src)
+    for part in (
+        full.filter(F.col("ts_nanos") < mid),
+        full.filter(F.col("ts_nanos") >= mid),
+    ):
+        part.select(
+            "event_id", F.col("ts_nanos").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    prep = lambda df: df.select(  # noqa: E731
+        "event_type", "event_id", F.col("ts_nanos").alias("tsn"),
+        F.floor(F.col("value") * F.lit(1000)).cast("long").alias("v"),
+    )
+    stream = read_events_stream(spark, str(src), maxFilesPerTrigger=1)
+    out = streaming_cusum(prep(stream), "event_type", "v", mu=100_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cusum_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = spark.sql(
+            "SELECT event_id, cusum FROM cusum_out"
+        ).collect()
+    finally:
+        q.stop()
+
+    batch = batch_cusum(prep(full), "event_type", "v", mu=100_000).collect()
+    s_c = {r.event_id: r.cusum for r in streamed}
+    b_c = {r.event_id: r.cusum for r in batch}
+    assert len(s_c) == len(b_c) == full.count()
+    assert s_c == b_c  # two-int64 state carries CUSUM exactly
+
+    shutil.rmtree(src, ignore_errors=True)
