@@ -164,3 +164,79 @@ def test_cusum_groupstate_survives_restart(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_anomaly_array_state_survives_restart(spark):
+    """Same restart contract for the ARRAY-typed GroupState (the
+    trailing-window value list of streaming_anomaly_flags): recovered
+    window contents must produce exactly the batch flags."""
+    from m5_competition_kaggle_spark.streaming.anomaly_state import (
+        batch_anomaly_flags,
+        streaming_anomaly_flags,
+    )
+    from m5_competition_kaggle_spark.streaming.events import (
+        read_events_stream,
+    )
+
+    ev = load_table(spark, SF, "events")
+    prep = lambda df: df.select(  # noqa: E731
+        "event_type", "event_id", F.col("ts_nanos").alias("tsn"),
+        F.floor(F.col("value") * F.lit(1000)).cast("long").alias("v"),
+    )
+    expected = {
+        r.event_id: r.is_anomaly
+        for r in batch_anomaly_flags(prep(ev), "event_type", "v").collect()
+    }
+
+    mid = ev.agg(
+        F.expr("percentile_approx(ts_nanos, 0.5)").alias("m")
+    ).collect()[0].m
+    src = tempfile.mkdtemp(prefix="anom_recovery_src_")
+    ckpt = tempfile.mkdtemp(prefix="anom_recovery_ckpt_")
+    sink = tempfile.mkdtemp(prefix="anom_recovery_out_")
+
+    def stage(df, name):
+        tmp = os.path.join(src, "__tmp")
+        df.select(
+            "event_id", F.col("ts_nanos").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(tmp, f),
+                            os.path.join(src, name))
+        shutil.rmtree(tmp)
+
+    def run_round():
+        stream = read_events_stream(spark, src)
+        out = streaming_anomaly_flags(prep(stream), "event_type", "v")
+        q = (
+            out.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            r.event_id: r.is_anomaly
+            for r in spark.read.parquet(sink)
+            .select("event_id", "is_anomaly")
+            .collect()
+        }
+
+    try:
+        stage(ev.filter(F.col("ts_nanos") < mid), "part-a.parquet")
+        first = run_round()
+        assert 0 < len(first) < len(expected)
+        stage(ev.filter(F.col("ts_nanos") >= mid), "part-b.parquet")
+        combined = run_round()
+        assert len(combined) == len(expected)
+        assert combined == expected  # window contents restored exactly
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
