@@ -25,7 +25,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
-X10_DIR = "/tmp/sparkgraft_sf0.1_x10"
+# v2: lineitem + orders now replicate too (r6 catch: the basket/join
+# probes were silently rerunning 1x TPC-H facts)
+X10_DIR = "/tmp/sparkgraft_sf0.1_x10_v2"
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 DAY_NS = 86_400_000_000_000
@@ -65,7 +67,25 @@ def build_x10(spark) -> None:
                 src.withColumn("vec_id", F.col("vec_id") + F.lit(r * n))
                 for r in range(10)
             ]
-        else:  # dims/facts the probes don't grow — copy as-is
+        elif t == "orders":
+            # shift order keys past the original range so replicas are
+            # new orders; customer keys stay (10x orders per customer)
+            mk = src.agg(F.max("o_orderkey")).collect()[0][0] + 1
+            parts = [
+                src.withColumn(
+                    "o_orderkey", F.col("o_orderkey") + F.lit(r * mk))
+                for r in range(10)
+            ]
+        elif t == "lineitem":
+            # the SAME key shift as orders, so referential joins hold
+            ords = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            mk = ords.agg(F.max("o_orderkey")).collect()[0][0] + 1
+            parts = [
+                src.withColumn(
+                    "l_orderkey", F.col("l_orderkey") + F.lit(r * mk))
+                for r in range(10)
+            ]
+        else:  # dims the probes don't grow — copy as-is
             parts = [src]
         out = parts[0]
         for p in parts[1:]:
