@@ -432,13 +432,18 @@ ORACLES["s11_stream_neardup"] = _stream_neardup_oracle()
 def x68_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key aggregation via the two-phase salted aggregate
     (``operators/skew.py::salted_aggregate``): (l_returnflag,
-    l_linestatus) has ~6 groups over the whole fact table — exactly the
-    one-reducer-per-hot-key shape that stalls a stage at 100 TB. The
-    salt spreads each key over 16 reducers in phase 1 (map-side combine
-    intact); phase 2 merges 16 tiny partials per key. Quantities are
-    integral in this dataset, so integer units make salted == plain
-    bit-for-bit — certifying the rewrite's algebraic-aggregate
-    equivalence, not just approximate agreement."""
+    l_linestatus) has ~6 groups over the whole fact table. The salt
+    spreads each key over 16 reducers in phase 1 (map-side combine
+    intact); phase 2 merges 16 tiny partials per key. Honest scope
+    (measured — BASELINE.md round-6 skew micro-benchmarks): for
+    ALGEBRAIC aggregates like this one, map-side partial aggregation
+    already collapses hot keys before the shuffle, so the rewrite buys
+    speed only for non-algebraic/collect-style aggregates or extreme
+    key cardinality; hot-key JOINS (x88) are where salting measurably
+    wins. What this query certifies is the rewrite's bit-exact
+    algebraic equivalence (quantities are integral in this dataset, so
+    integer units make salted == plain bit-for-bit), which is the
+    precondition for reaching for it at all."""
     from m5_competition_kaggle_spark.operators.skew import (
         salted_aggregate,
     )
