@@ -147,6 +147,8 @@ def _hash_fileset(
     blob: dict[str, str],
     catalog: dict[str, str] | None = None,
     tables: set[str] | None = None,
+    modsec: dict[str, dict[str, str]] | None = None,
+    attrib: dict[str, set[str]] | None = None,
 ) -> str:
     """Stable hash of a file set given per-file content digests.
 
@@ -160,6 +162,16 @@ def _hash_fileset(
     while any edit to load/normalize logic still stales everyone.
     ``tables=None`` means "could not be determined" and conservatively
     includes every table section.
+
+    ``modsec`` generalizes the same mechanism to SECTIONED_MODULES
+    (r7): ``{path: {section_name: digest}}`` per-function sections from
+    :func:`_def_sections`, and ``attrib`` the per-query attributed
+    section names from :func:`_sect_attrib`. A sectioned path
+    contributes its SHARED section (imports/constants/module docstring)
+    plus only the top-level defs the query's code transitively
+    references by name — so an edit to a function a query never touches
+    no longer stales its banked row. ``attrib=None`` or a missing path
+    entry conservatively includes every section.
     """
     h = hashlib.sha256()
     for p in sorted(paths):
@@ -177,6 +189,24 @@ def _hash_fileset(
                 part += "".join(
                     f"{t}=ABSENT" for t in sorted(tables)
                     if t not in catalog
+                )
+            h.update(f"{p}\0{part}\n".encode())
+        elif modsec is not None and p in modsec:
+            secs = modsec[p]
+            wanted = None if attrib is None else attrib.get(p)
+            names = sorted(
+                n for n in secs if n != SHARED_KEY
+                and (wanted is None or n in wanted)
+            )
+            part = secs[SHARED_KEY] + "".join(
+                f"{n}={secs[n]}" for n in names
+            )
+            # An attributed name with no section (renamed/deleted def)
+            # must still perturb the hash:
+            if wanted is not None:
+                part += "".join(
+                    f"{n}=ABSENT" for n in sorted(wanted)
+                    if n not in secs
                 )
             h.update(f"{p}\0{part}\n".encode())
         else:
@@ -249,6 +279,263 @@ def _catalog_sections(src: str) -> dict[str, str] | None:
     return sections
 
 
+# --- r7: per-function module sectioning ------------------------------
+#
+# The catalog precedent (r5) generalized: these hot operator modules sit
+# in 12–115 query closures each (module-level package imports drag them
+# into everything), so a one-function edit — even a docstring scope fix
+# the judge asked for — used to stale every banked row downstream
+# (similarity.py: 115 of 164). Each module here is hashed as one SHARED
+# section (module docstring, imports, constants — included for every
+# consumer) plus one section per top-level def/class; a query's hash
+# includes only the sections its code transitively references by name
+# (see _sect_attrib). Fallback on ANY structural doubt is whole-file
+# hashing, which is strictly conservative.
+#
+# Soundness argument for the attribution (under-staling would forge
+# certification, so the contract is explicit): a section is included if
+# its name appears as an identifier (Name/Attribute) or identifier-
+# shaped string constant anywhere in the query's seed set — the query's
+# own def, its defining module's executable top-level code, the FULL
+# text of every other non-sectioned closure file, and the shared code of
+# every sectioned closure file — expanded to a fixpoint through included
+# sections' bodies. Any semantic change must alter some hashed unit a
+# query depends on: either the edited section is referenced (attributed
+# → hash moves) or the reference itself lives in attributed/whole-file
+# code (that unit's hash moves). The one escape hatch — accessing a
+# module member through a COMPUTED name — does not occur in this package
+# (grep-verified: no getattr-on-module, no import *, no globals()), and
+# string-literal getattr is caught by the string-constant rule.
+SECTIONED_MODULES = frozenset(
+    f"{PKG}/operators/{m}.py" for m in (
+        "similarity", "dedup", "skew", "stats_exact", "scd",
+        "asof_ext", "rolling_distinct", "curation", "graph",
+    )
+)
+
+_REGISTRY_NAMES = {"QUERIES", "ORACLES"}  # registration metadata dicts
+
+
+def _def_sections(src: str) -> dict[str, str] | None:
+    """Per-top-level-def section digests of a module source text.
+
+    One section per plain top-level FunctionDef/AsyncFunctionDef/
+    ClassDef (decorators included in the span); everything else —
+    module docstring, imports, constants, conditional defs inside
+    try/if blocks — is the SHARED section every consumer hashes.
+    Returns None (→ whole-file fallback) when: the source doesn't
+    parse; two top-level defs share a name (conditional redefinition
+    can't be attributed); or executable shared code references a name
+    imported from inside the package (a module-level cross-module call
+    could hide a dependency attribution can't see).
+    """
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    def_nodes = [
+        n for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                          ast.ClassDef))
+    ]
+    names = [n.name for n in def_nodes]
+    if len(names) != len(set(names)):
+        return None
+    # Guard: module-level executable statements must not reach package
+    # imports (e.g. `CONST = other_module.helper()`), or an edit to that
+    # helper would not stale consumers of CONST.
+    pkg_names: set[str] = set()
+    for n in tree.body:
+        if isinstance(n, ast.ImportFrom) and (
+            n.level or (n.module or "").startswith(PKG)
+        ):
+            pkg_names.update(a.asname or a.name for a in n.names)
+        elif isinstance(n, ast.Import):
+            for a in n.names:
+                if a.name.startswith(PKG):
+                    pkg_names.add((a.asname or a.name).split(".")[0])
+    for n in tree.body:
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                          ast.ClassDef, ast.Import, ast.ImportFrom)):
+            continue
+        refs = {
+            x.id for x in ast.walk(n) if isinstance(x, ast.Name)
+        }
+        if refs & pkg_names:
+            return None
+
+    line_start = [0]
+    for line in src.splitlines(keepends=True):
+        line_start.append(line_start[-1] + len(line))
+
+    def offset(lineno: int, col: int) -> int:
+        return line_start[lineno - 1] + col
+
+    sections: dict[str, str] = {}
+    spans: list[tuple[int, int]] = []
+    for n in def_nodes:
+        first = min([n, *n.decorator_list], key=lambda x: x.lineno)
+        a = offset(first.lineno, 0)
+        b = offset(n.end_lineno, n.end_col_offset)
+        sections[n.name] = hashlib.sha256(src[a:b].encode()).hexdigest()
+        spans.append((a, b))
+    shared = []
+    pos = 0
+    for a, b in sorted(spans):
+        shared.append(src[pos:a])
+        pos = b
+    shared.append(src[pos:])
+    sections[SHARED_KEY] = hashlib.sha256(
+        "".join(shared).encode()
+    ).hexdigest()
+    return sections
+
+
+def _node_refs(node: ast.AST) -> set[str]:
+    """Identifiers a subtree references: bare names, attribute names,
+    and identifier-shaped string constants (the literal-getattr net)."""
+    out: set[str] = set()
+    for x in ast.walk(node):
+        if isinstance(x, ast.Name):
+            out.add(x.id)
+        elif isinstance(x, ast.Attribute):
+            out.add(x.attr)
+        elif isinstance(x, ast.Constant) and isinstance(x.value, str):
+            if x.value.isidentifier():
+                out.add(x.value)
+    return out
+
+
+def _sect_attrib(
+    fn_name: str,
+    defining_path: str,
+    files: set[str],
+    read_file,
+) -> dict[str, set[str]] | None:
+    """Section names of each SECTIONED_MODULES file in ``files`` that
+    query ``fn_name`` (a top-level def in ``defining_path``) transitively
+    references — or None for the conservative all-sections fallback.
+
+    Seeds: the query's own def subtree; the defining module's executable
+    top-level statements (module-level code runs at import and can feed
+    any query) MINUS imports and the QUERIES/ORACLES registration dicts
+    (which reference every sibling query and would re-couple the whole
+    module); the complete text of every other non-sectioned closure
+    file; and the shared statements of every sectioned closure file.
+    Then a fixpoint: every included section's body contributes its own
+    references, matched by name across ALL sectioned files and the
+    defining module's sibling defs (cross-file name collisions
+    over-include, never under-include).
+    """
+    trees: dict[str, ast.Module] = {}
+    for p in sorted(files):
+        if p == CATALOG_PATH:
+            continue
+        try:
+            trees[p] = ast.parse(read_file(p))
+        except (OSError, SyntaxError):
+            return None
+    if defining_path not in trees or defining_path in SECTIONED_MODULES:
+        return None
+    topdefs: dict[str, dict[str, ast.AST]] = {}
+    for p, tree in trees.items():
+        for n in ast.walk(tree):
+            if isinstance(n, ast.ImportFrom) and any(
+                a.name == "*" for a in n.names
+            ):
+                return None  # star import defeats name attribution
+        topdefs[p] = {
+            n.name: n for n in tree.body
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef))
+        }
+    if fn_name not in topdefs[defining_path]:
+        return None
+
+    # Package-import aliases anywhere in the closure: `from m import f
+    # as g` binds g locally, so a reference to g must attribute section
+    # f. Collected globally (per-file maps would be stricter; global
+    # application only over-includes).
+    alias: dict[str, set[str]] = {}
+    for tree in trees.values():
+        for n in ast.walk(tree):
+            if isinstance(n, ast.ImportFrom) and (
+                n.level or (n.module or "").startswith(PKG)
+            ):
+                for a in n.names:
+                    if a.asname and a.asname != a.name:
+                        alias.setdefault(a.asname, set()).add(a.name)
+
+    def _stmt_refs(n: ast.stmt) -> set[str]:
+        """Seed references of one top-level statement. Imports bind
+        names without referencing function BODIES — call sites are
+        seeded where they occur — so they are skipped (aliases handled
+        above). Registration-dict writes (QUERIES/ORACLES, literal or
+        subscripted) seed only their VALUE expression: the string KEYS
+        are the sibling query names themselves and would re-couple the
+        whole module, while a value referencing an oracle-builder def
+        still attributes it."""
+        if isinstance(n, (ast.Import, ast.ImportFrom)):
+            return set()
+        if isinstance(n, ast.Assign):
+            names = {t.id for t in n.targets if isinstance(t, ast.Name)}
+            subs = {
+                t.value.id for t in n.targets
+                if isinstance(t, ast.Subscript)
+                and isinstance(t.value, ast.Name)
+            }
+            if names and names <= _REGISTRY_NAMES:
+                return set()
+            if subs and subs <= _REGISTRY_NAMES and not names:
+                return _node_refs(n.value)
+        elif isinstance(n, ast.AnnAssign) and isinstance(
+            n.target, ast.Name
+        ) and n.target.id in _REGISTRY_NAMES:
+            return _node_refs(n.value) if n.value else set()
+        return _node_refs(n)
+
+    refs: set[str] = set()
+    refs |= _node_refs(topdefs[defining_path][fn_name])
+    for n in trees[defining_path].body:
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                          ast.ClassDef)):
+            continue
+        refs |= _stmt_refs(n)
+    for p, tree in trees.items():
+        if p == defining_path:
+            continue
+        for n in tree.body:
+            if p in SECTIONED_MODULES and isinstance(
+                n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                continue  # sectioned defs join via the fixpoint
+            refs |= _stmt_refs(n)
+
+    included: dict[str, set[str]] = {
+        p: set() for p in trees if p in SECTIONED_MODULES
+    }
+    own_done: set[str] = {fn_name}
+    changed = True
+    while changed:
+        changed = False
+        for a, reals in alias.items():
+            if a in refs and not reals <= refs:
+                refs |= reals
+                changed = True
+        for p, sec in included.items():
+            for name, node in topdefs[p].items():
+                if name in refs and name not in sec:
+                    sec.add(name)
+                    refs |= _node_refs(node)
+                    changed = True
+        for name, node in topdefs[defining_path].items():
+            if name in refs and name not in own_done:
+                own_done.add(name)
+                refs |= _node_refs(node)
+                changed = True
+    return included
+
+
 def _closure_tables(
     files: set[str],
     table_names: tuple[str, ...],
@@ -299,10 +586,14 @@ def _closure_tables(
     return found
 
 
-def _worktree_blobs() -> tuple[dict[str, str], dict[str, str] | None]:
-    """(path -> content sha256, catalog section digests) for the tree."""
+def _worktree_blobs() -> tuple[
+    dict[str, str], dict[str, str] | None, dict[str, dict[str, str]]
+]:
+    """(path -> content sha256, catalog section digests, per-function
+    section digests for SECTIONED_MODULES that parse) for the tree."""
     out = {}
     catalog = None
+    modsec: dict[str, dict[str, str]] = {}
     for path in glob.glob(os.path.join(REPO, PKG, "**", "*.py"),
                           recursive=True):
         rel = os.path.relpath(path, REPO)
@@ -310,19 +601,26 @@ def _worktree_blobs() -> tuple[dict[str, str], dict[str, str] | None]:
         out[rel] = hashlib.sha256(content).hexdigest()
         if rel == CATALOG_PATH:
             catalog = _catalog_sections(content.decode())
-    return out, catalog
+        elif rel in SECTIONED_MODULES:
+            secs = _def_sections(content.decode())
+            if secs is not None:
+                modsec[rel] = secs
+    return out, catalog, modsec
 
 
 def _commit_blobs(
     commit: str,
-) -> tuple[dict[str, str], dict[str, str] | None]:
-    """(path -> content sha256, catalog section digests) at `commit`."""
+) -> tuple[
+    dict[str, str], dict[str, str] | None, dict[str, dict[str, str]]
+]:
+    """Same triple as :func:`_worktree_blobs`, at ``commit``."""
     ls = subprocess.run(
         ["git", "ls-tree", "-r", commit, "--", PKG],
         capture_output=True, text=True, cwd=REPO, check=True,
     ).stdout
     out = {}
     catalog = None
+    modsec: dict[str, dict[str, str]] = {}
     for line in ls.splitlines():
         meta, path = line.split("\t", 1)
         blob_sha = meta.split()[2]
@@ -336,7 +634,14 @@ def _commit_blobs(
                 catalog = _catalog_sections(content.decode())
             except UnicodeDecodeError:
                 catalog = None
-    return out, catalog
+        elif path in SECTIONED_MODULES:
+            try:
+                secs = _def_sections(content.decode())
+            except UnicodeDecodeError:
+                secs = None
+            if secs is not None:
+                modsec[path] = secs
+    return out, catalog, modsec
 
 
 def _round_commit(corr_path: str) -> str | None:
@@ -353,6 +658,17 @@ def _round_commit(corr_path: str) -> str | None:
         capture_output=True, text=True, cwd=REPO,
     ).stdout.strip()
     if not last:
+        # Untracked-but-present (VERDICT r6 item 9): mid-round, the
+        # driver has written the file but its end-of-round snapshot
+        # hasn't landed yet. The rows were produced against the last
+        # committed tree, i.e. HEAD — fall back to it instead of
+        # rendering freshly-certified rows as unverifiable.
+        if os.path.exists(os.path.join(REPO, name)):
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            return head.stdout.strip() if head.returncode == 0 else None
         return None
     parent = subprocess.run(
         ["git", "rev-parse", f"{last}^"],
@@ -386,7 +702,7 @@ def main() -> int:
     base_order = [n for mod in _MODULES for n in mod.QUERIES]
 
     closure = dep_closure()
-    now_blobs, now_catalog = _worktree_blobs()
+    now_blobs, now_catalog, now_modsec = _worktree_blobs()
     qmod = {name: fn.__module__ for name, fn in queries.items()}
     qfiles = {name: closure.get(qmod[name], set()) for name in base_order}
     from m5_competition_kaggle_spark.sources.catalog import TABLES
@@ -398,15 +714,27 @@ def main() -> int:
         name: _closure_tables(qfiles[name], TABLES, _read_worktree)
         for name in base_order
     }
-    now_hash = {
-        name: _hash_fileset(
-            qfiles[name], now_blobs, now_catalog, qtables[name]
+    modfile = _module_files()
+    qattrib = {
+        name: _sect_attrib(
+            queries[name].__name__,
+            modfile.get(qmod[name], ""),
+            qfiles[name],
+            _read_worktree,
         )
         for name in base_order
     }
-    # Sectioned catalog hashing applies only when BOTH the round's blob
-    # and the worktree parse into sections; otherwise both sides fall
-    # back to whole-file so the comparison stays apples-to-apples.
+    now_hash = {
+        name: _hash_fileset(
+            qfiles[name], now_blobs, now_catalog, qtables[name],
+            now_modsec, qattrib[name],
+        )
+        for name in base_order
+    }
+    # Sectioned hashing (catalog tables, per-function modules) applies
+    # only when BOTH the round's blob and the worktree parse into
+    # sections; otherwise that file falls back to whole-file on both
+    # sides so the comparison stays apples-to-apples.
     round_hash: dict[str, dict[str, str]] = {}
     now_hash_for: dict[str, dict[str, str]] = {}
     for rnd, bc in round_blobs.items():
@@ -414,21 +742,27 @@ def main() -> int:
             round_hash[rnd] = {}
             now_hash_for[rnd] = {}
             continue
-        blobs, cat = bc
+        blobs, cat, rnd_modsec = bc
         sectioned = cat is not None and now_catalog is not None
+        common = set(rnd_modsec) & set(now_modsec)
+        rnd_ms = {p: rnd_modsec[p] for p in common}
+        now_ms = {p: now_modsec[p] for p in common}
         round_hash[rnd] = {
             name: _hash_fileset(
                 qfiles[name], blobs,
                 cat if sectioned else None, qtables[name],
+                rnd_ms, qattrib[name],
             )
             for name in base_order
         }
-        now_hash_for[rnd] = (
-            now_hash if sectioned else {
-                name: _hash_fileset(qfiles[name], now_blobs, None, None)
-                for name in base_order
-            }
-        )
+        now_hash_for[rnd] = {
+            name: _hash_fileset(
+                qfiles[name], now_blobs,
+                now_catalog if sectioned else None, qtables[name],
+                now_ms, qattrib[name],
+            )
+            for name in base_order
+        }
 
     # First pass: which queries hold a CURRENTLY-VALID green row?
     def row_valid(name: str) -> bool:
@@ -547,6 +881,14 @@ def main() -> int:
             "tables": (
                 "ALL" if qtables[name] is None
                 else sorted(qtables[name])
+            ),
+            "sections": (
+                "ALL" if qattrib[name] is None
+                else {
+                    os.path.basename(p): sorted(names)
+                    for p, names in sorted(qattrib[name].items())
+                    if p in now_modsec
+                }
             ),
         }
         for name in qs

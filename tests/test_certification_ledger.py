@@ -211,3 +211,207 @@ def test_relative_import_in_package_init(tmp_path):
     assert f"{PKG}.queries.core" in got
     assert f"{PKG}.config" in got
     assert f"{PKG}.core" not in got
+
+
+# --- r7: per-function module sectioning (VERDICT r6 items 4/6) --------
+
+from scripts.certification_ledger import (  # noqa: E402
+    SECTIONED_MODULES,
+    _def_sections,
+    _node_refs,
+    _sect_attrib,
+)
+
+MOD_V1 = '''
+"""docstring"""
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+def alpha(df):
+    return _helper(df) + QUANT
+
+def _helper(df):
+    return df
+
+def beta(df):
+    return df * 2
+'''
+
+
+def test_def_sections_split_and_localize():
+    s1 = _def_sections(MOD_V1)
+    assert set(s1) == {SHARED_KEY, "alpha", "_helper", "beta"}
+    # one-function edit moves only that section
+    s2 = _def_sections(MOD_V1.replace("df * 2", "df * 3"))
+    assert s2["beta"] != s1["beta"]
+    assert s2["alpha"] == s1["alpha"]
+    assert s2[SHARED_KEY] == s1[SHARED_KEY]
+    # shared-constant edit moves only shared
+    s3 = _def_sections(MOD_V1.replace("QUANT = 1000", "QUANT = 999"))
+    assert s3[SHARED_KEY] != s1[SHARED_KEY]
+    assert s3["alpha"] == s1["alpha"] and s3["beta"] == s1["beta"]
+
+
+def test_def_sections_conservative_fallbacks():
+    assert _def_sections("not python ((((") is None
+    # duplicate top-level def names (conditional redefinition)
+    assert _def_sections("def f():\n    pass\ndef f():\n    pass\n") is None
+    # module-level executable code reaching a package import: a hidden
+    # cross-module dependency attribution can't see -> whole-file
+    src = (
+        "from m5_competition_kaggle_spark.functions.text import h64\n"
+        "K = h64('x')\n"
+    )
+    assert _def_sections(src) is None
+    # ... but an import alone (call sites inside defs) sections fine
+    src2 = (
+        "from m5_competition_kaggle_spark.functions.text import h64\n"
+        "def g(v):\n    return h64(v)\n"
+    )
+    assert _def_sections(src2) is not None
+
+
+def test_def_sections_decorator_in_span():
+    src = "import functools\n\n@functools.cache\ndef f():\n    return 1\n"
+    s1 = _def_sections(src)
+    s2 = _def_sections(src.replace("functools.cache", "functools.lru_cache()"))
+    assert s1 is not None and s2 is not None
+    assert s1["f"] != s2["f"]  # decorator edit is a function edit
+    assert s1[SHARED_KEY] == s2[SHARED_KEY]
+
+
+def test_hash_fileset_sectioned_module_blast_radius():
+    files = {"pkg/operators/op.py", "pkg/queries/q.py"}
+    blobs = {p: "X" for p in files}
+    sec1 = {SHARED_KEY: "s", "used_fn": "u", "other_fn": "o"}
+    sec2 = {SHARED_KEY: "s", "used_fn": "u", "other_fn": "O"}  # edit other
+    ms1 = {"pkg/operators/op.py": sec1}
+    ms2 = {"pkg/operators/op.py": sec2}
+    at = {"pkg/operators/op.py": {"used_fn"}}
+    # edit to an UNattributed function does not flip the consumer ...
+    assert _hash_fileset(files, blobs, None, None, ms1, at) == \
+        _hash_fileset(files, blobs, None, None, ms2, at)
+    # ... an edit to the attributed one does
+    sec3 = {SHARED_KEY: "s", "used_fn": "U", "other_fn": "o"}
+    assert _hash_fileset(files, blobs, None, None, ms1, at) != \
+        _hash_fileset(files, blobs, None, None, {"pkg/operators/op.py": sec3}, at)
+    # ... a shared (imports/constants) edit stales everyone
+    sec4 = {SHARED_KEY: "S", "used_fn": "u", "other_fn": "o"}
+    assert _hash_fileset(files, blobs, None, None, ms1, at) != \
+        _hash_fileset(files, blobs, None, None, {"pkg/operators/op.py": sec4}, at)
+    # attrib=None conservatively includes every section
+    assert _hash_fileset(files, blobs, None, None, ms1, None) != \
+        _hash_fileset(files, blobs, None, None, ms2, None)
+    # an attributed name whose section vanished (rename) perturbs
+    at_gone = {"pkg/operators/op.py": {"used_fn", "gone_fn"}}
+    assert _hash_fileset(files, blobs, None, None, ms1, at_gone) != \
+        _hash_fileset(files, blobs, None, None, ms1, at)
+
+
+def _mini_repo(tmp_path, op_src, q_src, extra=None):
+    import scripts.certification_ledger as L
+    opdir = tmp_path / PKG / "operators"
+    qdir = tmp_path / PKG / "queries"
+    opdir.mkdir(parents=True)
+    qdir.mkdir(parents=True)
+    (opdir / "simlike.py").write_text(op_src)
+    (qdir / "mod.py").write_text(q_src)
+    for rel, src in (extra or {}).items():
+        p = tmp_path / rel
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(src)
+    files = {f"{PKG}/operators/simlike.py", f"{PKG}/queries/mod.py"}
+    files |= set((extra or {}))
+
+    def rf(rel):
+        return (tmp_path / rel).read_text()
+
+    return files, rf
+
+
+SECT_OP = '''
+def used_fn(df):
+    return _inner(df)
+
+def _inner(df):
+    return df
+
+def other_fn(df):
+    return df
+'''
+
+SECT_Q = '''
+from m5_competition_kaggle_spark.operators.simlike import used_fn, other_fn
+
+def qa(spark, sf):
+    return used_fn(None)
+
+def qb(spark, sf):
+    return other_fn(None)
+
+QUERIES = {"qa": qa, "qb": qb}
+ORACLES = {}
+ORACLES["qa"] = "SELECT 1 AS qb"
+ORACLES["qb"] = "SELECT 2"
+'''
+
+
+def test_sect_attrib_per_query(monkeypatch, tmp_path):
+    import scripts.certification_ledger as L
+    monkeypatch.setattr(
+        L, "SECTIONED_MODULES", frozenset({f"{PKG}/operators/simlike.py"})
+    )
+    files, rf = _mini_repo(tmp_path, SECT_OP, SECT_Q)
+    qpath = f"{PKG}/queries/mod.py"
+    oppath = f"{PKG}/operators/simlike.py"
+    at_a = _sect_attrib("qa", qpath, files, rf)
+    at_b = _sect_attrib("qb", qpath, files, rf)
+    # qa reaches used_fn and (transitively) _inner, NOT other_fn —
+    # and the ORACLES["qa"] key naming qb must not drag qb's deps in.
+    assert at_a[oppath] == {"used_fn", "_inner"}
+    assert at_b[oppath] == {"other_fn"}
+
+
+def test_sect_attrib_alias_and_star_fallbacks(monkeypatch, tmp_path):
+    import scripts.certification_ledger as L
+    monkeypatch.setattr(
+        L, "SECTIONED_MODULES", frozenset({f"{PKG}/operators/simlike.py"})
+    )
+    q_alias = (
+        "from m5_competition_kaggle_spark.operators.simlike "
+        "import used_fn as UF\n"
+        "def qa(spark, sf):\n    return UF(None)\n"
+        "QUERIES = {'qa': qa}\nORACLES = {}\n"
+    )
+    files, rf = _mini_repo(tmp_path, SECT_OP, q_alias)
+    at = _sect_attrib("qa", f"{PKG}/queries/mod.py", files, rf)
+    # the alias still attributes the real section name
+    assert "used_fn" in at[f"{PKG}/operators/simlike.py"]
+    # star import anywhere in the closure -> conservative None
+    q_star = (
+        "from m5_competition_kaggle_spark.operators.simlike import *\n"
+        "def qa(spark, sf):\n    return used_fn(None)\n"
+    )
+    files2, rf2 = _mini_repo(tmp_path / "s", SECT_OP, q_star)
+    assert _sect_attrib("qa", f"{PKG}/queries/mod.py", files2, rf2) is None
+    # unlocatable query def -> conservative None
+    assert _sect_attrib("nope", f"{PKG}/queries/mod.py", files, rf) is None
+
+
+def test_real_repo_sectioned_modules_parse_and_localize():
+    """Live invariants the r7 edits rely on: every allowlisted module
+    sections cleanly, and the audit-only exact_near_dup_pairs is
+    attributed by NO registered query (so guarding it stales nobody)."""
+    import json
+    import os
+    for rel in SECTIONED_MODULES:
+        assert _def_sections(open(rel).read()) is not None, rel
+    bank = json.load(open("CERTIFICATION_hashes.json"))
+    for q, info in bank.items():
+        secs = info["sections"]
+        assert secs != "ALL", f"{q} fell back to whole-file attribution"
+        assert "exact_near_dup_pairs" not in secs.get("similarity.py", []), q
+    # spot positives: consumers DO attribute what they call
+    assert "brute_force_topk" in bank["x9_sim_topk"]["sections"]["similarity.py"]
+    assert "winsorized_sum" in bank["x83_winsorized_mean"]["sections"]["stats_exact.py"]
