@@ -45,21 +45,22 @@ def asof_join_forward(
     keys = list(on)
     vals = list(value_cols)
 
+    # All matched fields ride ONE struct so they provably come from the
+    # SAME right row: a per-column first(..., ignorenulls=True) would,
+    # for a right row with a NULL in one value column, take that column
+    # from a LATER right row than matched_ts (ADVICE r6).
     r_side = right.select(
         *keys,
         F.col(ts_col),
         F.lit(1).alias("__side"),  # right sorts AFTER left at equal ts
-        F.col(ts_col).alias("__rts"),
-        *[F.col(c) for c in vals],
+        F.struct(
+            F.col(ts_col).alias("__rts"),
+            *[F.col(c) for c in vals],
+        ).alias("__pack"),
     )
     l_side = left.withColumn("__side", F.lit(0)).withColumn(
-        "__rts", F.lit(None).cast(r_side.schema["__rts"].dataType)
+        "__pack", F.lit(None).cast(r_side.schema["__pack"].dataType)
     )
-    for c in vals:
-        if c not in left.columns:
-            l_side = l_side.withColumn(
-                c, F.lit(None).cast(r_side.schema[c].dataType)
-            )
     for c in left.columns:
         if c not in r_side.columns:
             r_side = r_side.withColumn(
@@ -75,20 +76,16 @@ def asof_join_forward(
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        F.first("__rts", ignorenulls=True).over(w).alias("matched_ts"),
-        *[
-            F.first(c, ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in vals
-        ],
+        F.first("__pack", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__side") == 0)
 
     in_tol = (
         F.lit(True)
         if tolerance is None
-        else F.col("matched_ts") <= F.col(ts_col) + F.lit(int(tolerance))
+        else F.col("__m.__rts") <= F.col(ts_col) + F.lit(int(tolerance))
     )
     return filled.select(
         *[F.col(c) for c in left.columns],
-        F.when(in_tol, F.col("matched_ts")).alias("matched_ts"),
-        *[F.when(in_tol, F.col(f"__f_{c}")).alias(c) for c in vals],
+        F.when(in_tol, F.col("__m.__rts")).alias("matched_ts"),
+        *[F.when(in_tol, F.col(f"__m.{c}")).alias(c) for c in vals],
     )

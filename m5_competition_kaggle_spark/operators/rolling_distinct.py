@@ -38,6 +38,11 @@ def trailing_distinct_count(
     Output: period, uniq (distinct entities seen in
     [period - window_n + 1, period]).
     """
+    if int(window_n) < 1:
+        # Mirrors the end>start guard on the interval operators
+        # (ADVICE r6): window_n <= 0 would make F.sequence step
+        # BACKWARDS, silently contributing to past periods.
+        raise ValueError(f"window_n must be >= 1 (got {window_n})")
     obs = df.select(entity_col, period_col).distinct()
     contrib = obs.select(
         F.col(entity_col),

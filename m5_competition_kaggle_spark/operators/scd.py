@@ -39,11 +39,17 @@ def change_islands(
     valid_from (NULL for the current/open island).
     """
     w = Window.partitionBy(key_col).orderBy(order_col)
+    # Null-safe change detection (ADVICE r6): `lag != attr` evaluates
+    # to NULL across a non-null -> NULL transition, silently absorbing
+    # NULL-attr rows into the previous island. eqNullSafe treats NULL
+    # as a value; the explicit row_number()==1 test opens the first
+    # island even when its attr is NULL (lag NULL eqNullSafe attr NULL
+    # would otherwise read as "no change").
     flagged = df.select(key_col, order_col, attr_col).withColumn(
         "__chg",
         F.when(
-            F.lag(attr_col).over(w).isNull()
-            | (F.lag(attr_col).over(w) != F.col(attr_col)),
+            (F.row_number().over(w) == 1)
+            | ~F.lag(attr_col).over(w).eqNullSafe(F.col(attr_col)),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )

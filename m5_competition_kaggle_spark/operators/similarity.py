@@ -388,17 +388,30 @@ def exact_near_dup_pairs(
     threshold_dot: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact embedding near-dup: ALL (a < b) pairs with quantized dot ≥
     threshold, via the same broadcast int64 matmul as ``brute_force_topk``.
 
     O(N²) scoring — the precision baseline. At corpus scale use
     ``embedding_near_dup_pairs`` (LSH-bucketed) and let this run only
-    within buckets / for audits.
+    within buckets / for audits. This is the ONE operator that collects
+    vectors to the driver, so it refuses inputs above ``max_rows``
+    (VERDICT r6 item 4) — a production pipeline that imports it by
+    mistake fails loudly instead of OOMing the driver. Raise the limit
+    explicitly for a deliberate large audit.
     """
     import numpy as np
     import pandas as pd
 
+    n = vectors.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_near_dup_pairs is an O(N^2) driver-side audit "
+            f"baseline: input has {n} rows > max_rows={max_rows}. Use "
+            "embedding_near_dup_pairs (LSH-bucketed) at scale, or pass "
+            "a higher max_rows for a deliberate audit."
+        )
     rows = vectors.select(
         F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
     ).collect()

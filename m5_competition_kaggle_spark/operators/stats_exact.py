@@ -126,7 +126,18 @@ def winsorized_sum(
 
     Output: group, n, cut (= n // tail_denominator), lo_v, hi_v
     (the clamp values), wsum (sum after clamping).
+
+    ``tail_denominator`` must be >= 3: below that the two cut tails can
+    overlap (2*cut >= n), leaving lo_v > hi_v and an asymmetric clamp
+    (ADVICE r6) — winsorizing a third or more off each tail is not a
+    meaningful request anyway.
     """
+    if int(tail_denominator) < 3:
+        raise ValueError(
+            "tail_denominator must be >= 3 (got "
+            f"{tail_denominator}): 2*(n DIV d) can reach n below that, "
+            "overlapping the clamp tails"
+        )
     w_order = Window.partitionBy(group_col).orderBy(
         F.col("__v"), F.col("__t")
     )

@@ -234,19 +234,39 @@ def x93_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def x94_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def x94_dedup_eval(
+    spark: SparkSession, sf_dir: str, sample_permille: int = 1000
+) -> DataFrame:
     """Recall certificate for approximate dedup: MinHash-LSH pairs
     (x2's operator) counted against the exhaustive shingle-Jaccard
     baseline (x3's) at the same 0.8 threshold. LSH verifies Jaccard on
     its candidates, so precision is 1 by construction (tp = n_lsh —
     the query certifies that too by counting the intersection);
-    recall_permille = 1000·tp DIV n_exact."""
+    recall_permille = 1000·tp DIV n_exact.
+
+    The exhaustive flank is quadratic BY DEFINITION — it is the audit
+    baseline. ``sample_permille`` (VERDICT r6 item 3) is the corpus-
+    scale knob: below 1000 it keeps a deterministic hash-sample of
+    documents and certifies recall on pairs whose BOTH endpoints
+    survive, shrinking the flank by (p/1000)^2 while the estimate
+    stays unbiased over pairs. The certified query keeps 1000 (exact,
+    full corpus) — same shape as bloom_decontaminate(exact_audit=...).
+    """
     from m5_competition_kaggle_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    if not 0 < int(sample_permille) <= 1000:
+        raise ValueError(
+            f"sample_permille must be in (0, 1000], got {sample_permille}"
+        )
+    if int(sample_permille) < 1000:
+        docs = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(94)), F.lit(1000))
+            < F.lit(int(sample_permille))
+        )
     lsh = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=4,
         shingle_size=3, threshold=0.8,

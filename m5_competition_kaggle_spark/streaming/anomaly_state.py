@@ -46,6 +46,20 @@ def _flags_kernel(
 
     v = pd.concat([pd.Series(prefix, dtype="int64"), vals.astype("int64")],
                   ignore_index=True)
+    # Quantization-contract guard (ADVICE r6): the rolling sums below
+    # come back float64 and are exact only while window * max|v|^2 (and
+    # window * max|v|) stay below 2^53. A caller violating that must
+    # fail loudly here, not silently diverge from the certified
+    # Catalyst/SQL twin.
+    if len(v):
+        vm = int(v.abs().max())
+        if vm * vm * window >= 2**53 or vm * window >= 2**53:
+            raise ValueError(
+                f"quantization contract violated: window={window} * "
+                f"max|v|^2 (|v| up to {vm}) reaches 2^53; float64 "
+                "rolling sums would lose exactness — quantize values "
+                "coarser or shrink the window"
+            )
     skip = len(prefix)
     s = v.shift(1).rolling(window, min_periods=1).sum()
     ss = (v * v).shift(1).rolling(window, min_periods=1).sum()

@@ -250,3 +250,70 @@ def test_trailing_distinct_window(spark):
     assert out[10] == 2           # {1,2}
     assert out[12] == 2           # {1,2} from day 10 + {2}
     assert out[20] == 1           # day 12 is 8 days back — expired
+
+
+# ------------------------------------------- ADVICE r6 regression fixes
+
+
+def test_asof_forward_null_value_col_same_row(spark):
+    """A NULL in one value column must NOT be backfilled from a LATER
+    right row: all matched fields come from the matched_ts row."""
+    left = spark.createDataFrame([(1, 1, 100)], "id long, k long, t long")
+    right = spark.createDataFrame(
+        [(1, 150, None, 7), (1, 200, 99, 8)],
+        "k long, t long, a long, b long",
+    )
+    out = asof_join_forward(
+        left, right, on=["k"], ts_col="t", value_cols=["a", "b"]
+    ).collect()[0]
+    assert out.matched_ts == 150
+    assert out.a is None  # from the 150 row, not 99 from the 200 row
+    assert out.b == 7
+
+
+def test_change_islands_null_transitions(spark):
+    """non-null -> NULL -> non-null must be three islands, and a NULL
+    first row still opens island 1 (null-safe change flag)."""
+    df = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 2, None), ("k", 3, None), ("k", 4, "a"),
+         ("j", 1, None), ("j", 2, None)],
+        "k string, t long, attr string",
+    )
+    out = {
+        (r.k, r.island): (r.attr, r.n_rows, r.valid_from, r.valid_to)
+        for r in change_islands(df, "k", "t", "attr").collect()
+    }
+    assert out[("k", 1)] == ("a", 1, 1, 2)
+    assert out[("k", 2)] == (None, 2, 2, 4)  # NULL run is its own island
+    assert out[("k", 3)] == ("a", 1, 4, None)
+    assert out[("j", 1)] == (None, 2, 1, None)  # NULL-opening key
+
+
+def test_winsorized_sum_rejects_overlapping_tails(spark):
+    df = spark.createDataFrame(
+        [("g", i, i) for i in range(4)], "g string, v long, tb long"
+    )
+    with pytest.raises(ValueError, match="tail_denominator"):
+        winsorized_sum(df, "g", "v", "tb", tail_denominator=2)
+
+
+def test_trailing_distinct_rejects_nonpositive_window(spark):
+    df = spark.createDataFrame([(1, 1)], "u long, day long")
+    with pytest.raises(ValueError, match="window_n"):
+        trailing_distinct_count(df, "u", "day", 0)
+
+
+def test_anomaly_kernel_rejects_quantization_overflow():
+    import pandas as pd
+
+    from m5_competition_kaggle_spark.streaming.anomaly_state import (
+        _flags_kernel,
+    )
+
+    ok = _flags_kernel(pd.Series([1, 2, 3]), window=3, min_n=2, z=3,
+                       prefix=[])
+    assert len(ok) == 3
+    big = 2**27  # window * big^2 = 3 * 2^54 > 2^53
+    with pytest.raises(ValueError, match="quantization contract"):
+        _flags_kernel(pd.Series([big, big]), window=3, min_n=2, z=3,
+                      prefix=[])

@@ -146,3 +146,42 @@ def test_stateful_anomaly_stream_equals_batch(spark, tmp_path):
     assert any(b_flags.values())  # the fixture does contain anomalies
 
     shutil.rmtree(src, ignore_errors=True)
+
+
+# ------------------------------------------- VERDICT r6 items 3 and 4
+
+
+def test_x94_sample_permille_shrinks_flank(spark):
+    from m5_competition_kaggle_spark.queries.extensions_r7 import (
+        x94_dedup_eval,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = x94_dedup_eval(spark, sf).collect()[0]
+    half = x94_dedup_eval(spark, sf, sample_permille=500).collect()[0]
+    # the sampled flank sees a subset of the exhaustive pairs, and the
+    # precision-1 invariant (tp == n_lsh) survives sampling
+    assert half.n_exact <= full.n_exact
+    assert half.tp == half.n_lsh
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_permille"):
+        x94_dedup_eval(spark, sf, sample_permille=0)
+
+
+def test_exact_near_dup_pairs_guards_driver_collect(spark):
+    import pytest
+
+    from m5_competition_kaggle_spark.operators.similarity import (
+        exact_near_dup_pairs,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="max_rows"):
+        exact_near_dup_pairs(vecs, threshold_dot=0, max_rows=3)
+    # a deliberate audit under the cap still works
+    out = exact_near_dup_pairs(vecs, threshold_dot=0, max_rows=10)
+    assert out.count() == 10  # 5 choose 2 identical vectors
