@@ -75,8 +75,45 @@ _MODULES = (
 # (x48–x72, s9–s13, g19), the 12 r6b queries (x73–x83, g20), then the
 # 6 r6c queries (x84–x89) — 1 + 31 + 12 + 6 = 50 exactly, full window
 # utilization with zero redundant re-banks.
+#
+# Round-7 head composition (VERDICT r6 items 1 + 5): the window's
+# non-negotiables are the 24 auto-promotions — the 19 r7-queued
+# never-certified queries (s14–s16, x90–x98, x100–x106) plus the 5
+# queries staled by this round's ADVICE fixes (x74, x82, x83, g20,
+# x88; per-function ledger sectioning held the blast radius to exactly
+# the edited functions' consumers). The remaining 26 slots are
+# deliberate second-green picks for the r6-certified singles,
+# oldest-built first (x47 then the r5-built batch) — banked-by-2 rows
+# survive one future staleness event without losing all certification.
+# 26 picks + 24 promotions = 50 exactly. The r6c singles (x84–x89) and
+# remaining r6b singles stay single-green until r8.
 _HEAD = (
     "x47_sim_topk_lsh_auto",
+    "x48_bloom_fast",
+    "x49_fit_step",
+    "x50_cms_freq",
+    "x51_semantic_dedup",
+    "s9_stream_cms",
+    "x52_hist_quantiles",
+    "x53_seeded_shuffle",
+    "x54_exact_k_sample",
+    "x55_audio_segments",
+    "x56_snapshot_diff",
+    "x57_semantic_dedup_lsh",
+    "x58_triangle_counts",
+    "x59_fuzzy_join",
+    "x60_incremental_dedup",
+    "x61_chunk_dedup",
+    "x62_oov_rate",
+    "s10_windowed_cms",
+    "x63_bm25_topk",
+    "x64_setsim_join",
+    "x65_kcore",
+    "x66_source_jaccard",
+    "g19_grouping_sets",
+    "x67_interval_join",
+    "s11_stream_neardup",
+    "x68_salted_agg",
 )
 
 HEAD_CAP = 50
