@@ -44,10 +44,35 @@ def audio_meta(
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if mode == "real":
-                raise NotImplementedError(
-                    "real audio decode requires ffmpeg/librosa (not in "
-                    "this container); use mode='fake' for plumbing tests"
+                # Import-try parity with ml/train.py's LightGBM branch
+                # (VERDICT r6 item 8): the real path auto-upgrades when
+                # the environment gains the codec; the skip-marked test
+                # in tests/test_multimodal_audio.py un-skips with it.
+                try:
+                    import soundfile as sf
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile (not in "
+                        "this container); use mode='fake' for plumbing "
+                        "tests"
+                    ) from exc
+                import io
+
+                metas = [
+                    sf.info(io.BytesIO(raw)) for raw in pdf["content"]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[key_col],
+                        "n_bytes": pdf["content"].map(len),
+                        "sample_rate": [m.samplerate for m in metas],
+                        "n_samples": [m.frames for m in metas],
+                        "duration_ms": [
+                            m.frames * 1000 // m.samplerate for m in metas
+                        ],
+                    }
                 )
+                continue
             n_bytes = pdf["content"].map(len)
             rate = n_bytes.map(lambda n: _RATES[n % 3])
             n_samples = n_bytes * 64

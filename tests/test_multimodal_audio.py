@@ -40,14 +40,41 @@ def test_segments_tile_the_clip(spark):
             assert segs[0]["end_ms"] > segs[1]["start_ms"]
 
 
-def test_real_mode_raises(spark):
+def test_real_mode_raises_without_codec(spark):
+    pytest.importorskip  # (not used: this test asserts the ABSENT path)
+    try:
+        import soundfile  # noqa: F401
+        pytest.skip("soundfile present: the real path is live, see below")
+    except ImportError:
+        pass
     meta = audio_meta(
         to_binary_assets(load_table(spark, SF, "documents"),
                          "doc_id", "text"),
         mode="real",
     )
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+    with pytest.raises(Exception, match="NotImplementedError|soundfile"):
         meta.limit(1).collect()
+
+
+def test_real_mode_decodes_wav_when_codec_present(spark):
+    """Auto-unskips when the container gains soundfile (VERDICT r6
+    item 8): a generated 16 kHz mono WAV must round-trip through the
+    same mapInPandas plumbing the fake codec certifies."""
+    sf_mod = pytest.importorskip("soundfile")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    sf_mod.write(buf, np.zeros(16000, dtype="float32"), 16000,
+                 format="WAV")
+    assets = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, content binary"
+    )
+    row = audio_meta(assets, mode="real").collect()[0]
+    assert (row.sample_rate, row.n_samples, row.duration_ms) == (
+        16000, 16000, 1000
+    )
 
 
 def test_zero_duration_clips_have_no_segments(spark):
