@@ -415,3 +415,44 @@ def test_real_repo_sectioned_modules_parse_and_localize():
     # spot positives: consumers DO attribute what they call
     assert "brute_force_topk" in bank["x9_sim_topk"]["sections"]["similarity.py"]
     assert "winsorized_sum" in bank["x83_winsorized_mean"]["sections"]["stats_exact.py"]
+
+
+def test_round_commit_falls_back_to_head_for_untracked(tmp_path):
+    """VERDICT r6 item 9: a correctness file the driver has written but
+    not yet committed must resolve to HEAD (the tree the driver ran),
+    not render freshly-certified rows unverifiable."""
+    import subprocess
+
+    import scripts.certification_ledger as L
+
+    def git(*a):
+        subprocess.run(["git", *a], cwd=tmp_path, check=True,
+                       capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    (tmp_path / "x.py").write_text("x = 1\n")
+    git("add", "x.py")
+    git("commit", "-qm", "c1")
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=tmp_path,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    (tmp_path / "CORRECTNESS_r99.json").write_text("{}")
+    old = L.REPO
+    try:
+        L.REPO = str(tmp_path)
+        # untracked-but-present -> HEAD
+        assert L._round_commit(str(tmp_path / "CORRECTNESS_r99.json")) \
+            == head
+        # absent entirely -> None
+        assert L._round_commit(str(tmp_path / "CORRECTNESS_r98.json")) \
+            is None
+        # committed -> parent of the committing commit
+        git("add", "CORRECTNESS_r99.json")
+        git("commit", "-qm", "c2: driver result")
+        assert L._round_commit(str(tmp_path / "CORRECTNESS_r99.json")) \
+            == head
+    finally:
+        L.REPO = old
