@@ -22,8 +22,20 @@ their period predicate down to the source.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def psi_term_col(
+    c_ref: Column, c_cmp: Column, n_ref: Column, n_cmp: Column
+) -> Column:
+    """The PSI term (p - q) * ln(p / q) with p = c_ref/n_ref and
+    q = c_cmp/n_cmp, NULL when either count is 0 — ONE expression tree
+    shared by the split monitor (x114) and the per-day trajectory
+    monitor (s17) so both certify against the same SQL rendering."""
+    p = c_ref.cast("double") / n_ref
+    q = c_cmp.cast("double") / n_cmp
+    return F.when((c_ref > 0) & (c_cmp > 0), (p - q) * F.log(p / q))
 
 
 def psi_terms(
@@ -43,6 +55,15 @@ def psi_terms(
     cc = cmp.groupBy(F.col(cat_col).alias("cat")).agg(
         F.count(F.lit(1)).alias("c_cmp")
     )
+    return psi_from_counts(rc, cc)
+
+
+def psi_from_counts(rc: DataFrame, cc: DataFrame) -> DataFrame:
+    """PSI assembly from already-aggregated count tables — the stage
+    the streaming monitor (``streaming/psi_monitor.py``) re-runs per
+    trigger over its bounded category-count state. ``rc``: (cat,
+    c_ref); ``cc``: (cat, c_cmp). Same output contract as
+    :func:`psi_terms`."""
     cats = (
         rc.join(cc, "cat", "full_outer")
         .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
@@ -51,15 +72,13 @@ def psi_terms(
     totals = cats.agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cmp").alias("n_cmp")
     )
-    p = F.col("c_ref").cast("double") / F.col("n_ref")
-    q = F.col("c_cmp").cast("double") / F.col("n_cmp")
     return (
         cats.crossJoin(F.broadcast(totals))
         .withColumn(
             "psi_term",
-            F.when(
-                (F.col("c_ref") > 0) & (F.col("c_cmp") > 0),
-                (p - q) * F.log(p / q),
+            psi_term_col(
+                F.col("c_ref"), F.col("c_cmp"),
+                F.col("n_ref"), F.col("n_cmp"),
             ),
         )
     )

@@ -206,12 +206,42 @@ def x115_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s17_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming PSI trajectory
+    (``streaming/psi_monitor.py``): per-event-time-day population
+    stability of the event-type mix against the frozen first-half
+    reference. The identical ``day_category_counts`` plan runs as a
+    watermarked tumbling-day streaming agg with the assembly per
+    trigger in foreachBatch (stream == batch proven in
+    tests/test_streaming_psi.py); this query certifies the batch side
+    against DuckDB. Where x114 answers 'did the window drift' once,
+    this is the day-by-day monitor feed."""
+    from m5_competition_kaggle_spark.streaming.psi_monitor import (
+        day_category_counts,
+        psi_day_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref_counts = (
+        ev.filter(F.col("ts_nanos") < F.lit(PSI_SPLIT_NS))
+        .groupBy(F.col("event_type").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    days = day_category_counts(ev, since_nanos=PSI_SPLIT_NS)
+    return (
+        psi_day_table(days, ref_counts)
+        .withColumnRenamed("cat", "event_type")
+        .orderBy("day", "event_type")
+    )
+
+
 QUERIES = {
     "x110_k_anonymity": x110_k_anonymity,
     "x111_rater_agreement": x111_rater_agreement,
     "x112_calibration_bins": x112_calibration_bins,
     "x113_clustering_coeff": x113_clustering_coeff,
     "x114_psi_drift": x114_psi_drift,
+    "s17_stream_psi": s17_stream_psi,
     "x115_seasonal_index": x115_seasonal_index,
 }
 
@@ -379,6 +409,47 @@ SELECT cat AS event_type, c_ref, c_cmp, tot.n_ref, tot.n_cmp,
        END AS psi_term
 FROM cats CROSS JOIN tot
 ORDER BY event_type
+"""
+
+ORACLES["s17_stream_psi"] = f"""
+WITH ref AS (
+    SELECT event_type AS cat, CAST(count(*) AS BIGINT) AS c_ref
+    FROM events WHERE epoch_ns(ts) < {PSI_SPLIT_NS}
+    GROUP BY event_type
+),
+dc AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type AS cat, CAST(count(*) AS BIGINT) AS c_cmp
+    FROM events WHERE epoch_ns(ts) >= {PSI_SPLIT_NS}
+    GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM dc),
+grid AS (SELECT days.day, ref.cat, ref.c_ref
+         FROM days CROSS JOIN ref),
+j AS (
+    SELECT coalesce(grid.day, dc.day) AS day,
+           coalesce(grid.cat, dc.cat) AS cat,
+           CAST(coalesce(grid.c_ref, 0) AS BIGINT) AS c_ref,
+           CAST(coalesce(dc.c_cmp, 0) AS BIGINT) AS c_cmp
+    FROM grid FULL OUTER JOIN dc
+      ON grid.day = dc.day AND grid.cat = dc.cat
+),
+nr AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref FROM ref),
+tot AS (
+    SELECT j.day, j.cat, j.c_ref, j.c_cmp, nr.n_ref,
+           CAST(sum(j.c_cmp) OVER (PARTITION BY j.day)
+                AS BIGINT) AS n_cmp
+    FROM j CROSS JOIN nr
+)
+SELECT day, cat AS event_type, c_ref, c_cmp, n_ref, n_cmp,
+       CASE WHEN c_ref > 0 AND c_cmp > 0 THEN
+           (CAST(c_ref AS DOUBLE) / n_ref
+            - CAST(c_cmp AS DOUBLE) / n_cmp)
+           * ln((CAST(c_ref AS DOUBLE) / n_ref)
+                / (CAST(c_cmp AS DOUBLE) / n_cmp))
+       END AS psi_term
+FROM tot
+ORDER BY day, event_type
 """
 
 ORACLES["x115_seasonal_index"] = """
