@@ -235,6 +235,62 @@ def s17_stream_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x116_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall certificate — the eval harness for the similarity
+    stack (x94's twin on the embedding side): recall@10 of the IVF
+    (x23) and LSH (x10) approximate top-k against the exact block-
+    matmul baseline (x9), per query, as exact integer overlap counts.
+    Every branch is the already-certified deterministic machinery, so
+    the RECALL ITSELF hash-certifies — the number a production tuning
+    loop (nprobe / num_tables) would optimize."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, qset, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = {
+        "ivf": ivf_topk(emb, qset, k=10, nprobe=4, n_centroids=16),
+        "lsh": lsh_topk(
+            emb, qset, k=10, num_planes=4, num_tables=8, dim=64
+        ),
+    }
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    parts = []
+    for method, df in approx.items():
+        hits = (
+            exact.join(
+                df.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        parts.append(
+            n_exact.join(hits, "query_id", "left")
+            .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+            .withColumn("method", F.lit(method))
+        )
+    out = parts[0].unionAll(parts[1])
+    return (
+        out.withColumn(
+            "recall_permille", F.expr("(1000 * n_hit) DIV n_exact")
+        )
+        .select(
+            "method", "query_id", "n_exact", "n_hit",
+            "recall_permille",
+        )
+        .orderBy("method", "query_id")
+    )
+
+
 QUERIES = {
     "x110_k_anonymity": x110_k_anonymity,
     "x111_rater_agreement": x111_rater_agreement,
@@ -243,6 +299,7 @@ QUERIES = {
     "x114_psi_drift": x114_psi_drift,
     "s17_stream_psi": s17_stream_psi,
     "x115_seasonal_index": x115_seasonal_index,
+    "x116_ann_recall": x116_ann_recall,
 }
 
 ORACLES: dict[str, str] = {}
@@ -474,3 +531,50 @@ SELECT monthly.month, monthly.n_orders, monthly.rev_cents,
 FROM monthly CROSS JOIN tot
 ORDER BY monthly.month
 """
+
+
+def _ann_recall_oracle() -> str:
+    """Composes the already-certified x9 (exact), x23 (IVF) and x10
+    (LSH) oracle texts as nested-WITH subqueries — the recall joins
+    are the only new SQL, so the certificate inherits the certified
+    branch semantics verbatim."""
+    from m5_competition_kaggle_spark.queries import extensions
+    from m5_competition_kaggle_spark.queries import llm_curation
+
+    exact_sql = extensions.ORACLES["x9_sim_topk"]
+    lsh_sql = extensions.ORACLES["x10_sim_topk_lsh"]
+    ivf_sql = llm_curation.ORACLES["x23_sim_topk_ivf"]
+    return f"""
+WITH exact AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM ({exact_sql}) t
+),
+ivf AS (SELECT query_id, neighbor_id FROM ({ivf_sql}) t),
+lsh AS (SELECT query_id, neighbor_id FROM ({lsh_sql}) t),
+ne AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+    FROM exact GROUP BY query_id
+),
+hits AS (
+    SELECT 'ivf' AS method, e.query_id,
+           CAST(count(*) AS BIGINT) AS n_hit
+    FROM exact e JOIN ivf a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    UNION ALL
+    SELECT 'lsh', e.query_id, CAST(count(*) AS BIGINT)
+    FROM exact e JOIN lsh a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+),
+methods AS (SELECT 'ivf' AS method UNION ALL SELECT 'lsh')
+SELECT m.method, ne.query_id, ne.n_exact,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST((1000 * coalesce(h.n_hit, 0)) // ne.n_exact
+            AS BIGINT) AS recall_permille
+FROM ne CROSS JOIN methods m
+LEFT JOIN hits h ON h.query_id = ne.query_id AND h.method = m.method
+ORDER BY m.method, ne.query_id
+"""
+
+
+ORACLES["x116_ann_recall"] = _ann_recall_oracle()

@@ -4,6 +4,7 @@ agreement, calibration, graph_coeff, psi) on tiny hand-checked inputs
 these pin the operator semantics the fixtures don't isolate."""
 
 import math
+from collections import Counter
 
 import pytest
 from pyspark.sql import functions as F
@@ -202,3 +203,43 @@ def test_psi_hand_computed_and_missing_category(spark):
     # one-sided categories surface with NULL terms, counts intact
     assert out["b"].psi_term is None and out["b"].c_cmp == 0
     assert out["c"].psi_term is None and out["c"].c_ref == 0
+
+
+# ----------------------------------------------------- x116 ann recall
+
+
+def test_ann_recall_certificate_invariants(spark):
+    from m5_competition_kaggle_spark.queries.extensions_r8b import (
+        x116_ann_recall,
+    )
+
+    rows = x116_ann_recall(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "certificate produced no rows"
+    assert {r.method for r in rows} == {"ivf", "lsh"}
+    per_method = Counter(r.method for r in rows)
+    assert per_method["ivf"] == per_method["lsh"]
+    for r in rows:
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall_permille == (1000 * r.n_hit) // r.n_exact
+        assert 0 <= r.recall_permille <= 1000
+
+
+def test_ivf_full_probe_recall_is_exact(spark):
+    """nprobe == n_centroids probes every inverted list, so IVF's
+    candidate set is the whole corpus and top-k must equal the exact
+    block-matmul baseline row-for-row."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qset = emb.filter(F.col("vec_id") % 100 == 7)
+    cols = ["query_id", "neighbor_id"]
+    exact = {tuple(r) for r in
+             brute_force_topk(emb, qset, k=5).select(*cols).collect()}
+    full = {tuple(r) for r in
+            ivf_topk(emb, qset, k=5, nprobe=8, n_centroids=8)
+            .select(*cols).collect()}
+    assert full == exact
