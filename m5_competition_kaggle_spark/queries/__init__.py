@@ -25,6 +25,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r7c,
     extensions_r8,
     extensions_r8b,
+    extensions_r8c,
     llm_curation,
     streaming_shaped,
 )
@@ -39,7 +40,7 @@ _MODULES = (
     core, extensions, streaming_shaped, analytics, llm_curation,
     extensions_r5, extensions_r6, extensions_r6b, extensions_r6c,
     extensions_r7, extensions_r7b, extensions_r7c, extensions_r8,
-    extensions_r8b,
+    extensions_r8b, extensions_r8c,
 )
 
 # Registration order is a driver contract: the driver records correctness

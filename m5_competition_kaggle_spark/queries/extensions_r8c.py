@@ -1,0 +1,212 @@
+"""Round-8 queue, third batch — numeric drift, forensic DQ, mixing.
+
+Registered BEHIND the r7 window (head-50 fully booked); these certify
+locally this round and join x107–x116 in the r8 driver window.
+
+- x117 two-sample KS drift (``operators/ksdist.py``): the numeric
+  twin of x114's categorical PSI — exact integer Kolmogorov–Smirnov
+  distance between the first- and second-half empirical CDFs of the
+  quantized event value, per event type. The drift test a feature
+  monitor runs on CONTINUOUS features.
+- x118 Benford first-digit profile (``operators/benford.py``):
+  forensic data-quality screen on order amounts per priority class —
+  observed vs expected first-significant-digit permille with the
+  expectation as hard-coded integer constants.
+- x119 char-budget apportionment (``operators/apportion.py``):
+  largest-remainder (Hamilton) allocation of a fixed 100k-char
+  sampling budget across document sources — the exact-integer mixing
+  plan a shard writer consumes, complementing the probabilistic
+  temperature mix (x35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.operators.apportion import (
+    largest_remainder,
+)
+from m5_competition_kaggle_spark.operators.benford import (
+    BENFORD_PERMILLE,
+    benford_profile,
+)
+from m5_competition_kaggle_spark.operators.ksdist import ks_statistic
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+# Same drift split as x114: events span 2024-01-01..2024-01-31 UTC,
+# halves split at 2024-01-16 00:00 UTC.
+KS_SPLIT_NS = 1_705_363_200_000_000_000
+MIX_BUDGET = 100_000
+
+
+def x117_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance of the quantized event value
+    (round(value*1000) int64 — the QUANT precedent), first half of
+    the window vs second, per event type. d_num/d_den is the exact
+    rational statistic; ks_permille its floor permille."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_nanos",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    ref = ev.filter(F.col("ts_nanos") < F.lit(KS_SPLIT_NS))
+    cmp_w = ev.filter(F.col("ts_nanos") >= F.lit(KS_SPLIT_NS))
+    return ks_statistic(ref, cmp_w, "event_type", "q").orderBy(
+        "event_type"
+    )
+
+
+def x118_benford_digits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford first-digit profile of order amounts (exact cents)
+    per order priority: observed permille vs the hard-coded integer
+    expectation, signed deviation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    return benford_profile(
+        o, "cents", ["o_orderpriority"]
+    ).orderBy("o_orderpriority", "digit")
+
+
+def x119_char_budget_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder apportionment of a fixed 100k-char budget
+    across document sources, weighted by total corpus chars — the
+    exact mixing plan; shares sum to the budget by construction."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    )
+    return largest_remainder(
+        docs, "source", "n_chars", MIX_BUDGET
+    ).orderBy("source")
+
+
+QUERIES = {
+    "x117_ks_drift": x117_ks_drift,
+    "x118_benford_digits": x118_benford_digits,
+    "x119_char_budget_mix": x119_char_budget_mix,
+}
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["x117_ks_drift"] = f"""
+WITH ev AS (
+    SELECT event_type,
+           epoch_ns(ts) AS ts_nanos,
+           CAST(round(value * 1000) AS BIGINT) AS q
+    FROM events
+),
+cells AS (
+    SELECT event_type AS grp, q,
+           CAST(sum(CASE WHEN ts_nanos < {KS_SPLIT_NS} THEN 1
+                         ELSE 0 END) AS BIGINT) AS c_ref,
+           CAST(sum(CASE WHEN ts_nanos >= {KS_SPLIT_NS} THEN 1
+                         ELSE 0 END) AS BIGINT) AS c_cmp
+    FROM ev GROUP BY event_type, q
+),
+scored AS (
+    SELECT grp, q,
+           CAST(sum(c_ref) OVER (PARTITION BY grp ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+           CAST(sum(c_cmp) OVER (PARTITION BY grp ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cmp,
+           CAST(sum(c_ref) OVER (PARTITION BY grp) AS BIGINT)
+               AS n_ref,
+           CAST(sum(c_cmp) OVER (PARTITION BY grp) AS BIGINT)
+               AS n_cmp
+    FROM cells
+),
+dd AS (
+    SELECT grp, q, n_ref, n_cmp,
+           abs(n_cmp * cum_ref - n_ref * cum_cmp) AS d_num
+    FROM scored WHERE n_ref > 0 AND n_cmp > 0
+),
+picked AS (
+    SELECT grp, q, n_ref, n_cmp, d_num,
+           row_number() OVER (PARTITION BY grp
+               ORDER BY d_num DESC, q ASC) AS rn
+    FROM dd
+)
+SELECT grp AS event_type, n_ref, n_cmp, q AS q_at, d_num,
+       n_ref * n_cmp AS d_den,
+       (1000 * d_num) // (n_ref * n_cmp) AS ks_permille
+FROM picked WHERE rn = 1
+ORDER BY event_type
+"""
+
+_BENFORD_SQL_ARR = "[" + ", ".join(
+    str(v) for v in BENFORD_PERMILLE
+) + "]"
+
+ORACLES["x118_benford_digits"] = f"""
+WITH amounts AS (
+    SELECT o_orderpriority,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+counted AS (
+    SELECT o_orderpriority,
+           CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM amounts WHERE cents > 0
+    GROUP BY o_orderpriority, digit
+),
+exp_map AS (
+    SELECT CAST(i AS BIGINT) AS digit,
+           CAST(({_BENFORD_SQL_ARR})[i] AS BIGINT) AS exp_permille
+    FROM unnest(range(1, 10)) AS t(i)
+)
+SELECT c.o_orderpriority, c.digit, c.n,
+       CAST(sum(c.n) OVER (PARTITION BY c.o_orderpriority)
+            AS BIGINT) AS n_total,
+       (1000 * c.n) // CAST(sum(c.n) OVER (
+            PARTITION BY c.o_orderpriority) AS BIGINT)
+           AS obs_permille,
+       e.exp_permille,
+       (1000 * c.n) // CAST(sum(c.n) OVER (
+            PARTITION BY c.o_orderpriority) AS BIGINT)
+           - e.exp_permille AS dev_permille
+FROM counted c JOIN exp_map e ON c.digit = e.digit
+ORDER BY c.o_orderpriority, c.digit
+"""
+
+ORACLES["x119_char_budget_mix"] = f"""
+WITH weights AS (
+    SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS weight
+    FROM documents GROUP BY source
+),
+scored AS (
+    SELECT key, weight,
+           CAST(sum(weight) OVER () AS BIGINT) AS w_total
+    FROM weights
+),
+shares AS (
+    SELECT key, weight,
+           ({MIX_BUDGET} * weight) // w_total AS floor_share,
+           ({MIX_BUDGET} * weight) % w_total AS remainder
+    FROM scored
+),
+ranked AS (
+    SELECT key, weight, floor_share, remainder,
+           {MIX_BUDGET} - CAST(sum(floor_share) OVER () AS BIGINT)
+               AS leftover,
+           row_number() OVER (ORDER BY remainder DESC, key ASC)
+               AS rank
+    FROM shares
+)
+SELECT key AS source, weight, floor_share, remainder,
+       CAST(CASE WHEN rank <= leftover AND remainder > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       floor_share + CASE WHEN rank <= leftover AND remainder > 0
+                          THEN 1 ELSE 0 END AS share
+FROM ranked
+ORDER BY source
+"""
