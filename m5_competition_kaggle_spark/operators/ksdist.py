@@ -28,12 +28,71 @@ input row. Overflow contract: n_ref * n_cmp (and the cross products)
 must stay below 2^63 — holds to ~3e9 rows per side per group, and the
 operator asserts nothing silently (the products are the output, so an
 overflow would flip signs and fail certification loudly).
+
+``ks_from_cells`` is the shared kernel: it consumes pre-aggregated
+(partition, q, c_ref, c_cmp) count cells, so the per-day streaming
+monitor (`streaming/ks_monitor.py`) runs the IDENTICAL statistic over
+its bounded windowed aggregate — batch and stream certify against the
+same arithmetic.
 """
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def ks_from_cells(
+    cells: DataFrame, part_cols: Sequence[str]
+) -> DataFrame:
+    """Exact KS distance from count cells.
+
+    ``cells``: one row per (*part_cols, q) with BIGINT counts
+    ``c_ref`` / ``c_cmp`` (either may be 0; q must be unique within a
+    partition). Output one row per partition present on BOTH sides:
+    *part_cols, n_ref, n_cmp, q_at, d_num, d_den, ks_permille.
+    """
+    pcols = list(part_cols)
+    w_cum = (
+        Window.partitionBy(*pcols)
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*pcols)
+    scored = (
+        cells.withColumn("cum_ref", F.sum("c_ref").over(w_cum))
+        .withColumn("cum_cmp", F.sum("c_cmp").over(w_cum))
+        .withColumn("n_ref", F.sum("c_ref").over(w_all))
+        .withColumn("n_cmp", F.sum("c_cmp").over(w_all))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cmp") > 0))
+        .withColumn(
+            "d_num",
+            F.abs(
+                F.col("n_cmp") * F.col("cum_ref")
+                - F.col("n_ref") * F.col("cum_cmp")
+            ),
+        )
+    )
+    w_pick = Window.partitionBy(*pcols).orderBy(
+        F.col("d_num").desc(), F.col("q").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            *pcols,
+            "n_ref",
+            "n_cmp",
+            F.col("q").alias("q_at"),
+            "d_num",
+            (F.col("n_ref") * F.col("n_cmp")).alias("d_den"),
+            F.expr("(1000 * d_num) DIV (n_ref * n_cmp)").alias(
+                "ks_permille"
+            ),
+        )
+    )
 
 
 def ks_statistic(
@@ -67,41 +126,6 @@ def ks_statistic(
     )
     # One row per (grp, q) after the agg, so a rows-based running sum
     # IS the ECDF numerator at q (<= semantics).
-    w_cum = (
-        Window.partitionBy("grp")
-        .orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("grp")
-    scored = (
-        cells.withColumn("cum_ref", F.sum("c_ref").over(w_cum))
-        .withColumn("cum_cmp", F.sum("c_cmp").over(w_cum))
-        .withColumn("n_ref", F.sum("c_ref").over(w_all))
-        .withColumn("n_cmp", F.sum("c_cmp").over(w_all))
-        .filter((F.col("n_ref") > 0) & (F.col("n_cmp") > 0))
-        .withColumn(
-            "d_num",
-            F.abs(
-                F.col("n_cmp") * F.col("cum_ref")
-                - F.col("n_ref") * F.col("cum_cmp")
-            ),
-        )
-    )
-    w_pick = Window.partitionBy("grp").orderBy(
-        F.col("d_num").desc(), F.col("q").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w_pick))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("grp").alias(group_col),
-            "n_ref",
-            "n_cmp",
-            F.col("q").alias("q_at"),
-            "d_num",
-            (F.col("n_ref") * F.col("n_cmp")).alias("d_den"),
-            F.expr("(1000 * d_num) DIV (n_ref * n_cmp)").alias(
-                "ks_permille"
-            ),
-        )
+    return ks_from_cells(cells, ["grp"]).withColumnRenamed(
+        "grp", group_col
     )

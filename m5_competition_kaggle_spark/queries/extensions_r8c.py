@@ -88,10 +88,39 @@ def x119_char_budget_mix(
     ).orderBy("source")
 
 
+def s18_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming KS trajectory
+    (``streaming/ks_monitor.py``): per-event-time-day exact KS
+    distance of that day's integer-quantized value distribution
+    against the frozen first-half reference histogram. The identical
+    ``day_bucket_counts`` plan runs as a watermarked tumbling-day
+    streaming agg with the assembly per trigger in foreachBatch
+    (stream == batch proven in tests/test_streaming_ks.py, through
+    the shared ``ks_from_cells`` kernel); this query certifies the
+    batch side against DuckDB. Where x117 answers 'did the window
+    drift' once, this is the day-by-day numeric monitor feed."""
+    from m5_competition_kaggle_spark.streaming.ks_monitor import (
+        day_bucket_counts,
+        ks_day_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ref_counts = (
+        ev.filter(F.col("ts_nanos") < F.lit(KS_SPLIT_NS))
+        .groupBy(
+            F.expr("CAST(round(value) AS BIGINT)").alias("q")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    days = day_bucket_counts(ev, since_nanos=KS_SPLIT_NS)
+    return ks_day_table(days, ref_counts).orderBy("day")
+
+
 QUERIES = {
     "x117_ks_drift": x117_ks_drift,
     "x118_benford_digits": x118_benford_digits,
     "x119_char_budget_mix": x119_char_budget_mix,
+    "s18_stream_ks": s18_stream_ks,
 }
 
 ORACLES: dict[str, str] = {}
@@ -209,4 +238,59 @@ SELECT key AS source, weight, floor_share, remainder,
                           THEN 1 ELSE 0 END AS share
 FROM ranked
 ORDER BY source
+"""
+
+ORACLES["s18_stream_ks"] = f"""
+WITH ref AS (
+    SELECT CAST(round(value) AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS c_ref
+    FROM events WHERE epoch_ns(ts) < {KS_SPLIT_NS}
+    GROUP BY 1
+),
+dc AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(round(value) AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS c_cmp
+    FROM events WHERE epoch_ns(ts) >= {KS_SPLIT_NS}
+    GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM dc),
+grid AS (SELECT days.day, ref.q, ref.c_ref
+         FROM days CROSS JOIN ref),
+cells AS (
+    SELECT coalesce(grid.day, dc.day) AS day,
+           coalesce(grid.q, dc.q) AS q,
+           CAST(coalesce(grid.c_ref, 0) AS BIGINT) AS c_ref,
+           CAST(coalesce(dc.c_cmp, 0) AS BIGINT) AS c_cmp
+    FROM grid FULL OUTER JOIN dc
+      ON grid.day = dc.day AND grid.q = dc.q
+),
+scored AS (
+    SELECT day, q,
+           CAST(sum(c_ref) OVER (PARTITION BY day ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ref,
+           CAST(sum(c_cmp) OVER (PARTITION BY day ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cmp,
+           CAST(sum(c_ref) OVER (PARTITION BY day) AS BIGINT)
+               AS n_ref,
+           CAST(sum(c_cmp) OVER (PARTITION BY day) AS BIGINT)
+               AS n_cmp
+    FROM cells
+),
+dd AS (
+    SELECT day, q, n_ref, n_cmp,
+           abs(n_cmp * cum_ref - n_ref * cum_cmp) AS d_num
+    FROM scored WHERE n_ref > 0 AND n_cmp > 0
+),
+picked AS (
+    SELECT day, q, n_ref, n_cmp, d_num,
+           row_number() OVER (PARTITION BY day
+               ORDER BY d_num DESC, q ASC) AS rn
+    FROM dd
+)
+SELECT day, n_ref, n_cmp, q AS q_at, d_num,
+       n_ref * n_cmp AS d_den,
+       (1000 * d_num) // (n_ref * n_cmp) AS ks_permille
+FROM picked WHERE rn = 1
+ORDER BY day
 """
