@@ -294,3 +294,133 @@ SELECT day, n_ref, n_cmp, q AS q_at, d_num,
 FROM picked WHERE rn = 1
 ORDER BY day
 """
+
+
+def x120_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t² A/B readout (``operators/abtest.py``) of the
+    quantized event value per event type, arms assigned by
+    user_id % 2 — exact int64 sufficient statistics plus the t²
+    double via the shared arithmetic-only expression tree (x107/x114
+    precedent). The experiment-dashboard certificate: the generator
+    assigns arms uniformly, so t² near zero IS the correct reading
+    and a regression in any branch flips it loudly."""
+    from m5_competition_kaggle_spark.operators.abtest import (
+        welch_readout,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    return welch_readout(ev, "event_type", "arm", "q").orderBy(
+        "event_type"
+    )
+
+
+QUERIES["x120_ab_welch"] = x120_ab_welch
+
+ORACLES["x120_ab_welch"] = """
+WITH ev AS (
+    SELECT event_type, user_id % 2 AS arm,
+           CAST(round(value * 1000) AS BIGINT) AS q
+    FROM events
+),
+agg AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+           CAST(sum(CASE WHEN arm = 0 THEN q ELSE 0 END) AS BIGINT)
+               AS sum_a,
+           CAST(sum(CASE WHEN arm = 1 THEN q ELSE 0 END) AS BIGINT)
+               AS sum_b,
+           CAST(sum(CASE WHEN arm = 0 THEN q * q ELSE 0 END)
+                AS BIGINT) AS ss_a,
+           CAST(sum(CASE WHEN arm = 1 THEN q * q ELSE 0 END)
+                AS BIGINT) AS ss_b
+    FROM ev WHERE arm IN (0, 1)
+    GROUP BY event_type
+)
+SELECT event_type, n_a, n_b, sum_a, sum_b, ss_a, ss_b,
+       CASE WHEN n_a >= 2 AND n_b >= 2 AND
+                 ((CAST(ss_a AS DOUBLE)
+                   - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
+                     / n_a) / (n_a - 1)) / n_a
+                 + ((CAST(ss_b AS DOUBLE)
+                   - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                     / n_b) / (n_b - 1)) / n_b > 0
+       THEN (CAST(sum_a AS DOUBLE) / n_a
+             - CAST(sum_b AS DOUBLE) / n_b)
+            * (CAST(sum_a AS DOUBLE) / n_a
+               - CAST(sum_b AS DOUBLE) / n_b)
+            / (((CAST(ss_a AS DOUBLE)
+                 - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE)
+                   / n_a) / (n_a - 1)) / n_a
+               + ((CAST(ss_b AS DOUBLE)
+                   - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE)
+                     / n_b) / (n_b - 1)) / n_b)
+       END AS welch_t2
+FROM agg
+ORDER BY event_type
+"""
+
+
+def x121_target_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-free leave-one-out target encoding
+    (``operators/target_encode.py``) of the customer market segment
+    by exact order cents: every order's encoding is the mean of the
+    OTHER orders in its segment, as the exact (num, den) rational
+    plus floor quotient. The feature-engineering certificate: a
+    wrong join or an off-by-one in the leave-one-out arithmetic
+    flips row-level hashes immediately."""
+    from m5_competition_kaggle_spark.operators.target_encode import (
+        loo_target_encode,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select("o_orderkey", "c_mktsegment", "cents")
+    return (
+        loo_target_encode(joined, "c_mktsegment", "cents")
+        .select(
+            "o_orderkey", "c_mktsegment", "cents", "cat_n",
+            "loo_num", "loo_den", "loo_q",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+QUERIES["x121_target_encode"] = x121_target_encode
+
+ORACLES["x121_target_encode"] = """
+WITH joined AS (
+    SELECT o.o_orderkey, c.c_mktsegment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+stats AS (
+    SELECT c_mktsegment, CAST(sum(cents) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS cat_n
+    FROM joined GROUP BY c_mktsegment
+)
+SELECT j.o_orderkey, j.c_mktsegment, j.cents, st.cat_n,
+       CASE WHEN st.cat_n > 1 THEN st.s - j.cents END AS loo_num,
+       CASE WHEN st.cat_n > 1 THEN st.cat_n - 1 END AS loo_den,
+       CASE WHEN st.cat_n > 1
+            THEN (st.s - j.cents) // (st.cat_n - 1) END AS loo_q
+FROM joined j JOIN stats st ON j.c_mktsegment = st.c_mktsegment
+ORDER BY j.o_orderkey
+"""

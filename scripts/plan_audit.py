@@ -55,6 +55,12 @@ ALLOWED_SINGLE_PARTITION = {
     "q18_feature_pipeline": (
         "composes q15's default label_encode; same bounded code table"
     ),
+    "x119_char_budget_mix": (
+        "largest_remainder ranks the per-SOURCE weight table with a"
+        " global window — one row per source (catalog cardinality,"
+        " ~20 here), never per document; the corpus-sized input is"
+        " reduced by the keyed aggregation before the window"
+    ),
 }
 
 

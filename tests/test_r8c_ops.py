@@ -144,3 +144,90 @@ def test_largest_remainder_budget_sweep(spark, budget):
     assert all(r.share >= 0 for r in out)
     # zero-weight keys never receive an extra
     assert {r.share for r in out if r.k == "d"} == {0}
+
+
+# ----------------------------------------------------------- welch
+
+
+def _welch(spark, rows):
+    from m5_competition_kaggle_spark.operators.abtest import (
+        welch_readout,
+    )
+
+    df = spark.createDataFrame(rows, "g string, arm int, q long")
+    return {r.g: r for r in
+            welch_readout(df, "g", "arm", "q").collect()}
+
+
+def test_welch_hand_computed(spark):
+    # arm0 {0, 4}: m=2, v=8; arm1 {1, 3}: m=2, v=2
+    # t2 = 0 / (8/2 + 2/2) = 0  -> equal means read as exactly 0
+    out = _welch(spark, [("g", 0, 0), ("g", 0, 4),
+                         ("g", 1, 1), ("g", 1, 3)])["g"]
+    assert (out.n_a, out.n_b) == (2, 2)
+    assert (out.sum_a, out.sum_b) == (4, 4)
+    assert (out.ss_a, out.ss_b) == (16, 10)
+    assert out.welch_t2 == 0.0
+
+
+def test_welch_nonzero_effect(spark):
+    # arm0 {0, 2}: m=1, v=2; arm1 {10, 12}: m=11, v=2
+    # t2 = 100 / (2/2 + 2/2) = 50
+    out = _welch(spark, [("g", 0, 0), ("g", 0, 2),
+                         ("g", 1, 10), ("g", 1, 12)])["g"]
+    assert out.welch_t2 == pytest.approx(50.0, abs=1e-12)
+
+
+def test_welch_null_when_underpowered_or_degenerate(spark):
+    # one-row arm -> NULL; both arms zero-variance -> den 0 -> NULL
+    out = _welch(spark, [("u", 0, 1), ("u", 1, 2), ("u", 1, 4),
+                         ("z", 0, 3), ("z", 0, 3),
+                         ("z", 1, 7), ("z", 1, 7)])
+    assert out["u"].welch_t2 is None
+    assert out["z"].welch_t2 is None
+
+
+def test_welch_ignores_other_arms(spark):
+    out = _welch(spark, [("g", 0, 1), ("g", 0, 3),
+                         ("g", 1, 1), ("g", 1, 3),
+                         ("g", 2, 999), ("g", 7, 999)])["g"]
+    assert out.n_a == 2 and out.n_b == 2
+    assert out.sum_a == 4 and out.sum_b == 4
+
+
+# ---------------------------------------------------- target encode
+
+
+def test_loo_target_encode_hand_computed(spark):
+    from m5_competition_kaggle_spark.operators.target_encode import (
+        loo_target_encode,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", 5)],
+        "cat string, y long",
+    )
+    out = {(r.cat, r.y): r for r in
+           loo_target_encode(df, "cat", "y").collect()}
+    r = out[("a", 10)]
+    assert (r.loo_num, r.loo_den, r.loo_q) == (50, 2, 25)
+    assert out[("a", 30)].loo_q == 15
+    # singleton category: no peers, NULL encoding (never global mean)
+    s = out[("b", 5)]
+    assert s.loo_num is None and s.loo_den is None and s.loo_q is None
+    assert s.cat_n == 1
+
+
+def test_loo_target_encode_never_sees_own_label(spark):
+    from m5_competition_kaggle_spark.operators.target_encode import (
+        loo_target_encode,
+    )
+
+    # one outlier row: its own encoding must exclude the outlier
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 900)], "cat string, y long"
+    )
+    out = {r.y: r for r in
+           loo_target_encode(df, "cat", "y").collect()}
+    assert out[900].loo_q == 0      # mean of the two zeros
+    assert out[0].loo_q == 450      # (0 + 900) / 2
