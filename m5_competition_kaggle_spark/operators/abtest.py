@@ -47,6 +47,43 @@ def _welch_t2(
     )
 
 
+def welch_from_stats(agg: DataFrame) -> DataFrame:
+    """Append ``welch_t2`` to a sufficient-statistics table with
+    columns n_a, n_b, sum_a, sum_b, ss_a, ss_b (any key columns ride
+    along) — the shared kernel of the one-shot readout and the
+    streaming per-day trajectory (s19), so stream == batch is an
+    arithmetic identity."""
+    return agg.withColumn(
+        "welch_t2",
+        _welch_t2(
+            F.col("n_a"), F.col("sum_a"), F.col("ss_a"),
+            F.col("n_b"), F.col("sum_b"), F.col("ss_b"),
+        ),
+    )
+
+
+def arm_sufficient_stats(
+    df: DataFrame, group_cols, arm_col: str, q_col: str
+) -> DataFrame:
+    """One keyed partial-aggregating pass to per-``group_cols``
+    sufficient statistics of arms 0/1 (other arm values dropped)."""
+    is_a = F.col(arm_col) == 0
+    is_b = F.col(arm_col) == 1
+    q = F.col(q_col)
+    return (
+        df.filter(is_a | is_b)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(is_a, q).otherwise(0)).alias("sum_a"),
+            F.sum(F.when(is_b, q).otherwise(0)).alias("sum_b"),
+            F.sum(F.when(is_a, q * q).otherwise(0)).alias("ss_a"),
+            F.sum(F.when(is_b, q * q).otherwise(0)).alias("ss_b"),
+        )
+    )
+
+
 def welch_readout(
     df: DataFrame,
     group_col: str,
@@ -61,25 +98,6 @@ def welch_readout(
     undefined). Rows of other arm values are ignored; groups missing
     either arm entirely still surface with zero counts and NULL t².
     """
-    is_a = F.col(arm_col) == 0
-    is_b = F.col(arm_col) == 1
-    q = F.col(q_col)
-    agg = (
-        df.filter(is_a | is_b)
-        .groupBy(F.col(group_col))
-        .agg(
-            F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
-            F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
-            F.sum(F.when(is_a, q).otherwise(0)).alias("sum_a"),
-            F.sum(F.when(is_b, q).otherwise(0)).alias("sum_b"),
-            F.sum(F.when(is_a, q * q).otherwise(0)).alias("ss_a"),
-            F.sum(F.when(is_b, q * q).otherwise(0)).alias("ss_b"),
-        )
-    )
-    return agg.withColumn(
-        "welch_t2",
-        _welch_t2(
-            F.col("n_a"), F.col("sum_a"), F.col("ss_a"),
-            F.col("n_b"), F.col("sum_b"), F.col("ss_b"),
-        ),
+    return welch_from_stats(
+        arm_sufficient_stats(df, [group_col], arm_col, q_col)
     )

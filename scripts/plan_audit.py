@@ -55,6 +55,13 @@ ALLOWED_SINGLE_PARTITION = {
     "q18_feature_pipeline": (
         "composes q15's default label_encode; same bounded code table"
     ),
+    "x124_km_survival": (
+        "km_curve walks the (t, deaths, at-risk) survival table with"
+        " a global window — one row per DISTINCT observed duration"
+        " (bounded by the observation window in days, 31 here), never"
+        " per subject; the corpus reduces to it via two keyed"
+        " aggregations first"
+    ),
     "x119_char_budget_mix": (
         "largest_remainder ranks the per-SOURCE weight table with a"
         " global window — one row per source (catalog cardinality,"
