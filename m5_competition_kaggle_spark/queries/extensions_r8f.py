@@ -1,4 +1,5 @@
-"""Round-8 queue, sixth batch — distributed linear algebra.
+"""Round-8 queue, sixth batch — linear algebra, ranking quality,
+composition audit.
 
 - x130 integer power-iteration PCA (``operators/pca_power.py``): the
   dominant principal direction of the embedding corpus from the exact
@@ -7,17 +8,37 @@
   x41/x65 fixed-round precedent applied to eigenvectors). Shuffle
   volume is d² per partition for the Gram stage and O(d²) per round
   after, independent of corpus size.
+- x131 ANN nDCG@10 (``operators/ranking_eval.py``): graded ranking
+  quality of the IVF index vs the exact baseline — x116's recall
+  twin that also penalizes order; discounts are shared compile-time
+  literals, so no transcendental runs in either engine.
+- x132 shard source-mix HHI (``operators/concentration.py``): the
+  composition audit of packed shards — x119 plans the global mix,
+  this certifies what each shard actually got.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from m5_competition_kaggle_spark.operators.concentration import (
+    group_hhi,
+)
 from m5_competition_kaggle_spark.operators.pca_power import (
     gram_matrix,
     power_iteration,
 )
+from m5_competition_kaggle_spark.operators.prefix import (
+    pack_into_shards,
+)
+from m5_competition_kaggle_spark.operators.ranking_eval import (
+    discounts,
+    ndcg_at_k,
+)
 from m5_competition_kaggle_spark.sources.catalog import load_table
+
+SHARD_BUDGET = 20_000
 
 
 def x130_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -29,9 +50,163 @@ def x130_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration(gram, rounds=3).orderBy("i")
 
 
-QUERIES = {"x130_pca_power": x130_pca_power}
+def x131_ann_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the IVF approximate ranking (x23's machinery)
+    against the exact top-10 relevance set (x9's) — recall tells you
+    WHAT came back, this also grades WHERE it ranked."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, qset, k=10).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("exact_rank"),
+    )
+    ivf = ivf_topk(
+        emb, qset, k=10, nprobe=4, n_centroids=16
+    ).select("query_id", "neighbor_id", "rank")
+    return ndcg_at_k(ivf, exact, 10).orderBy("query_id")
+
+
+def x132_shard_source_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-shard source concentration after char-budget packing
+    (x26's deterministic shard assignment): HHI permille, class
+    count, and the dominant source's share — the composition each
+    shard ACTUALLY trains on."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    packed = pack_into_shards(
+        docs, "n_chars", ("doc_id",), SHARD_BUDGET
+    )
+    return group_hhi(packed, "shard_id", "source").orderBy(
+        "shard_id"
+    )
+
+
+QUERIES = {
+    "x130_pca_power": x130_pca_power,
+    "x131_ann_ndcg": x131_ann_ndcg,
+    "x132_shard_source_mix": x132_shard_source_mix,
+}
 
 ORACLES: dict[str, str] = {}
+
+
+def _ndcg_oracle(k: int) -> str:
+    """Composes the certified x9 (exact) and x23 (IVF) oracle texts
+    with the literal-discount nDCG pivot — the same compile-time
+    floats the Spark side embeds (repr round-trips bit-exact)."""
+    from m5_competition_kaggle_spark.operators.ranking_eval import (
+        ideal_dcg_ladder,
+    )
+    from m5_competition_kaggle_spark.queries import (
+        extensions,
+        llm_curation,
+    )
+
+    exact_sql = extensions.ORACLES["x9_sim_topk"]
+    ivf_sql = llm_curation.ORACLES["x23_sim_topk_ivf"]
+    d = discounts(k)
+    ladder = ideal_dcg_ladder(k)
+    gcols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN rnk = {i + 1} THEN g ELSE 0 END)"
+        f" AS BIGINT) AS g{i + 1}"
+        for i in range(k)
+    )
+    dcg = " + ".join(
+        f"g{i + 1} * CAST({d[i]!r} AS DOUBLE)" for i in range(k)
+    )
+    cases = " ".join(
+        f"WHEN n_rel = {m} THEN CAST({ladder[m - 1]!r} AS DOUBLE)"
+        for m in range(1, k + 1)
+    )
+    idcg = "CASE " + cases + " END"
+    return f"""
+WITH exact AS MATERIALIZED (
+    SELECT query_id, neighbor_id, "rank" AS exact_rank
+    FROM ({exact_sql}) t
+),
+ivf AS MATERIALIZED (
+    SELECT query_id, neighbor_id, "rank" AS rnk
+    FROM ({ivf_sql}) t
+),
+marked AS (
+    SELECT i.query_id, i.rnk,
+           CASE WHEN e.exact_rank IS NOT NULL
+                THEN {k + 1} - e.exact_rank ELSE 0 END AS g
+    FROM ivf i
+    LEFT JOIN exact e ON i.query_id = e.query_id
+                     AND i.neighbor_id = e.neighbor_id
+),
+perq AS (
+    SELECT query_id,
+           {gcols},
+           CAST(sum(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+    FROM marked GROUP BY query_id
+),
+nrel AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+    FROM exact GROUP BY query_id
+),
+scored AS (
+    SELECT p.query_id, coalesce(r.n_rel, 0) AS n_rel, p.n_hit,
+           {dcg} AS dcg
+    FROM perq p LEFT JOIN nrel r ON p.query_id = r.query_id
+)
+SELECT query_id, n_rel, n_hit, dcg,
+       {idcg} AS idcg,
+       CASE WHEN n_rel > 0
+            THEN CAST(round(1e6 * dcg / ({idcg})) AS BIGINT)
+       END AS ndcg_ppm
+FROM scored
+ORDER BY query_id
+"""
+
+
+ORACLES["x131_ann_ndcg"] = _ndcg_oracle(10)
+
+ORACLES["x132_shard_source_mix"] = f"""
+WITH packed AS (
+    SELECT doc_id, source,
+           (CAST(sum(n_chars) OVER (ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_chars)
+               // {SHARD_BUDGET} AS shard_id
+    FROM documents
+),
+cells AS (
+    SELECT shard_id, source, CAST(count(*) AS BIGINT) AS c
+    FROM packed GROUP BY shard_id, source
+),
+ranked AS (
+    SELECT shard_id, source, c,
+           row_number() OVER (PARTITION BY shard_id
+               ORDER BY c DESC, source ASC) AS rn
+    FROM cells
+),
+agg AS (
+    SELECT shard_id, CAST(sum(c) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(c * c) AS BIGINT) AS ss,
+           max(CASE WHEN rn = 1 THEN source END) AS dom_class,
+           CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT)
+               AS dom_c
+    FROM ranked GROUP BY shard_id
+)
+SELECT shard_id, n, n_classes,
+       (1000 * ss) // (n * n) AS hhi_permille,
+       dom_class,
+       (1000 * dom_c) // n AS dom_permille
+FROM agg
+ORDER BY shard_id
+"""
 
 ORACLES["x130_pca_power"] = """
 WITH qv AS (

@@ -70,3 +70,114 @@ def test_power_iteration_rounds_validation(spark):
 
     with pytest.raises(ValueError):
         power_iteration(None, rounds=0)
+
+
+# ------------------------------------------------------------ ndcg
+
+
+def _ndcg(spark, ranked, relevant, k=3):
+    from m5_competition_kaggle_spark.operators.ranking_eval import (
+        ndcg_at_k,
+    )
+
+    r = spark.createDataFrame(
+        ranked, "query_id long, neighbor_id long, rank int"
+    )
+    rel = spark.createDataFrame(
+        relevant, "query_id long, neighbor_id long, exact_rank int"
+    )
+    return {
+        row.query_id: row
+        for row in ndcg_at_k(r, rel, k).collect()
+    }
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    ranked = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    rel = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    r = _ndcg(spark, ranked, rel)[1]
+    assert (r.n_rel, r.n_hit) == (3, 3)
+    assert r.ndcg_ppm == 1_000_000
+
+
+def test_ndcg_penalizes_late_hits(spark):
+    # single relevant item (gain 3) retrieved at rank 3:
+    # dcg = 3/log2(4) = 1.5, idcg = 3 -> 500000
+    ranked = [(1, 10, 1), (1, 11, 2), (1, 12, 3)]
+    rel = [(1, 12, 1)]
+    r = _ndcg(spark, ranked, rel)[1]
+    assert r.n_hit == 1
+    assert r.ndcg_ppm == 500_000
+
+
+def test_ndcg_missing_top_costs_more_than_missing_tail(spark):
+    # query 1 retrieves exact #1,#2 (misses #3);
+    # query 2 retrieves exact #2,#3 (misses #1)
+    ranked = [(1, 10, 1), (1, 11, 2), (2, 11, 1), (2, 12, 2)]
+    rel = [
+        (q, nid, er)
+        for q in (1, 2)
+        for nid, er in ((10, 1), (11, 2), (12, 3))
+    ]
+    out = _ndcg(spark, ranked, rel)
+    assert out[1].n_hit == out[2].n_hit == 2
+    assert out[1].ndcg_ppm > out[2].ndcg_ppm
+
+
+def test_ndcg_all_miss_is_zero(spark):
+    ranked = [(1, 10, 1), (1, 11, 2)]
+    rel = [(1, 99, 1)]
+    r = _ndcg(spark, ranked, rel)[1]
+    assert (r.n_rel, r.n_hit) == (1, 0)
+    assert r.ndcg_ppm == 0 and r.dcg == 0.0
+
+
+def test_ndcg_constants_roundtrip():
+    import math
+
+    from m5_competition_kaggle_spark.operators.ranking_eval import (
+        discounts,
+        ideal_dcg_ladder,
+    )
+
+    d = discounts(10)
+    for i, v in enumerate(d, start=1):
+        assert v == 1.0 / math.log2(i + 1)
+        assert float(repr(v)) == v  # repr round-trips bit-exact
+    lad = ideal_dcg_ladder(10)
+    assert lad[0] == 10.0  # one relevant item: gain 10 at rank 1
+    assert all(float(repr(v)) == v for v in lad)
+    assert all(b > a for a, b in zip(lad, lad[1:]))
+
+
+# ------------------------------------------------------------- hhi
+
+
+def _hhi(spark, rows):
+    from m5_competition_kaggle_spark.operators.concentration import (
+        group_hhi,
+    )
+
+    df = spark.createDataFrame(rows, "u long, cls string")
+    return {r.u: r for r in group_hhi(df, "u", "cls").collect()}
+
+
+def test_hhi_uniform_vs_monoculture(spark):
+    rows = [(1, c) for c in "abcd"] + [(2, "a")] * 4
+    out = _hhi(spark, rows)
+    # 4 classes of 1: HHI = 4/16 = 250 permille; dominance tie -> 'a'
+    assert out[1].hhi_permille == 250
+    assert (out[1].dom_class, out[1].dom_permille) == ("a", 250)
+    # monoculture: HHI = 1000, dominant share 1000
+    assert out[2].hhi_permille == 1000
+    assert (out[2].dom_class, out[2].dom_permille) == ("a", 1000)
+    assert out[2].n_classes == 1
+
+
+def test_hhi_dominant_tie_breaks_on_class(spark):
+    rows = [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c")]
+    out = _hhi(spark, rows)[1]
+    # a and b tie at 2; 'a' wins by name
+    assert out.dom_class == "a"
+    assert out.dom_permille == 400
+    assert out.hhi_permille == (1000 * (4 + 4 + 1)) // 25
