@@ -90,10 +90,56 @@ def x132_shard_source_mix(
     )
 
 
+def x133_gains_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile cumulative-gains/lift table of ranking the embedding
+    corpus by its dot score against the label-0 integer centroid
+    (x87's scoring statistic), positives = label 0. Does the
+    prototype score concentrate its own class in the top deciles —
+    the curation-threshold picker next to x112's calibration and
+    x131's nDCG."""
+    from m5_competition_kaggle_spark.operators.centroid import (
+        centroid_sums,
+    )
+    from m5_competition_kaggle_spark.operators.gains import (
+        lift_table,
+    )
+    from m5_competition_kaggle_spark.operators.similarity import (
+        quantize_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroid_sums(emb).filter(F.col("label") == 0)
+    comps = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(quantize_expr("embedding")).alias("pos", "q"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+    scored = (
+        comps.join(
+            F.broadcast(cents.select("pos", "sum_q", "n_vectors")),
+            "pos",
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("sum_q")).alias("__dot"),
+            F.max("n_vectors").alias("__n0"),
+        )
+        .select(
+            "vec_id",
+            F.expr("__dot DIV __n0").alias("score"),
+            (F.col("label") == 0).cast("int").alias("positive"),
+        )
+    )
+    return lift_table(
+        scored, "score", "positive", "vec_id", 10
+    ).orderBy("bucket")
+
+
 QUERIES = {
     "x130_pca_power": x130_pca_power,
     "x131_ann_ndcg": x131_ann_ndcg,
     "x132_shard_source_mix": x132_shard_source_mix,
+    "x133_gains_lift": x133_gains_lift,
 }
 
 ORACLES: dict[str, str] = {}
@@ -248,4 +294,67 @@ SELECT i, v AS v_raw,
        CASE WHEN m > 0 THEN (1000 * v) // m END AS v_permille
 FROM r3, m3
 ORDER BY i
+"""
+
+ORACLES["x133_gains_lift"] = """
+WITH qv AS (
+    SELECT vec_id, label,
+           list_transform(
+               embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+           ) AS q
+    FROM embeddings
+),
+cent AS (
+    SELECT ia AS pos, CAST(sum(q[ia]) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n0
+    FROM qv, unnest(generate_series(1, len(q))) AS t(ia)
+    WHERE label = 0
+    GROUP BY ia
+),
+scored AS (
+    SELECT v.vec_id,
+           CAST(sum(v.q[c.pos] * c.s) AS BIGINT)
+               // max(c.n0) AS score,
+           CAST(max(CASE WHEN v.label = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS positive
+    FROM qv v, cent c
+    GROUP BY v.vec_id
+),
+ranked AS (
+    SELECT vec_id, score, positive,
+           row_number() OVER (ORDER BY -score, vec_id) AS rnk
+    FROM scored
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_all,
+           CAST(sum(positive) AS BIGINT) AS p_all
+    FROM ranked
+),
+bucketed AS (
+    SELECT ((rnk - 1) * 10) // t.n_all + 1 AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(positive) AS BIGINT) AS pos,
+           max(t.n_all) AS n_all, max(t.p_all) AS p_all
+    FROM ranked CROSS JOIN tot t
+    GROUP BY 1
+),
+walked AS (
+    SELECT bucket, n, pos,
+           CAST(sum(n) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+           CAST(sum(pos) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+           n_all, p_all
+    FROM bucketed
+)
+SELECT bucket, n, pos, cum_n, cum_pos,
+       CASE WHEN p_all > 0
+            THEN (1000 * cum_pos * n_all) // (cum_n * p_all)
+       END AS lift_permille,
+       CASE WHEN p_all > 0
+            THEN (1000 * cum_pos) // p_all
+       END AS capture_permille
+FROM walked
+ORDER BY bucket
 """

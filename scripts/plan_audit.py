@@ -55,6 +55,12 @@ ALLOWED_SINGLE_PARTITION = {
     "q18_feature_pipeline": (
         "composes q15's default label_encode; same bounded code table"
     ),
+    "x133_gains_lift": (
+        "lift_table walks the BUCKET table with a global window —"
+        " one row per gains bucket (10 deciles), never per vector;"
+        " the corpus reduces through the two-phase prefix-scan rank"
+        " and one keyed aggregation first"
+    ),
     "x124_km_survival": (
         "km_curve walks the (t, deaths, at-risk) survival table with"
         " a global window — one row per DISTINCT observed duration"

@@ -181,3 +181,57 @@ def test_hhi_dominant_tie_breaks_on_class(spark):
     assert out.dom_class == "a"
     assert out.dom_permille == 400
     assert out.hhi_permille == (1000 * (4 + 4 + 1)) // 25
+
+
+# ------------------------------------------------------------ lift
+
+
+def _lift(spark, rows, b=2):
+    from m5_competition_kaggle_spark.operators.gains import (
+        lift_table,
+    )
+
+    df = spark.createDataFrame(
+        rows, "id long, score long, positive int"
+    )
+    return {
+        r.bucket: r
+        for r in lift_table(df, "score", "positive", "id", b)
+        .collect()
+    }
+
+
+def test_lift_perfect_ranking(spark):
+    # 4 rows, 2 positives with the top scores: top half captures all
+    rows = [(1, 100, 1), (2, 90, 1), (3, 10, 0), (4, 5, 0)]
+    out = _lift(spark, rows)
+    assert (out[1].cum_pos, out[1].capture_permille) == (2, 1000)
+    assert out[1].lift_permille == 2000  # 2x over random
+    assert out[2].lift_permille == 1000  # full corpus = baseline
+    assert out[2].capture_permille == 1000
+
+
+def test_lift_random_ranking_is_flat(spark):
+    # positives spread evenly: every prefix sits at baseline
+    rows = [(1, 40, 1), (2, 30, 0), (3, 20, 1), (4, 10, 0)]
+    out = _lift(spark, rows)
+    assert out[1].lift_permille == 1000
+    assert out[2].lift_permille == 1000
+
+
+def test_lift_no_positives_is_null(spark):
+    rows = [(1, 2, 0), (2, 1, 0)]
+    out = _lift(spark, rows)
+    assert out[1].lift_permille is None
+    assert out[1].capture_permille is None
+
+
+def test_lift_bucket_validation(spark):
+    import pytest as _pytest
+
+    from m5_competition_kaggle_spark.operators.gains import (
+        lift_table,
+    )
+
+    with _pytest.raises(ValueError):
+        lift_table(None, "s", "p", "id", 0)
