@@ -358,3 +358,66 @@ SELECT bucket, n, pos, cum_n, cum_pos,
 FROM walked
 ORDER BY bucket
 """
+
+
+def x134_weighted_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact quantity-weighted price quartiles per return flag
+    (``operators/weighted_quantile.py``): the weighted counterpart of
+    g8's unweighted quantiles — each price counts with its shipped
+    quantity's mass. Pure integer threshold comparisons on one
+    grouped sort."""
+    from m5_competition_kaggle_spark.operators.weighted_quantile import (
+        weighted_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        ).alias("cents"),
+        F.expr("CAST(l_quantity AS BIGINT)").alias("qty"),
+    )
+    return weighted_quantiles(
+        li, ["l_returnflag"], "cents", "qty"
+    ).orderBy("l_returnflag")
+
+
+QUERIES["x134_weighted_quantiles"] = x134_weighted_quantiles
+
+ORACLES["x134_weighted_quantiles"] = """
+WITH li AS (
+    SELECT l_returnflag,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+           CAST(l_quantity AS BIGINT) AS qty
+    FROM lineitem
+),
+cells AS (
+    SELECT l_returnflag, cents,
+           CAST(sum(qty) AS BIGINT) AS w,
+           CAST(count(*) AS BIGINT) AS n
+    FROM li GROUP BY l_returnflag, cents
+),
+walked AS (
+    SELECT l_returnflag, cents, n,
+           CAST(sum(w) OVER (PARTITION BY l_returnflag
+                ORDER BY cents ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumw,
+           CAST(sum(w) OVER (PARTITION BY l_returnflag)
+                AS BIGINT) AS w_all
+    FROM cells
+)
+SELECT l_returnflag,
+       CAST(sum(n) AS BIGINT) AS n,
+       max(w_all) AS w_total,
+       min(CASE WHEN cumw * 4 >= w_all * 1 THEN cents END)
+           AS wq_1_4,
+       min(CASE WHEN cumw * 2 >= w_all * 1 THEN cents END)
+           AS wq_1_2,
+       min(CASE WHEN cumw * 4 >= w_all * 3 THEN cents END)
+           AS wq_3_4
+FROM walked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

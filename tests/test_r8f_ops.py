@@ -235,3 +235,54 @@ def test_lift_bucket_validation(spark):
 
     with _pytest.raises(ValueError):
         lift_table(None, "s", "p", "id", 0)
+
+
+# ------------------------------------------------- weighted quantile
+
+
+def _wq(spark, rows, qs=((1, 2),)):
+    from m5_competition_kaggle_spark.operators.weighted_quantile import (
+        weighted_quantiles,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    return {
+        r.g: r
+        for r in weighted_quantiles(
+            df, ["g"], "v", "w", qs
+        ).collect()
+    }
+
+
+def test_weighted_median_hand_computed(spark):
+    # masses: 1@1, 1@2, 10@3 -> half of 12 is 6, reached at v=3
+    out = _wq(spark, [("g", 1, 1), ("g", 2, 1), ("g", 3, 10)])
+    assert out["g"].wq_1_2 == 3
+    assert out["g"].w_total == 12 and out["g"].n == 3
+
+
+def test_weighted_median_equal_weights_matches_unweighted(spark):
+    rows = [("g", v, 1) for v in (10, 20, 30, 40, 50)]
+    out = _wq(spark, rows)
+    assert out["g"].wq_1_2 == 30
+
+
+def test_weighted_quantile_tie_values_collapse(spark):
+    # duplicate values must pool their mass before the walk
+    rows = [("g", 5, 1), ("g", 5, 1), ("g", 5, 1), ("g", 9, 2)]
+    out = _wq(spark, rows, qs=((1, 2), (4, 5)))
+    assert out["g"].wq_1_2 == 5   # 3 of 5 mass at 5
+    assert out["g"].wq_4_5 == 9   # 4/5 of mass needs v=9
+
+
+def test_weighted_quantile_validation(spark):
+    import pytest as _pytest
+
+    from m5_competition_kaggle_spark.operators.weighted_quantile import (
+        weighted_quantiles,
+    )
+
+    with _pytest.raises(ValueError):
+        weighted_quantiles(None, ["g"], "v", "w", [(0, 4)])
+    with _pytest.raises(ValueError):
+        weighted_quantiles(None, ["g"], "v", "w", [(5, 4)])
