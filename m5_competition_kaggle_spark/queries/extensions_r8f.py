@@ -421,3 +421,65 @@ FROM walked
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+def x135_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (``operators/holt.py``) of the
+    per-event-type daily quantized value totals: final level, trend
+    and the one-step-ahead forecast — the drift-following upgrade of
+    s5's EWMA, integer recurrence end-to-end."""
+    from m5_competition_kaggle_spark.operators.holt import (
+        holt_level_trend,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_nanos DIV 86400000000000").alias("t"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    series = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    )
+    return holt_level_trend(
+        series, "event_type", "t", "y"
+    ).orderBy("event_type")
+
+
+QUERIES["x135_holt_trend"] = x135_holt_trend
+
+ORACLES["x135_holt_trend"] = """
+WITH RECURSIVE series AS (
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS t,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+indexed AS (
+    SELECT event_type, y,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY t) AS idx
+    FROM series
+),
+n_per AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+    FROM indexed GROUP BY event_type
+),
+rec AS (
+    SELECT event_type, idx, y AS l, CAST(0 AS BIGINT) AS b
+    FROM indexed WHERE idx = 1
+    UNION ALL
+    SELECT s.event_type, s.idx,
+           r.l + r.b + (s.y - r.l - r.b) // 4,
+           r.b + (s.y - r.l - r.b) // 8
+    FROM rec r
+    JOIN indexed s ON s.event_type = r.event_type
+                  AND s.idx = r.idx + 1
+)
+SELECT n.event_type, n.n_points, r.l AS level, r.b AS trend,
+       r.l + r.b AS forecast_next
+FROM n_per n
+JOIN rec r ON r.event_type = n.event_type
+          AND r.idx = n.n_points
+ORDER BY n.event_type
+"""

@@ -286,3 +286,61 @@ def test_weighted_quantile_validation(spark):
         weighted_quantiles(None, ["g"], "v", "w", [(0, 4)])
     with _pytest.raises(ValueError):
         weighted_quantiles(None, ["g"], "v", "w", [(5, 4)])
+
+
+# ------------------------------------------------------------ holt
+
+
+def _holt(spark, rows, **kw):
+    from m5_competition_kaggle_spark.operators.holt import (
+        holt_level_trend,
+    )
+
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    return {
+        r.k: r
+        for r in holt_level_trend(df, "k", "t", "v", **kw).collect()
+    }
+
+
+def test_holt_hand_computed(spark):
+    # y = [100, 108]: e = 8 -> l = 100+0+2 = 102, b = 0+1 = 1
+    out = _holt(spark, [("k", 1, 100), ("k", 2, 108)])["k"]
+    assert (out.level, out.trend, out.forecast_next) == (102, 1, 103)
+    assert out.n_points == 2
+
+
+def test_holt_follows_linear_ramp(spark):
+    # perfectly linear series: trend converges toward the slope and
+    # the forecast tracks within the smoothing lag
+    rows = [("k", t, 1000 + 50 * t) for t in range(1, 31)]
+    out = _holt(spark, rows)["k"]
+    assert 25 <= out.trend <= 50
+    actual_next = 1000 + 50 * 31
+    assert abs(out.forecast_next - actual_next) < 400
+
+
+def test_holt_constant_series_is_fixed_point(spark):
+    rows = [("k", t, 777) for t in range(1, 20)]
+    out = _holt(spark, rows)["k"]
+    assert (out.level, out.trend, out.forecast_next) == (777, 0, 777)
+
+
+def test_holt_singleton_and_order_insensitivity(spark):
+    out = _holt(spark, [("s", 5, 42)])["s"]
+    assert (out.level, out.trend, out.forecast_next) == (42, 0, 42)
+    # shuffled input must fold in t order
+    a = _holt(spark, [("k", 2, 10), ("k", 1, 100), ("k", 3, 20)])
+    b = _holt(spark, [("k", 1, 100), ("k", 2, 10), ("k", 3, 20)])
+    assert a["k"] == b["k"]
+
+
+def test_holt_validation(spark):
+    import pytest as _pytest
+
+    from m5_competition_kaggle_spark.operators.holt import (
+        holt_level_trend,
+    )
+
+    with _pytest.raises(ValueError):
+        holt_level_trend(None, "k", "t", "v", alpha_den=0)
