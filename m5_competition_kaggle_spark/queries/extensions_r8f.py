@@ -483,3 +483,52 @@ JOIN rec r ON r.event_type = n.event_type
           AND r.idx = n.n_points
 ORDER BY n.event_type
 """
+
+
+def s20_stream_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the streaming quantile trajectory
+    (``streaming/quantile_monitor.py``): per-event-time-day exact
+    p50/p95/p99 of the integer-quantized value. The identical
+    ``day_bucket_counts`` plan (shared with the s18 KS monitor) runs
+    as a watermarked tumbling-day streaming agg with the quantile
+    assembly per trigger in foreachBatch (stream == batch proven in
+    tests/test_streaming_quantiles.py); this certifies the batch
+    side against DuckDB — the latency/score percentile dashboard
+    feed."""
+    from m5_competition_kaggle_spark.streaming.ks_monitor import (
+        day_bucket_counts,
+    )
+    from m5_competition_kaggle_spark.streaming.quantile_monitor import (
+        quantile_day_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return quantile_day_table(day_bucket_counts(ev)).orderBy("day")
+
+
+QUERIES["s20_stream_quantiles"] = s20_stream_quantiles
+
+ORACLES["s20_stream_quantiles"] = """
+WITH dc AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(round(value) AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+walked AS (
+    SELECT day, q,
+           CAST(sum(c) OVER (PARTITION BY day ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(c) OVER (PARTITION BY day) AS BIGINT) AS n
+    FROM dc
+)
+SELECT day, max(n) AS n,
+       min(CASE WHEN cum * 1000 >= n * 500 THEN q END) AS q500,
+       min(CASE WHEN cum * 1000 >= n * 950 THEN q END) AS q950,
+       min(CASE WHEN cum * 1000 >= n * 990 THEN q END) AS q990
+FROM walked
+GROUP BY day
+ORDER BY day
+"""
