@@ -532,3 +532,89 @@ FROM walked
 GROUP BY day
 ORDER BY day
 """
+
+
+def x136_funnel_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict-order view → click → purchase funnel
+    (``operators/funnel.py``) per user cohort (user_id % 4): each
+    step must land STRICTLY AFTER the previous one and within 24
+    event-time hours of it — the dashboard form with real attrition
+    (the unbounded funnel converges to 100% on any active user over
+    a month window). Exact step counts plus conversion permilles."""
+    from m5_competition_kaggle_spark.operators.funnel import (
+        funnel_conversion,
+        funnel_reach,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_nanos"
+    )
+    reach = funnel_reach(
+        ev, "user_id", "event_type", "ts_nanos",
+        ["view", "click", "purchase"],
+        max_gap=86_400_000_000_000,
+    ).withColumn("cohort", F.col("entity") % 4)
+    return funnel_conversion(reach, "cohort", 3).orderBy("cohort")
+
+
+QUERIES["x136_funnel_conversion"] = x136_funnel_conversion
+
+ORACLES["x136_funnel_conversion"] = """
+WITH ev AS (
+    SELECT user_id, event_type, epoch_ns(ts) AS ts_nanos
+    FROM events
+),
+entities AS (SELECT DISTINCT user_id FROM ev),
+s1 AS (
+    SELECT user_id, min(ts_nanos) AS t_1
+    FROM ev WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+    SELECT e.user_id, min(e.ts_nanos) AS t_2
+    FROM ev e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'click' AND e.ts_nanos > s1.t_1
+      AND e.ts_nanos <= s1.t_1 + 86400000000000
+    GROUP BY e.user_id
+),
+s3 AS (
+    SELECT e.user_id, min(e.ts_nanos) AS t_3
+    FROM ev e JOIN s2 ON e.user_id = s2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts_nanos > s2.t_2
+      AND e.ts_nanos <= s2.t_2 + 86400000000000
+    GROUP BY e.user_id
+),
+reach AS (
+    SELECT en.user_id % 4 AS cohort, s1.t_1, s2.t_2, s3.t_3
+    FROM entities en
+    LEFT JOIN s1 ON en.user_id = s1.user_id
+    LEFT JOIN s2 ON en.user_id = s2.user_id
+    LEFT JOIN s3 ON en.user_id = s3.user_id
+)
+SELECT cohort,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS reached_1,
+       CAST(sum(CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS reached_2,
+       CAST(sum(CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS reached_3,
+       CASE WHEN sum(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+                 > 0
+            THEN CAST((1000 * sum(CASE WHEN t_2 IS NOT NULL
+                                  THEN 1 ELSE 0 END))
+                 // sum(CASE WHEN t_1 IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+       END AS conv_2_permille,
+       CASE WHEN sum(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END)
+                 > 0
+            THEN CAST((1000 * sum(CASE WHEN t_3 IS NOT NULL
+                                  THEN 1 ELSE 0 END))
+                 // sum(CASE WHEN t_1 IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT)
+       END AS conv_3_permille
+FROM reach
+GROUP BY cohort
+ORDER BY cohort
+"""

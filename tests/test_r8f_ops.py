@@ -344,3 +344,108 @@ def test_holt_validation(spark):
 
     with _pytest.raises(ValueError):
         holt_level_trend(None, "k", "t", "v", alpha_den=0)
+
+
+# ---------------------------------------------------------- funnel
+
+
+def _funnel(spark, rows, steps=("a", "b", "c")):
+    from m5_competition_kaggle_spark.operators.funnel import (
+        funnel_reach,
+    )
+
+    df = spark.createDataFrame(rows, "u long, t string, ts long")
+    return {
+        r.entity: r
+        for r in funnel_reach(
+            df, "u", "t", "ts", list(steps)
+        ).collect()
+    }
+
+
+def test_funnel_strict_order(spark):
+    # user 1 completes in order; user 2's c precedes b -> chain stops
+    rows = [(1, "a", 10), (1, "b", 20), (1, "c", 30),
+            (2, "a", 10), (2, "c", 15), (2, "b", 20)]
+    out = _funnel(spark, rows)
+    assert (out[1].t_1, out[1].t_2, out[1].t_3) == (10, 20, 30)
+    assert (out[2].t_1, out[2].t_2) == (10, 20)
+    assert out[2].t_3 is None
+
+
+def test_funnel_equal_ts_does_not_count(spark):
+    # strictly-after: b at the same instant as a does not qualify
+    rows = [(1, "a", 10), (1, "b", 10), (1, "b", 11)]
+    out = _funnel(spark, rows)
+    assert (out[1].t_1, out[1].t_2) == (10, 11)
+
+
+def test_funnel_never_started(spark):
+    rows = [(1, "b", 5), (1, "c", 6)]
+    out = _funnel(spark, rows)
+    assert out[1].t_1 is None and out[1].t_2 is None
+
+
+def test_funnel_picks_first_qualifying(spark):
+    rows = [(1, "a", 50), (1, "a", 10), (1, "b", 20), (1, "b", 90)]
+    out = _funnel(spark, rows)
+    # earliest a = 10; earliest b after it = 20 (not 90)
+    assert (out[1].t_1, out[1].t_2) == (10, 20)
+
+
+def test_funnel_conversion_rollup(spark):
+    from m5_competition_kaggle_spark.operators.funnel import (
+        funnel_conversion,
+        funnel_reach,
+    )
+
+    rows = [(1, "a", 1), (1, "b", 2), (1, "c", 3),
+            (2, "a", 1), (2, "b", 2),
+            (3, "a", 1),
+            (4, "b", 1)]
+    df = spark.createDataFrame(rows, "u long, t string, ts long")
+    reach = funnel_reach(df, "u", "t", "ts", ["a", "b", "c"])
+    from pyspark.sql import functions as F
+
+    out = funnel_conversion(
+        reach.withColumn("g", F.lit("all")), "g", 3
+    ).collect()[0]
+    assert (out.n_entities, out.reached_1) == (4, 3)
+    assert (out.reached_2, out.reached_3) == (2, 1)
+    assert out.conv_2_permille == 666
+    assert out.conv_3_permille == 333
+
+
+def test_funnel_validation(spark):
+    import pytest as _pytest
+
+    from m5_competition_kaggle_spark.operators.funnel import (
+        funnel_reach,
+    )
+
+    with _pytest.raises(ValueError):
+        funnel_reach(None, "u", "t", "ts", ["only_one"])
+
+
+def test_funnel_max_gap_bounds_each_step(spark):
+    from m5_competition_kaggle_spark.operators.funnel import (
+        funnel_reach,
+    )
+
+    # b at +5 within gap 10; c at +30 exceeds it -> chain stops at b
+    rows = [(1, "a", 100), (1, "b", 105), (1, "c", 135),
+            (2, "a", 100), (2, "b", 150)]
+    df = spark.createDataFrame(rows, "u long, t string, ts long")
+    out = {
+        r.entity: r
+        for r in funnel_reach(
+            df, "u", "t", "ts", ["a", "b", "c"], max_gap=10
+        ).collect()
+    }
+    assert (out[1].t_1, out[1].t_2, out[1].t_3) == (100, 105, None)
+    assert out[2].t_2 is None  # b outside the gap
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel_reach(df, "u", "t", "ts", ["a", "b"], max_gap=0)
