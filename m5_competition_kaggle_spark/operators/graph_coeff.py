@@ -38,6 +38,12 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     ``coeff_den`` (= degree*(degree-1)) and ``coeff_permille``
     (= 1000*coeff_num DIV coeff_den, 0 when degree < 2).
     """
+    # The edge list appears twice in the degree union and again in
+    # every wedge-join branch of triangle_counts — when it is itself
+    # an expensive pipeline (x113 feeds the full MinHash-LSH pair
+    # generator), the lineage would re-run per branch. Truncate once
+    # (lazy localCheckpoint, the x58/x130 lesson).
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("id_a").alias("node"))
         .unionAll(edges.select(F.col("id_b").alias("node")))
