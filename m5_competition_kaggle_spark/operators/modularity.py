@@ -53,6 +53,11 @@ def partition_modularity(
         F.col(node_col).alias("id_b"), F.col(part_col).alias("part_b")
     )
     tagged = edges.join(a_part, "id_a").join(b_part, "id_b")
+    # tagged feeds four branches (m, intra, both degree unions);
+    # when edges is an expensive pipeline (x108's MinHash-LSH pairs)
+    # each branch would re-run it — truncate once (the x58/x113
+    # lesson; lazy localCheckpoint).
+    tagged = tagged.localCheckpoint(eager=False)
 
     m_row = tagged.agg(F.count(F.lit(1)).alias("m"))
 
