@@ -49,6 +49,7 @@ def poisson_bootstrap_ci(
     b: int = 16,
     lo_rank: int = 2,
     hi_rank: int = 15,
+    hash_fn: str = "h64",
 ) -> DataFrame:
     """Per-group bootstrap interval of the mean of BIGINT
     ``value_col`` from ``b`` hash-Poisson replicas.
@@ -57,22 +58,36 @@ def poisson_bootstrap_ci(
     nonzero total weight), ci_lo_q / ci_hi_q (the lo_rank-th /
     hi_rank-th smallest replica floor-mean; ties broken by replica
     id). With the defaults (2, 15 of 16) that is the ~80% percentile
-    interval."""
+    interval.
+
+    ``hash_fn``: "h64" (default) draws the replica uniforms from the
+    md5-based cross-engine hash — SQL-replicable, what the certified
+    query uses; "xx64" draws them from JVM ``xxhash64`` — ~10×
+    faster (the md5 is ~all of the operator's cost at 16 replicas),
+    same statistical construction, for production runs that don't
+    need a DuckDB twin."""
     if not (1 <= lo_rank <= hi_rank <= b):
         raise ValueError("need 1 <= lo_rank <= hi_rank <= b")
+    if hash_fn not in ("h64", "xx64"):
+        raise ValueError("hash_fn must be 'h64' or 'xx64'")
     reps = df.sparkSession.range(b).select(
         F.col("id").alias("__b")
     )
-    u = F.pmod(
-        h64(
-            F.concat(
-                F.col(id_col).cast("string"),
-                F.lit("_"),
-                F.col("__b").cast("string"),
-            )
-        ),
-        F.lit(1000),
-    )
+    if hash_fn == "h64":
+        u = F.pmod(
+            h64(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit("_"),
+                    F.col("__b").cast("string"),
+                )
+            ),
+            F.lit(1000),
+        )
+    else:
+        u = F.pmod(
+            F.xxhash64(F.col(id_col), F.col("__b")), F.lit(1000)
+        )
     fanned = (
         df.select(*group_cols, value_col, id_col)
         .crossJoin(F.broadcast(reps))

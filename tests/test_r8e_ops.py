@@ -178,3 +178,35 @@ def test_bootstrap_rank_validation(spark):
         poisson_bootstrap_ci(
             None, ["g"], "v", "id", b=8, lo_rank=2, hi_rank=9
         )
+
+
+def test_bootstrap_xx64_fast_path_statistically_equivalent(spark):
+    from m5_competition_kaggle_spark.operators.bootstrap import (
+        poisson_bootstrap_ci,
+    )
+
+    rows = [("g", i, 1000 + (i * 37) % 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, id long, v long")
+    fast1 = poisson_bootstrap_ci(
+        df, ["grp"], "v", "id", hash_fn="xx64"
+    ).collect()[0]
+    fast2 = poisson_bootstrap_ci(
+        df, ["grp"], "v", "id", hash_fn="xx64"
+    ).collect()[0]
+    slow = poisson_bootstrap_ci(
+        df, ["grp"], "v", "id", hash_fn="h64"
+    ).collect()[0]
+    assert fast1 == fast2                       # still derandomized
+    assert fast1.point_q == slow.point_q        # same point estimate
+    assert fast1.ci_lo_q <= fast1.point_q <= fast1.ci_hi_q
+    # same statistical construction -> comparable interval widths
+    wf = fast1.ci_hi_q - fast1.ci_lo_q
+    ws = slow.ci_hi_q - slow.ci_lo_q
+    assert 0 < wf < 5 * ws and 0 < ws < 5 * wf
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_ci(
+            df, ["grp"], "v", "id", hash_fn="sha9"
+        )
