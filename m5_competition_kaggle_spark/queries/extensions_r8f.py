@@ -618,3 +618,56 @@ FROM reach
 GROUP BY cohort
 ORDER BY cohort
 """
+
+
+def x137_ivf_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF codebook health (``operators/ivf_health.py``): per
+    inverted list, exact assignment share and own-centroid
+    coherence under the same deterministic rule x23/x116/x131
+    probe — the balance/tightness audit that predicts probe cost
+    skew before any query runs."""
+    from m5_competition_kaggle_spark.operators.ivf_health import (
+        ivf_health,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_health(emb, n_centroids=16).orderBy("cid")
+
+
+QUERIES["x137_ivf_health"] = x137_ivf_health
+
+ORACLES["x137_ivf_health"] = """
+WITH qv AS (
+    SELECT vec_id AS vid,
+           list_transform(
+               embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+           ) AS v
+    FROM embeddings
+),
+cent AS (SELECT vid AS cid, v AS cv FROM qv WHERE vid < 16),
+scored AS (
+    SELECT q.vid, c.cid,
+           CAST(list_sum(list_transform(
+               generate_series(1, len(q.v)),
+               i -> q.v[i] * c.cv[i])) AS BIGINT) AS cdot
+    FROM qv q, cent c
+),
+asgn AS (
+    SELECT vid, cid, cdot
+    FROM (SELECT vid, cid, cdot,
+                 row_number() OVER (PARTITION BY vid
+                     ORDER BY cdot DESC, cid) AS rn
+          FROM scored)
+    WHERE rn = 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM asgn)
+SELECT a.cid,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       (1000 * count(*)) // t.n AS share_permille,
+       CAST(sum(a.cdot) AS BIGINT) AS sum_dot,
+       CAST(sum(a.cdot) AS BIGINT) // count(*) AS mean_dot_q
+FROM asgn a CROSS JOIN tot t
+GROUP BY a.cid, t.n
+ORDER BY a.cid
+"""

@@ -449,3 +449,42 @@ def test_funnel_max_gap_bounds_each_step(spark):
 
     with _pytest.raises(ValueError):
         funnel_reach(df, "u", "t", "ts", ["a", "b"], max_gap=0)
+
+
+# ------------------------------------------------------ ivf health
+
+
+def test_ivf_health_hand_computed(spark):
+    from m5_competition_kaggle_spark.operators.ivf_health import (
+        ivf_health,
+    )
+
+    # centroids = vecs 0 ([1,0]) and 1 ([0,1]); vec 2 -> c0, 3 -> c1
+    vecs = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [0.9, 0.1]), (3, [0.1, 0.9])]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    out = {r.cid: r for r in ivf_health(df, 2).collect()}
+    assert out[0].n_assigned == 2 and out[1].n_assigned == 2
+    assert out[0].share_permille == 500
+    # c0 members: self (dot 1e6) + vec2 (dot 900*1000 = 900000)
+    assert out[0].sum_dot == 1_000_000 + 900_000
+    assert out[0].mean_dot_q == 950_000
+
+
+def test_ivf_health_shares_partition_the_corpus(spark):
+    from m5_competition_kaggle_spark.operators.ivf_health import (
+        ivf_health,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = ivf_health(emb, 16).collect()
+    n = emb.count()
+    assert sum(r.n_assigned for r in rows) == n  # exact partition
+    # floor-permille shares sum to <= 1000 and within 16 of it
+    total = sum(r.share_permille for r in rows)
+    assert 1000 - 16 <= total <= 1000
