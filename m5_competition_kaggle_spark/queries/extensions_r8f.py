@@ -671,3 +671,72 @@ FROM asgn a CROSS JOIN tot t
 GROUP BY a.cid, t.n
 ORDER BY a.cid
 """
+
+
+def x138_rmsse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSSE (the M5 competition metric, ``operators/rmsse.py``) of
+    the engine's lag-7 naive forecaster (the ml/train.py stub's
+    rule) on the per-event-type daily series — scaled by the naive
+    one-step forecaster, exactly as M5 scores submissions. The
+    evaluation loop the reference leaves implicit, closed with a
+    bit-stable certificate (IEEE sqrt is correctly rounded)."""
+    from m5_competition_kaggle_spark.operators.rmsse import rmsse
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_nanos DIV 86400000000000").alias("t"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    series = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    scored = series.withColumn("yhat", F.lag("y", 7).over(w))
+    return rmsse(
+        scored, ["event_type"], "t", "y", "yhat"
+    ).orderBy("event_type")
+
+
+QUERIES["x138_rmsse"] = x138_rmsse
+
+ORACLES["x138_rmsse"] = """
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS t,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, t, y,
+           lag(y, 7) OVER (PARTITION BY event_type ORDER BY t)
+               AS yhat,
+           lag(y, 1) OVER (PARTITION BY event_type ORDER BY t)
+               AS prev
+    FROM series
+),
+agg AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN yhat IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN yhat IS NOT NULL
+                         THEN (y - yhat) * (y - yhat)
+                         ELSE 0 END) AS BIGINT) AS sse,
+           CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scale,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                         THEN (y - prev) * (y - prev)
+                         ELSE 0 END) AS BIGINT) AS scale_sse
+    FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_scored, sse, n_scale, scale_sse,
+       CASE WHEN n_scored > 0 AND n_scale > 0 AND scale_sse > 0
+            THEN CAST(round(1e6 * sqrt(
+                 (CAST(sse AS DOUBLE) / n_scored)
+                 / (CAST(scale_sse AS DOUBLE) / n_scale)))
+                 AS BIGINT)
+       END AS rmsse_ppm
+FROM agg
+ORDER BY event_type
+"""

@@ -488,3 +488,53 @@ def test_ivf_health_shares_partition_the_corpus(spark):
     # floor-permille shares sum to <= 1000 and within 16 of it
     total = sum(r.share_permille for r in rows)
     assert 1000 - 16 <= total <= 1000
+
+
+# ------------------------------------------------------------ rmsse
+
+
+def _rmsse(spark, rows):
+    from m5_competition_kaggle_spark.operators.rmsse import rmsse
+
+    df = spark.createDataFrame(
+        rows, "s string, t long, y long, yhat long"
+    )
+    return {
+        r.s: r for r in rmsse(df, ["s"], "t", "y", "yhat").collect()
+    }
+
+
+def test_rmsse_perfect_forecast_is_zero(spark):
+    rows = [("a", t, 10 * t, 10 * t) for t in range(1, 6)]
+    out = _rmsse(spark, rows)["a"]
+    assert out.sse == 0 and out.rmsse_ppm == 0
+
+
+def test_rmsse_naive_equivalent_is_one(spark):
+    # yhat = previous value == the naive scale itself -> RMSSE = 1
+    ys = [3, 7, 4, 9, 5]
+    rows = [
+        ("a", t, y, ys[t - 2] if t >= 2 else None)
+        for t, y in enumerate(ys, start=1)
+    ]
+    out = _rmsse(spark, rows)["a"]
+    # warm-up row excluded from errors; same pairs in both sums
+    assert out.n_scored == out.n_scale == 4
+    assert out.sse == out.scale_sse
+    assert out.rmsse_ppm == 1_000_000
+
+
+def test_rmsse_hand_computed(spark):
+    # y: 0,2 ; yhat: 0,0 -> sse=4 over n=2; scale: (2-0)^2=4 over 1
+    # rmsse = sqrt((4/2)/(4/1)) = sqrt(0.5)
+    import math
+
+    rows = [("a", 1, 0, 0), ("a", 2, 2, 0)]
+    out = _rmsse(spark, rows)["a"]
+    assert out.rmsse_ppm == round(1e6 * math.sqrt(0.5))
+
+
+def test_rmsse_constant_series_null(spark):
+    rows = [("a", t, 5, 4) for t in range(1, 5)]
+    out = _rmsse(spark, rows)["a"]
+    assert out.scale_sse == 0 and out.rmsse_ppm is None
