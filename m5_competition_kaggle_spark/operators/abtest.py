@@ -95,8 +95,10 @@ def welch_readout(
 
     Output per group: n_a, n_b, sum_a, sum_b, ss_a, ss_b (exact
     BIGINT sufficient statistics) and welch_t2 (double, NULL when
-    undefined). Rows of other arm values are ignored; groups missing
-    either arm entirely still surface with zero counts and NULL t².
+    undefined). Rows of other arm values are ignored; a group with
+    rows in only ONE of arms 0/1 surfaces with the other arm's
+    counts zero and NULL t², but a group with NO arm-0/1 rows at all
+    emits no row (it is not part of the experiment).
     """
     return welch_from_stats(
         arm_sufficient_stats(df, [group_col], arm_col, q_col)

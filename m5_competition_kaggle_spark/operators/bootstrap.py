@@ -11,7 +11,7 @@ bit-identically (the x53 seeded-shuffle precedent), so the whole CI
 hash-certifies while keeping the estimator's statistical shape.
 
 Replica means are exact rationals (Σw·v, Σw); the interval is order
-statistics of their floor quotients across B replicas — integers all
+statistics of their truncating quotients across B replicas — integers all
 the way down.
 
 Scale design: the B-replica fan-out is a broadcast of a B-row range

@@ -61,11 +61,23 @@ def holt_level_trend(
         f"'l', acc.l + acc.b + (x - acc.l - acc.b) DIV {alpha_den}, "
         f"'b', acc.b + (x - acc.l - acc.b) DIV {beta_den}))"
     )
-    return grouped.select(
-        F.col(key_col),
-        F.size("__seq").cast("long").alias("n_points"),
-        F.expr(f"({fold}).l").alias("level"),
-        F.expr(f"({fold}).b").alias("trend"),
-    ).withColumn(
-        "forecast_next", F.col("level") + F.col("trend")
+    # evaluate the O(n) fold ONCE into a struct column, then project
+    # — two separate (fold).l / (fold).b expressions would run the
+    # whole fold twice per key (ArrayAggregate is codegen-fallback,
+    # so CSE is not guaranteed to merge them)
+    return (
+        grouped.select(
+            F.col(key_col),
+            F.size("__seq").cast("long").alias("n_points"),
+            F.expr(fold).alias("__st"),
+        )
+        .select(
+            key_col,
+            "n_points",
+            F.col("__st.l").alias("level"),
+            F.col("__st.b").alias("trend"),
+        )
+        .withColumn(
+            "forecast_next", F.col("level") + F.col("trend")
+        )
     )

@@ -12,9 +12,10 @@ the exact rational
     num = y_prev * (t_next - t_prev) + (y_next - y_prev) * (t - t_prev)
     den = t_next - t_prev
 
-published as (num, den) plus the floor quotient, so the imputation
+published as (num, den) plus the truncating quotient (DIV —
+toward zero, identical in both engines), so the imputation
 hash-certifies row-for-row — and, when the masked point's TRUE value
-is known (a held-out audit), the signed floor-quotient error certifies
+is known (a held-out audit), the signed quotient error certifies
 imputation quality, not just mechanics.
 
 Scale design: two partitioned window passes (last non-masked before,
@@ -43,7 +44,7 @@ def linear_interpolate(
     ``t_col`` order within each group.
 
     Output: input columns plus t_prev, y_prev, t_next, y_next and
-    interp_num / interp_den / interp_q (floor quotient); all NULL on
+    interp_num / interp_den / interp_q (truncating quotient); all NULL on
     non-masked rows and on masked rows missing either flank (series
     edges). ``t_col`` must be a unique integer key per group.
     """

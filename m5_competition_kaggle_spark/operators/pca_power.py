@@ -110,6 +110,11 @@ def power_iteration(
             .agg(F.sum(F.col("g") * F.col("v")).alias("v"))
         )
         if r < rounds - 1:
+            # w feeds both the rescale max and the next matvec —
+            # truncate the d-row vector each round or the unrolled
+            # plan re-runs prior rounds ~2^rounds times (cheap here,
+            # but the rounds parameter invites the blowup).
+            w = w.localCheckpoint(eager=False)
             v = _rescale(w).select(F.col("i").alias("j"), "v")
     mx = w.agg(F.max(F.abs(F.col("v"))).alias("__m"))
     return (

@@ -59,8 +59,11 @@ def ndcg_at_k(
 
     Output per query: n_rel (graded universe size), n_hit, dcg, idcg
     (doubles built from literal constants) and ndcg_ppm =
-    round(1e6·dcg/idcg); queries with an empty relevance set surface
-    with NULL ndcg_ppm."""
+    round(1e6·dcg/idcg). Rows come from the RELEVANCE side, so a
+    query whose index returned nothing still surfaces — with
+    n_hit 0, dcg 0 and ndcg_ppm 0 — instead of silently vanishing
+    from the average; queries with an empty relevance set surface
+    with NULL ndcg_ppm only when present in ``ranked``."""
     d = discounts(k)
     ladder = ideal_dcg_ladder(k)
     rel = relevant.select(
@@ -100,8 +103,16 @@ def ndcg_at_k(
             F.col("n_rel") == m, F.lit(ladder[m - 1])
         ).otherwise(idcg)
     out = (
-        per_q.join(F.broadcast(n_rel), "query_id", "left")
+        # no broadcast hint: Spark cannot build either side of a
+        # full-outer join as a hash-broadcast (HintErrorLogger warns
+        # and falls back); both sides are |Q|-row aggregates so the
+        # sort-merge exchange is trivial.
+        per_q.join(n_rel, "query_id", "full_outer")
         .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
+        .na.fill(
+            0,
+            [f"__g{i + 1}" for i in range(k)] + ["n_hit"],
+        )
         .withColumn("dcg", dcg)
         .withColumn("idcg", idcg)
         .withColumn(

@@ -9,8 +9,8 @@ mean is the exact rational
 
     loo = (S_g - y_i) / (n_g - 1)
 
-published as the (numerator, denominator) pair plus its floor
-quotient, so the encoding hash-certifies row-for-row.
+published as the (numerator, denominator) pair plus its
+truncating quotient (DIV — toward zero, identical in both engines), so the encoding hash-certifies row-for-row.
 
 Scale design: one keyed aggregation reduces the corpus to one
 (category, S, n) row per category, broadcast back onto the fact rows
@@ -35,7 +35,7 @@ def loo_target_encode(
     grouped by ``cat_col``.
 
     Output: all input columns plus cat_n (group size), loo_num
-    (= S_g - y), loo_den (= n_g - 1) and loo_q (their floor
+    (= S_g - y), loo_den (= n_g - 1) and loo_q (their truncating
     quotient); NULL loo_* on singleton categories.
     """
     stats = df.groupBy(cat_col).agg(

@@ -374,7 +374,7 @@ def x121_target_encode(
     (``operators/target_encode.py``) of the customer market segment
     by exact order cents: every order's encoding is the mean of the
     OTHER orders in its segment, as the exact (num, den) rational
-    plus floor quotient. The feature-engineering certificate: a
+    plus truncating quotient. The feature-engineering certificate: a
     wrong join or an off-by-one in the leave-one-out arithmetic
     flips row-level hashes immediately."""
     from m5_competition_kaggle_spark.operators.target_encode import (

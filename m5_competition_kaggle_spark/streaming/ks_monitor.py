@@ -7,10 +7,14 @@ arriving day's empirical value distribution is compared against the
 frozen reference ECDF, so score/latency/price drift surfaces the day
 it happens. The plan follows the s17 pattern:
 
-- per-(day, bucket) counts are a WATERMARKED tumbling-day streaming
-  aggregation — state bounded at |open days| x |value buckets| (the
-  stream quantizes at integer granularity, a few hundred buckets for
-  the events value range), late rows dropped at the watermark;
+- per-(day, bucket) counts are a tumbling-day streaming
+  aggregation — state bounded by the CALENDAR: |days seen| x |value
+  buckets| (the stream quantizes at integer granularity, a few
+  hundred buckets for the events value range), independent of event
+  volume. Complete mode retains every day and applies late rows
+  whenever they arrive (the watermark is inert under complete mode);
+  an eviction-needing deployment switches to update mode with a
+  merging sink, where the watermark then drops late rows;
 - the KS assembly (reference join + running CDFs + argmax) runs on
   the BOUNDED aggregate per trigger in ``foreachBatch``, through the
   SAME exact-integer kernel (`operators/ksdist.ks_from_cells`) the
@@ -96,9 +100,10 @@ def streaming_ks_trajectory(
     watermark: str = "2 days",
     **source_options,
 ):
-    """Wire the monitor over a real file-source stream: watermarked
+    """Wire the monitor over a real file-source stream: calendar-bounded
     day-bucket counts, KS assembly per trigger in ``foreachBatch``
-    (complete mode — the aggregate is bounded, each trigger emits the
+    (complete mode — the aggregate is calendar-bounded; the
+    attached watermark is inert here, see the module docstring — each trigger emits the
     whole refreshed trajectory). Appends the FINAL trigger's rows to
     ``sink_rows``; returns the started query (caller stops it)."""
     stream = read_events_stream(

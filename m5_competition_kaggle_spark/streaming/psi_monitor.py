@@ -9,7 +9,10 @@ plan is Spark-first twice over:
 
 - the per-(day, category) counts are a WATERMARKED tumbling-window
   aggregation — state bounded at |open windows| x |categories|, late
-  rows beyond the watermark dropped (not silently mis-bucketed);
+  state bounded by the calendar (days seen x categories; the
+  watermark is inert under complete mode — late rows land in their
+  day whenever they arrive; see ks_monitor for the update-mode
+  eviction variant);
 - the PSI assembly (reference join + per-day totals + term) runs on
   the BOUNDED aggregate only, never on raw events — in batch as plain
   window functions, per trigger inside ``foreachBatch`` in streaming
@@ -115,9 +118,10 @@ def streaming_psi_trajectory(
     watermark: str = "2 days",
     **source_options,
 ):
-    """Wire the monitor over a real file-source stream: watermarked
+    """Wire the monitor over a real file-source stream: calendar-bounded
     day-window counts, PSI assembly per trigger in ``foreachBatch``
-    (complete mode — the aggregate is bounded, each trigger emits the
+    (complete mode — the aggregate is calendar-bounded; the
+    attached watermark is inert here, see the module docstring — each trigger emits the
     whole refreshed trajectory). Appends the FINAL trigger's rows to
     ``sink_rows``; returns the started query (caller stops it).
     ``source_options`` pass through to the file source (e.g.

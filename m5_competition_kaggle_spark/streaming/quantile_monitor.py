@@ -5,9 +5,12 @@ per event-time day, exact p50/p95/p99 of the integer-quantized value.
 Latency and score dashboards are THIS query. Follows the monitor
 pattern:
 
-- per-(day, bucket) counts are the SAME watermarked tumbling-day
-  aggregation the KS monitor uses (`ks_monitor.day_bucket_counts` —
-  imported, not copied), state bounded at |open days| × |value grid|;
+- per-(day, bucket) counts are the SAME tumbling-day aggregation
+  the KS monitor uses (`ks_monitor.day_bucket_counts` — imported,
+  not copied): state is bounded by the CALENDAR (days seen × value
+  grid), independent of event volume; complete mode retains every
+  day (the watermark is inert under complete mode — see
+  welch_monitor's deployment note for the update-mode variant);
 - the quantile assembly runs on the bounded aggregate per trigger in
   ``foreachBatch``: the q-quantile is the smallest bucket whose
   cumulative count reaches q·n — pure integer threshold comparisons
@@ -71,10 +74,11 @@ def streaming_quantile_trajectory(
     watermark: str = "2 days",
     **source_options,
 ):
-    """Wire the monitor over a real file-source stream: watermarked
+    """Wire the monitor over a real file-source stream: calendar-bounded
     day-bucket counts (the shared KS-monitor aggregation), quantile
-    assembly per trigger in ``foreachBatch`` (complete mode — the
-    aggregate is bounded). Appends the FINAL trigger's rows to
+    assembly per trigger in ``foreachBatch`` (complete mode — the aggregate is
+    calendar-bounded; the attached watermark is inert here, see the
+    module docstring). Appends the FINAL trigger's rows to
     ``sink_rows``; returns the started query (caller stops it)."""
     stream = read_events_stream(
         spark, source_dir, **source_options

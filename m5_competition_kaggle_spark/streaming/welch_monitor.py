@@ -5,9 +5,14 @@ does not wait for the window to close, it watches the day-by-day effect
 size as data arrives. Follows the s17/s18 monitor pattern:
 
 - per-(day, group) ARM SUFFICIENT STATISTICS (n, Σq, Σq² per arm) are
-  a WATERMARKED tumbling-day streaming aggregation — six int64 sums per
-  open (day, group) cell, so state is bounded at |open days| × |groups|
-  regardless of event volume, and late rows drop at the watermark;
+  a tumbling-day streaming aggregation — six int64 sums per (day,
+  group) cell, so state is bounded by the CALENDAR (days seen ×
+  groups), independent of event volume. Complete mode retains every
+  day's cells and applies late rows whenever they arrive (the
+  watermark is inert under complete mode — Spark semantics); a
+  deployment that must evict closed days switches the sink to update
+  mode with a merging store, where the same watermark then drops
+  late rows and bounds state at |open days|;
 - the t² assembly runs on the BOUNDED aggregate per trigger in
   ``foreachBatch`` through the SAME fixed-shape arithmetic expression
   (`operators/abtest.welch_from_stats`) the certified batch twin uses,
@@ -81,9 +86,10 @@ def streaming_welch_trajectory(
     watermark: str = "2 days",
     **source_options,
 ):
-    """Wire the monitor over a real file-source stream: watermarked
+    """Wire the monitor over a real file-source stream: calendar-bounded
     day-arm sufficient stats, t² assembly per trigger in
-    ``foreachBatch`` (complete mode — the aggregate is bounded, each
+    ``foreachBatch`` (complete mode — the aggregate is calendar-bounded; the
+    attached watermark is inert here, see the module docstring — each
     trigger emits the whole refreshed trajectory). Appends the FINAL
     trigger's rows to ``sink_rows``; returns the started query
     (caller stops it)."""

@@ -538,3 +538,14 @@ def test_rmsse_constant_series_null(spark):
     rows = [("a", t, 5, 4) for t in range(1, 5)]
     out = _rmsse(spark, rows)["a"]
     assert out.scale_sse == 0 and out.rmsse_ppm is None
+
+
+def test_ndcg_index_returning_nothing_scores_zero(spark):
+    # query 2 has a relevance set but the index returned NO rows:
+    # it must surface with ndcg 0, not vanish from the table
+    ranked = [(1, 10, 1)]
+    rel = [(1, 10, 1), (2, 10, 1)]
+    out = _ndcg(spark, ranked, rel)
+    assert out[1].ndcg_ppm == 1_000_000
+    assert (out[2].n_rel, out[2].n_hit) == (1, 0)
+    assert out[2].ndcg_ppm == 0 and out[2].dcg == 0.0
