@@ -33,9 +33,10 @@ def kappa_contingency(
     Output per (a, b) cell: ``a``, ``b``, ``c_ab`` (cell count),
     ``c_a`` / ``c_b`` (marginals), ``n``, ``kappa_num`` = n*diag - e,
     ``kappa_den`` = n*n - e and ``kappa_permille`` =
-    (1000*kappa_num) DIV kappa_den — the same exact int64 triple on
-    every row. NULL labels count as their own category (SQL GROUP BY
-    semantics)."""
+    (1000*kappa_num) DIV kappa_den (NULL when kappa_den = 0 — the
+    degenerate single-category table where kappa is 0/0) — the same
+    exact int64 triple on every row. NULL labels count as their own
+    category (SQL GROUP BY semantics)."""
     cells = (
         df.groupBy(
             F.col(a_col).alias("a"), F.col(b_col).alias("b")
@@ -72,7 +73,14 @@ def kappa_contingency(
         .withColumn("kappa_den", F.col("n") * F.col("n") - F.col("e"))
         .withColumn(
             "kappa_permille",
-            F.expr("(1000 * kappa_num) DIV kappa_den"),
+            # kappa_den = n² - e hits 0 when every row lands in ONE
+            # category for both raters (e = n²): kappa is 0/0 there —
+            # undefined, surfaced as NULL rather than the ANSI
+            # DIVIDE_BY_ZERO crash a bare DIV would throw.
+            F.when(
+                F.col("kappa_den") != 0,
+                F.expr("(1000 * kappa_num) DIV kappa_den"),
+            ),
         )
         .select("n", "kappa_num", "kappa_den", "kappa_permille")
     )

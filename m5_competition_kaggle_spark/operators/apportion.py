@@ -48,12 +48,46 @@ def largest_remainder(
     weights = df.groupBy(F.col(key_col).alias("key")).agg(
         F.sum(F.col(weight_col)).cast("long").alias("weight")
     )
+    # A negative per-key weight breaks the allocation invariant
+    # silently (DIV truncates toward zero, the remainder goes
+    # negative, and sum(share) drifts off the budget); an all-zero
+    # total would surface as a bare ANSI DIVIDE_BY_ZERO. Fail loudly
+    # with the actual contract instead — the checks ride the
+    # source-cardinality rows, not the corpus. Zero-weight keys are
+    # fine (share 0), only the TOTAL must be positive.
+    weights = weights.withColumn(
+        "weight",
+        F.when(F.col("weight") >= 0, F.col("weight")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "largest_remainder needs non-negative "
+                        "per-key weights; key "
+                    ),
+                    F.col("key").cast("string"),
+                    F.lit(" summed to "),
+                    F.col("weight").cast("string"),
+                )
+            )
+        ),
+    )
     w_all = Window.partitionBy()
     w_rank = Window.partitionBy().orderBy(
         F.col("remainder").desc(), F.col("key").asc()
     )
     scored = (
         weights.withColumn("w_total", F.sum("weight").over(w_all))
+        .withColumn(
+            "w_total",
+            F.when(F.col("w_total") > 0, F.col("w_total")).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "largest_remainder needs a positive total "
+                        "weight (all keys summed to 0)"
+                    )
+                )
+            ),
+        )
         .withColumn(
             "floor_share",
             F.expr(f"({budget} * weight) DIV w_total"),

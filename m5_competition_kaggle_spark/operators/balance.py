@@ -38,12 +38,15 @@ def split_balance(
     Output per stratum: n_train, n_test, n_row, train_permille,
     global_train_permille (identical every row — the comparison
     anchor), and chi2 (the stratum's additive χ² contribution; NULL
-    when a margin is empty)."""
+    when a margin is empty). A NULL ``train_flag`` row belongs to
+    NEITHER side — it is excluded from both counts rather than
+    silently defaulting into test (the three-valued-boolean trap of
+    a bare ``otherwise``)."""
     cells = df.groupBy(*strata_cols).agg(
         F.sum(F.when(train_flag, 1).otherwise(0))
         .cast("long")
         .alias("n_train"),
-        F.sum(F.when(train_flag, 0).otherwise(1))
+        F.sum(F.when(~train_flag, 1).otherwise(0))
         .cast("long")
         .alias("n_test"),
     )

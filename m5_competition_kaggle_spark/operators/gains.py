@@ -39,9 +39,13 @@ def lift_table(
 
     Output per bucket 1..n_buckets: n, pos, cum_n, cum_pos,
     lift_permille and capture_permille; NULL lift columns when the
-    corpus has no positives."""
+    corpus has no positives. NULL-scored rows are EXCLUDED: the
+    ranking negates the score for a descending sort, and a NULL
+    would sort ascending-nulls-first — i.e. silently claim the top
+    ranks for exactly the rows the scorer never scored."""
     if n_buckets < 1:
         raise ValueError("need n_buckets >= 1")
+    df = df.filter(F.col(score_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("__id"),
         (-F.col(score_col)).alias("__neg"),

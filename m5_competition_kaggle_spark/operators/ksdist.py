@@ -53,8 +53,13 @@ def ks_from_cells(
     ``c_ref`` / ``c_cmp`` (either may be 0; q must be unique within a
     partition). Output one row per partition present on BOTH sides:
     *part_cols, n_ref, n_cmp, q_at, d_num, d_den, ks_permille.
+
+    NULL q cells are dropped (the ECDF convention): a NULL quantized
+    value has no place on the support axis — left in, it would sort
+    FIRST and silently shift every running CDF.
     """
     pcols = list(part_cols)
+    cells = cells.filter(F.col("q").isNotNull())
     w_cum = (
         Window.partitionBy(*pcols)
         .orderBy("q")

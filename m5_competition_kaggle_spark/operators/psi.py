@@ -63,9 +63,25 @@ def psi_from_counts(rc: DataFrame, cc: DataFrame) -> DataFrame:
     the streaming monitor (``streaming/psi_monitor.py``) re-runs per
     trigger over its bounded category-count state. ``rc``: (cat,
     c_ref); ``cc``: (cat, c_cmp). Same output contract as
-    :func:`psi_terms`."""
+    :func:`psi_terms`.
+
+    The category join is NULL-SAFE: a NULL category (a real level
+    under GROUP BY semantics) matches itself across the two windows
+    instead of splitting into two unmatched half-rows that would
+    double-count its mass in the totals."""
+    r2 = rc.withColumnRenamed("cat", "__rcat")
     cats = (
-        rc.join(cc, "cat", "full_outer")
+        r2.join(
+            cc,
+            F.col("__rcat").eqNullSafe(F.col("cat")),
+            "full_outer",
+        )
+        .withColumn(
+            "cat",
+            F.when(F.col("__rcat").isNotNull(), F.col("__rcat"))
+            .otherwise(F.col("cat")),
+        )
+        .drop("__rcat")
         .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
         .withColumn("c_cmp", F.coalesce("c_cmp", F.lit(0)))
     )

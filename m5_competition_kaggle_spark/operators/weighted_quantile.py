@@ -42,8 +42,20 @@ def weighted_quantiles(
     for num, den in quantiles:
         if not (0 < num <= den):
             raise ValueError("need 0 < num <= den per quantile")
+    # Positive weights are the correctness precondition (a zero or
+    # negative weight makes the cumulative mass non-monotone, so the
+    # "smallest qualifying v" rule silently returns garbage) —
+    # enforce it per row, JVM-side, instead of trusting the caller.
+    w_checked = F.when(F.col(w_col) > 0, F.col(w_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_quantiles needs positive weights; got "),
+                F.coalesce(F.col(w_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     cells = df.groupBy(*group_cols, v_col).agg(
-        F.sum(w_col).alias("__w"),
+        F.sum(w_checked).alias("__w"),
         F.count(F.lit(1)).alias("__n"),
     )
     w_cum = (
