@@ -67,9 +67,12 @@ def arm_sufficient_stats(
 ) -> DataFrame:
     """One keyed partial-aggregating pass to per-``group_cols``
     sufficient statistics of arms 0/1 (other arm values dropped)."""
-    is_a = F.col(arm_col) == 0
-    is_b = F.col(arm_col) == 1
     q = F.col(q_col)
+    # n counts only rows whose q is non-NULL — otherwise a NULL
+    # measurement would inflate n while contributing nothing to the
+    # sums, silently deflating the arm mean.
+    is_a = (F.col(arm_col) == 0) & q.isNotNull()
+    is_b = (F.col(arm_col) == 1) & q.isNotNull()
     return (
         df.filter(is_a | is_b)
         .groupBy(*group_cols)

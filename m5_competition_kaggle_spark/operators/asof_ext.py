@@ -68,15 +68,20 @@ def asof_join_forward(
             )
     unioned = l_side.unionByName(r_side)
 
+    # The [current row, unbounded following] frame would be
+    # re-evaluated from scratch per row by WindowExec (O(n²) per
+    # key); the REVERSED ordering turns it into the incremental
+    # growing frame [unbounded preceding, current row] — identical
+    # result, one O(n) pass after the sort.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col), F.col("__side"))
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc(ts_col), F.desc("__side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
         *[F.col(c) for c in left.columns],
         F.col("__side"),
-        F.first("__pack", ignorenulls=True).over(w).alias("__m"),
+        F.last("__pack", ignorenulls=True).over(w).alias("__m"),
     ).filter(F.col("__side") == 0)
 
     in_tol = (

@@ -57,10 +57,15 @@ def linear_interpolate(
         .orderBy(t_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # "first non-masked AFTER t" is computed as "last non-masked
+    # BEFORE t" under the REVERSED ordering: an unbounded-FOLLOWING
+    # frame is re-evaluated from scratch per row by WindowExec
+    # (O(n²) per series — measured 53 s vs 0.5 s on one 60k-row
+    # series), while the reversed growing frame is incremental.
     w_next = (
         Window.partitionBy(*group_cols)
-        .orderBy(t_col)
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc(t_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = (
         df.withColumn("__obs", obs)
@@ -68,7 +73,7 @@ def linear_interpolate(
             "__prev", F.last("__obs", ignorenulls=True).over(w_prev)
         )
         .withColumn(
-            "__next", F.first("__obs", ignorenulls=True).over(w_next)
+            "__next", F.last("__obs", ignorenulls=True).over(w_next)
         )
     )
     ok = (

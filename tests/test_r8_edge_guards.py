@@ -6,7 +6,6 @@ adversarial self-review; the certified fixture outputs are unchanged
 by every one of these guards (verified by the oracle sweep)."""
 
 import pytest
-from py4j.protocol import Py4JJavaError
 from pyspark.sql import functions as F
 
 from m5_competition_kaggle_spark.operators.agreement import (
@@ -161,3 +160,46 @@ def test_split_balance_null_flag_excluded_from_both_sides(spark):
     )
     r = split_balance(df, ["lang"], F.col("is_train")).collect()[0]
     assert (r["n_train"], r["n_test"], r["n_row"]) == (1, 1, 2)
+
+
+# ------------------------------------------------- window-frame shape
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_interpolate_has_no_unbounded_following_frame(spark):
+    # an unbounded-FOLLOWING frame is re-evaluated from scratch per
+    # row by WindowExec (measured O(n²): 53 s vs 0.5 s on one
+    # 60k-row series) — the lookahead must run as the REVERSED
+    # growing frame instead
+    from m5_competition_kaggle_spark.operators.interpolate import (
+        linear_interpolate,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1, 10, False), ("g", 2, None, True), ("g", 3, 30, False)],
+        "grp string, t long, y long, masked boolean",
+    )
+    out = linear_interpolate(df, ["grp"], "t", "y", "masked")
+    assert "UNBOUNDED FOLLOWING" not in _optimized_plan(out).upper()
+    r = {x["t"]: x for x in out.collect()}
+    assert r[2]["interp_q"] == 20
+
+
+def test_asof_forward_has_no_unbounded_following_frame(spark):
+    from m5_competition_kaggle_spark.operators.asof_ext import (
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame(
+        [("k", 5)], "key string, ts long"
+    )
+    right = spark.createDataFrame(
+        [("k", 5, 100), ("k", 9, 200)], "key string, ts long, v long"
+    )
+    out = asof_join_forward(left, right, ["key"], "ts", ["v"])
+    assert "UNBOUNDED FOLLOWING" not in _optimized_plan(out).upper()
+    r = out.collect()[0]
+    assert (r["matched_ts"], r["v"]) == (5, 100)
