@@ -34,11 +34,17 @@ def rmsse(
     t_col: str,
     y_col: str,
     yhat_col: str,
+    scale_flag_col: str | None = None,
 ) -> DataFrame:
     """Per-series RMSSE of ``yhat_col`` against BIGINT ``y_col`` in
     ``t_col`` order. Rows with NULL ``yhat_col`` (warm-up) are
     excluded from the error sum; the naive scale uses every
-    consecutive pair.
+    consecutive pair — or, with ``scale_flag_col`` set (a boolean
+    column), only pairs whose ROW has the flag true, the M5
+    competition's exact convention of scaling by the TRAINING
+    period's naive error while the error sum runs over the forecast
+    horizon (reference ``pipeline.py`` trains to ``train_end`` and
+    scores the following 28 days).
 
     Output per series: n_scored, sse (Σ err², exact), n_scale,
     scale_sse (Σ naive-diff², exact) and rmsse_ppm =
@@ -49,6 +55,10 @@ def rmsse(
     base = df.withColumn("__prev", F.lag(y_col).over(w))
     err = F.col(y_col) - F.col(yhat_col)
     nd = F.col(y_col) - F.col("__prev")
+    in_scale = F.col("__prev").isNotNull()
+    if scale_flag_col is not None:
+        in_scale = in_scale & F.col(scale_flag_col)
+    base = base.withColumn("__in_scale", in_scale)
     agg = base.groupBy(*series_cols).agg(
         F.sum(
             F.when(F.col(yhat_col).isNotNull(), 1).otherwise(0)
@@ -58,10 +68,10 @@ def rmsse(
             .otherwise(0)
         ).cast("long").alias("sse"),
         F.sum(
-            F.when(F.col("__prev").isNotNull(), 1).otherwise(0)
+            F.when(F.col("__in_scale"), 1).otherwise(0)
         ).cast("long").alias("n_scale"),
         F.sum(
-            F.when(F.col("__prev").isNotNull(), nd * nd)
+            F.when(F.col("__in_scale"), nd * nd)
             .otherwise(0)
         ).cast("long").alias("scale_sse"),
     )
