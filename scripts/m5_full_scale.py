@@ -236,8 +236,41 @@ def main():
     out.write.mode("overwrite").parquet(f"{work}/submission.parquet")
     t["predict_assemble_write"] = round(time.monotonic() - t0, 1)
 
+    # stage 4: self-evaluation at full scale — predict from an
+    # EARLIER observed week (2016-04-18..24) so the 28-day horizon
+    # (2016-04-25..2016-05-22) has ground truth, then score with the
+    # competition metric (plans/m5_eval.py): per-series RMSSE over
+    # 30,490 series, scale restricted to the train window.
+    t0 = time.monotonic()
+    from m5_competition_kaggle_spark.plans.m5_eval import (
+        evaluate_forecast,
+    )
+
+    eval_test = prepare_test(
+        feats, CONFIG["pred_weeks"], "2016-04-18", "2016-04-24"
+    )
+    eval_preds = predict_per_group(eval_test, model_df)
+    scores = evaluate_forecast(
+        feats.select("id", "date", "units_sold"),
+        eval_preds,
+        "2016-04-24",
+    )
+    eval_agg = scores.agg(
+        F.count(F.lit(1)).alias("series"),
+        F.sum(
+            F.when(F.col("rmsse_ppm").isNotNull(), 1).otherwise(0)
+        ).alias("scored"),
+        F.expr(
+            "CAST(avg(rmsse_ppm) AS BIGINT)"
+        ).alias("mean_rmsse_ppm"),
+    ).collect()[0]
+    t["evaluate_rmsse"] = round(time.monotonic() - t0, 1)
+
     n_sub = spark.read.parquet(f"{work}/submission.parquet").count()
     summary = {
+        "eval_series": eval_agg["series"],
+        "eval_scored": eval_agg["scored"],
+        "eval_mean_rmsse_ppm": eval_agg["mean_rmsse_ppm"],
         "feature_rows": n_feat,
         "models": len(model_rows),
         "train_rows": int(sum(r["n_train"] for r in model_rows)),
