@@ -63,12 +63,22 @@ def main() -> int:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # 1-minute load average BEFORE this bench's own work is attributed:
+    # totals shift wholesale (measured 1.2-3.2x) with machine state, so
+    # cross-round comparisons need the context recorded next to the
+    # numbers. (Sampled at end of run — it reflects the run itself too;
+    # a value far above SPARK_GRAFT_CPUS means a contended box.)
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = None
     full = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load1": load1,
     }
     # Full results: first stdout line + a committed file the judge reads.
     print(json.dumps(full), flush=True)
@@ -90,6 +100,7 @@ def main() -> int:
         "queries": slowest,
         "sf": sf,
         "n_queries": len(timings),
+        "load1": load1,
         "full_results": "BENCH.local.json",
     }
     line = json.dumps(compact)
