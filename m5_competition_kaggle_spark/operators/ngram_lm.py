@@ -26,7 +26,7 @@ table, and the certified query caps it at the top-N bigrams.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -61,10 +61,16 @@ def kneser_ney_components(
     )
     right = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("cont_w2"))
     types = bc.agg(F.count(F.lit(1)).alias("types"))
-    w = Window.orderBy(F.col("c12").desc(), F.col("w1"), F.col("w2"))
-    top = bc.withColumn("__r", F.row_number().over(w)).filter(
-        F.col("__r") <= int(top_n)
-    )
+    # top-N via orderBy+limit, NOT a global row_number window: the
+    # distinct-bigram table is vocabulary²-sized at corpus scale, and
+    # the unpartitioned window would sort ALL of it on one partition.
+    # Catalyst plans orderBy().limit() as TakeOrderedAndProject —
+    # per-partition partial top-N, then a merge of n_partitions·N
+    # candidates. Identical rows (the order is total: ties break on
+    # the bigram itself).
+    top = bc.orderBy(
+        F.col("c12").desc(), F.col("w1"), F.col("w2")
+    ).limit(int(top_n))
     return (
         top.join(left, "w1")
         .join(right, "w2")
