@@ -50,9 +50,23 @@ def merge_upsert(
         *[F.col(c).alias(f"__s_{c}") for c in vals],
         F.lit(True).alias("__in_s"),
     )
+    # An op outside {'U','D'} (or NULL) would silently classify as an
+    # update/insert while three-valued logic makes the value columns
+    # fall back to the SNAPSHOT side — an inserted row with all-NULL
+    # values. Every MERGE engine rejects an unknown action; so do we.
+    op_checked = F.when(
+        F.col(op_col).isin("U", "D"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("merge_upsert: op must be 'U' or 'D', got "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     c = changes.select(
         F.col(key_col),
-        F.col(op_col).alias("__op"),
+        op_checked.alias("__op"),
         *[F.col(c_).alias(f"__c_{c_}") for c_ in vals],
         F.lit(True).alias("__in_c"),
     )

@@ -203,3 +203,24 @@ def test_asof_forward_has_no_unbounded_following_frame(spark):
     assert "UNBOUNDED FOLLOWING" not in _optimized_plan(out).upper()
     r = out.collect()[0]
     assert (r["matched_ts"], r["v"]) == (5, 100)
+
+
+# ---------------------------------------------------------------- merge
+
+
+def test_merge_rejects_unknown_op(spark):
+    from m5_competition_kaggle_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame([(1, 10)], "k long, v long")
+    bad = spark.createDataFrame([(2, "X", 20)], "k long, op string, v long")
+    with pytest.raises(Exception, match="op must be"):
+        merge_upsert(snap, bad, "k", ["v"]).collect()
+
+
+def test_merge_rejects_null_op(spark):
+    from m5_competition_kaggle_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame([(1, 10)], "k long, v long")
+    bad = spark.createDataFrame([(2, None, 20)], "k long, op string, v long")
+    with pytest.raises(Exception, match="op must be"):
+        merge_upsert(snap, bad, "k", ["v"]).collect()
