@@ -14,7 +14,11 @@ it happens. The plan follows the s17 pattern:
   volume. Complete mode retains every day and applies late rows
   whenever they arrive (the watermark is inert under complete mode);
   an eviction-needing deployment switches to update mode with a
-  merging sink, where the watermark then drops late rows;
+  merging sink (``streaming/update_mode.py``) — where the SINK must
+  enforce the lateness cutoff, because Spark's watermark guarantee is
+  one-sided (measured on this build: a too-late row re-creates the
+  evicted day's state and re-emits a PARTIAL count rather than being
+  dropped);
 - the KS assembly (reference join + running CDFs + argmax) runs on
   the BOUNDED aggregate per trigger in ``foreachBatch``, through the
   SAME exact-integer kernel (`operators/ksdist.ks_from_cells`) the

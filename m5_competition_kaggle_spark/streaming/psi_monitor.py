@@ -11,8 +11,9 @@ plan is Spark-first twice over:
   aggregation — state bounded at |open windows| x |categories|, late
   state bounded by the calendar (days seen x categories; the
   watermark is inert under complete mode — late rows land in their
-  day whenever they arrive; see ks_monitor for the update-mode
-  eviction variant);
+  day whenever they arrive; see ``streaming/update_mode.py`` for the
+  eviction variant, where the SINK enforces the lateness cutoff —
+  Spark does not guarantee the drop);
 - the PSI assembly (reference join + per-day totals + term) runs on
   the BOUNDED aggregate only, never on raw events — in batch as plain
   window functions, per trigger inside ``foreachBatch`` in streaming

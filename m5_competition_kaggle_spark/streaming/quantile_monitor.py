@@ -10,7 +10,8 @@ pattern:
   not copied): state is bounded by the CALENDAR (days seen × value
   grid), independent of event volume; complete mode retains every
   day (the watermark is inert under complete mode — see
-  welch_monitor's deployment note for the update-mode variant);
+  ``streaming/update_mode.py`` for the eviction variant and the
+  measured sink-side lateness rule it needs);
 - the quantile assembly runs on the bounded aggregate per trigger in
   ``foreachBatch``: the q-quantile is the smallest bucket whose
   cumulative count reaches q·n — pure integer threshold comparisons

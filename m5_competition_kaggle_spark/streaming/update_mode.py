@@ -1,0 +1,116 @@
+"""Update-mode deployment variant of the day-bucket monitors.
+
+The certified trajectories (s17-s20) run the calendar-bounded
+aggregate in COMPLETE mode: every trigger re-emits the whole table,
+state retains every day seen, and the attached watermark is inert.
+That is exactly right while |days seen| x |buckets| stays small — but
+a monitor that runs for years must EVICT closed days. This module is
+that deployment shape, with its real semantics measured rather than
+assumed:
+
+- the SAME ``day_bucket_counts`` plan (imported from the KS monitor,
+  not copied) runs with ``outputMode("update")``: each trigger emits
+  only the (day, q) cells whose count changed, with their new totals;
+  the watermark bounds STATE (closed days evict), so the aggregate
+  stays |open days| x |buckets| forever;
+- **Spark's watermark does NOT guarantee too-late rows are dropped**
+  (the Structured Streaming guarantee is one-sided: on-time data WILL
+  be aggregated; too-late data "may or may not" be). Measured on this
+  build: a row 26 days late is aggregated into a freshly RE-CREATED
+  state row for the already-evicted day and re-emitted with a PARTIAL
+  count — an upsert sink that trusted it would overwrite the day's
+  correct total. numRowsDroppedByWatermark stayed 0 in both update
+  and append mode;
+- therefore the MERGING SINK enforces the lateness cutoff itself: it
+  tracks the maximum day it has seen and rejects upserts for days
+  older than ``allowed_lateness_days`` behind it. This is the same
+  rule a Delta MERGE sink would express as a partition predicate.
+  Set it to the watermark delay so sink and state agree on "closed".
+
+The test pins both directions: on-time multi-file streams converge to
+the exact batch table through delta upserts, and a too-late straggler
+is rejected by the sink (batch table minus exactly that row) instead
+of silently corrupting a closed day.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from m5_competition_kaggle_spark.streaming.events import (
+    read_events_stream,
+)
+from m5_competition_kaggle_spark.streaming.ks_monitor import (
+    day_bucket_counts,
+)
+
+
+class ClosingDayStore:
+    """Keyed (day_iso, q) → count store with a closed-day rule: an
+    upsert for a day more than ``allowed_lateness_days`` behind the
+    high-water day AS OF THE PREVIOUS BATCH is rejected (counted, not
+    applied). The cutoff deliberately mirrors Spark's own watermark
+    timing — computed from data seen through trigger N-1, applied to
+    trigger N — so a single batch carrying many NEW days in bulk
+    (backfill, restart catch-up) never self-rejects its own tail. The
+    in-memory stand-in for any idempotent keyed sink with a partition
+    predicate."""
+
+    def __init__(self, allowed_lateness_days: int = 2) -> None:
+        self.lateness = datetime.timedelta(int(allowed_lateness_days))
+        self.data: dict = {}
+        self.max_day: datetime.date | None = None
+        self.rejected = 0
+
+    def apply_batch(self, rows) -> None:
+        """Upsert one trigger's (day, q, count) rows against the
+        PREVIOUS batches' high-water cutoff, then advance it."""
+        cutoff = (
+            None
+            if self.max_day is None
+            else self.max_day - self.lateness
+        )
+        batch_max = self.max_day
+        for day, q, count in rows:
+            if batch_max is None or day > batch_max:
+                batch_max = day
+            if cutoff is not None and day < cutoff:
+                self.rejected += 1
+                continue
+            self.data[(str(day), q)] = count
+        self.max_day = batch_max
+
+
+def streaming_day_buckets_update_mode(
+    spark: SparkSession,
+    source_dir: str,
+    store: ClosingDayStore,
+    checkpoint_dir: str,
+    since_nanos: int | None = None,
+    watermark: str = "2 days",
+    **source_options,
+):
+    """Run the day-bucket aggregate in update mode, merging each
+    trigger's changed cells into ``store`` (a :class:`ClosingDayStore`
+    — the closed-day rule lives in the sink because Spark does not
+    guarantee the drop; see the module docstring). Returns the started
+    query (caller stops it)."""
+    stream = read_events_stream(
+        spark, source_dir, **source_options
+    ).withWatermark("ts", watermark)
+    counts = day_bucket_counts(stream, since_nanos=since_nanos)
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        store.apply_batch(
+            (r["day"], r["q"], r["c_cmp"])
+            for r in batch_df.collect()
+        )
+
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+        .start()
+    )

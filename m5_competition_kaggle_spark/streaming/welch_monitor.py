@@ -10,9 +10,12 @@ size as data arrives. Follows the s17/s18 monitor pattern:
   groups), independent of event volume. Complete mode retains every
   day's cells and applies late rows whenever they arrive (the
   watermark is inert under complete mode — Spark semantics); a
-  deployment that must evict closed days switches the sink to update
-  mode with a merging store, where the same watermark then drops
-  late rows and bounds state at |open days|;
+  deployment that must evict closed days switches to update mode
+  with a merging store (``streaming/update_mode.py``) — the watermark
+  then bounds state at |open days|, but the SINK must enforce the
+  lateness cutoff itself (measured: Spark re-aggregates a too-late
+  row into a re-created day and re-emits a partial total rather than
+  dropping it);
 - the t² assembly runs on the BOUNDED aggregate per trigger in
   ``foreachBatch`` through the SAME fixed-shape arithmetic expression
   (`operators/abtest.welch_from_stats`) the certified batch twin uses,

@@ -1,0 +1,115 @@
+"""Update-mode day-bucket monitor (streaming/update_mode.py): the
+eviction-capable deployment shape the complete-mode monitors' docs
+promise. Two directions pinned:
+
+1. an on-time multi-file stream merges, via upserts of changed cells
+   only, to EXACTLY the batch day-bucket table;
+2. a too-late straggler is REJECTED BY THE SINK's closed-day rule —
+   the merged store equals the batch table minus exactly that row.
+   Spark itself does NOT guarantee the drop (measured: the 26-day-late
+   row re-creates the evicted day's state and re-emits a PARTIAL
+   count), so trusting the upsert would overwrite the day's correct
+   total — the exact silent corruption this test exists to prevent.
+"""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.sources.catalog import load_table
+from m5_competition_kaggle_spark.streaming.ks_monitor import (
+    day_bucket_counts,
+)
+from m5_competition_kaggle_spark.streaming.update_mode import (
+    ClosingDayStore,
+    streaming_day_buckets_update_mode,
+)
+
+SF = "/root/testdata/sf0.001"
+NS_PER_DAY = 86_400_000_000_000
+
+
+def _stage(df, src, name):
+    tmp = os.path.join(src, f"__{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(
+                os.path.join(tmp, f),
+                os.path.join(src, f"part-{name}.parquet"),
+            )
+    shutil.rmtree(tmp)
+
+
+def _batch_table(spark, df=None):
+    ev = df if df is not None else load_table(spark, SF, "events")
+    return {
+        (str(r["day"]), r["q"]): r["c_cmp"]
+        for r in day_bucket_counts(ev).collect()
+    }
+
+
+def _run(spark, src, ckpt, **opts):
+    store = ClosingDayStore(allowed_lateness_days=2)
+    q = streaming_day_buckets_update_mode(
+        spark, src, store, ckpt, **opts
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return store
+
+
+def test_update_mode_merges_to_batch_table(spark):
+    ev = load_table(spark, SF, "events")
+    expected = _batch_table(spark)
+    assert expected
+    src = tempfile.mkdtemp(prefix="upd_src_")
+    ckpt = tempfile.mkdtemp(prefix="upd_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+    try:
+        # two files, one trigger each: day cells straddling the split
+        # must arrive as two UPDATES to the same key, last write wins
+        _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
+        _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
+        store = _run(spark, src, ckpt, maxFilesPerTrigger=1)
+        assert store.data == expected
+        assert store.rejected == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_update_mode_drops_stragglers_beyond_watermark(spark):
+    ev = load_table(spark, SF, "events")
+    src = tempfile.mkdtemp(prefix="updlate_src_")
+    ckpt = tempfile.mkdtemp(prefix="updlate_ckpt_")
+    lo, hi = ev.agg(
+        F.min("ts_nanos"), F.max("ts_nanos")
+    ).collect()[0]
+    try:
+        # one straggler from the FIRST day, withheld until after the
+        # stream has seen the corpus max: watermark = max_ts - 2 days
+        # >> straggler ts, so trigger 2 must drop it
+        straggler = ev.orderBy("ts_nanos", "event_id").limit(1)
+        s_key = straggler.select(
+            F.col("ts_nanos"),
+            F.expr("CAST(round(value) AS BIGINT)").alias("q"),
+        ).collect()[0]
+        assert s_key["ts_nanos"] < hi - 3 * NS_PER_DAY
+        rest = ev.join(
+            straggler.select("event_id"), "event_id", "left_anti"
+        )
+        _stage(rest, src, "a")
+        _stage(straggler, src, "b")
+        store = _run(spark, src, ckpt, maxFilesPerTrigger=1)
+        assert store.rejected == 1
+        assert store.data == _batch_table(spark, rest)
+        assert store.data != _batch_table(spark)  # the drop is observable
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
