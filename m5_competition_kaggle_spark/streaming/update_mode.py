@@ -83,6 +83,21 @@ class ClosingDayStore:
         self.max_day = batch_max
 
 
+def store_day_counts(spark: SparkSession, store: ClosingDayStore):
+    """Lift the merged store back into a (day, q, c_cmp) DataFrame so
+    the certified assembly kernels (`ks_monitor.ks_day_table`,
+    `quantile_monitor.quantile_day_table`) run on the update-mode
+    deployment's data unchanged — the store is tiny (|days| x
+    |buckets|), so a local createDataFrame is the right move."""
+    rows = [
+        (datetime.date.fromisoformat(d), q, c)
+        for (d, q), c in store.data.items()
+    ]
+    return spark.createDataFrame(
+        rows, "day date, q bigint, c_cmp bigint"
+    )
+
+
 def streaming_day_buckets_update_mode(
     spark: SparkSession,
     source_dir: str,

@@ -113,3 +113,42 @@ def test_update_mode_drops_stragglers_beyond_watermark(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_update_mode_store_feeds_certified_assembly(spark):
+    """The merged store drives the SAME assembly kernels the certified
+    complete-mode monitors use: quantile_day_table over the lifted
+    store equals the s20 batch twin row-for-row."""
+    from m5_competition_kaggle_spark.queries.extensions_r8f import (
+        s20_stream_quantiles,
+    )
+    from m5_competition_kaggle_spark.streaming.quantile_monitor import (
+        quantile_day_table,
+    )
+    from m5_competition_kaggle_spark.streaming.update_mode import (
+        store_day_counts,
+    )
+
+    ev = load_table(spark, SF, "events")
+    src = tempfile.mkdtemp(prefix="updasm_src_")
+    ckpt = tempfile.mkdtemp(prefix="updasm_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+    try:
+        _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
+        _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
+        store = _run(spark, src, ckpt, maxFilesPerTrigger=1)
+        got = sorted(
+            (str(r["day"]), r["n"], r["q500"], r["q950"], r["q990"])
+            for r in quantile_day_table(
+                store_day_counts(spark, store)
+            ).collect()
+        )
+        expected = sorted(
+            (str(r["day"]), r["n"], r["q500"], r["q950"], r["q990"])
+            for r in s20_stream_quantiles(spark, SF).collect()
+        )
+        assert expected and got == expected
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
