@@ -58,9 +58,10 @@ def _run(spark, src, ckpt, **opts):
     )
     try:
         q.processAllAvailable()
+        progress = list(q.recentProgress)
     finally:
         q.stop()
-    return store
+    return store, progress
 
 
 def test_update_mode_merges_to_batch_table(spark):
@@ -76,9 +77,15 @@ def test_update_mode_merges_to_batch_table(spark):
         # must arrive as two UPDATES to the same key, last write wins
         _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
         _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
-        store = _run(spark, src, ckpt, maxFilesPerTrigger=1)
+        store, progress = _run(spark, src, ckpt, maxFilesPerTrigger=1)
         assert store.data == expected
         assert store.rejected == 0
+        # the deployment's point: state EVICTS closed days. After the
+        # final trigger the store holds every (day, q) cell ever seen,
+        # but Spark's state holds only days the watermark leaves open
+        # — strictly fewer rows than the full table.
+        final_state = progress[-1]["stateOperators"][0]
+        assert 0 < final_state["numRowsTotal"] < len(expected)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -106,7 +113,7 @@ def test_update_mode_drops_stragglers_beyond_watermark(spark):
         )
         _stage(rest, src, "a")
         _stage(straggler, src, "b")
-        store = _run(spark, src, ckpt, maxFilesPerTrigger=1)
+        store, _ = _run(spark, src, ckpt, maxFilesPerTrigger=1)
         assert store.rejected == 1
         assert store.data == _batch_table(spark, rest)
         assert store.data != _batch_table(spark)  # the drop is observable
@@ -137,7 +144,7 @@ def test_update_mode_store_feeds_certified_assembly(spark):
     try:
         _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
         _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
-        store = _run(spark, src, ckpt, maxFilesPerTrigger=1)
+        store, _ = _run(spark, src, ckpt, maxFilesPerTrigger=1)
         got = sorted(
             (str(r["day"]), r["n"], r["q500"], r["q950"], r["q990"])
             for r in quantile_day_table(
