@@ -159,3 +159,39 @@ def test_update_mode_store_feeds_certified_assembly(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_update_mode_survives_restart_with_persistent_sink(spark):
+    """The realistic deployment lifecycle: the query stops mid-corpus
+    and restarts from the SAME checkpoint against the SAME (external,
+    persistent) sink. Committed batches are not replayed; the merged
+    store after the second run equals the batch table exactly."""
+    ev = load_table(spark, SF, "events")
+    expected = _batch_table(spark)
+    src = tempfile.mkdtemp(prefix="updrec_src_")
+    ckpt = tempfile.mkdtemp(prefix="updrec_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+    store = ClosingDayStore(allowed_lateness_days=2)
+
+    def run_round():
+        q = streaming_day_buckets_update_mode(
+            spark, src, store, ckpt
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
+        run_round()
+        first = dict(store.data)
+        assert first and first != expected  # half-corpus snapshot
+        _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
+        run_round()
+        assert store.data == expected
+        assert store.rejected == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
