@@ -48,7 +48,7 @@ from m5_competition_kaggle_spark.streaming.ks_monitor import (
 
 
 class ClosingDayStore:
-    """Keyed (day_iso, q) → count store with a closed-day rule: an
+    """Keyed (day_iso, key) → value store with a closed-day rule: an
     upsert for a day more than ``allowed_lateness_days`` behind the
     high-water day AS OF THE PREVIOUS BATCH is rejected (counted, not
     applied). The cutoff deliberately mirrors Spark's own watermark
@@ -65,21 +65,23 @@ class ClosingDayStore:
         self.rejected = 0
 
     def apply_batch(self, rows) -> None:
-        """Upsert one trigger's (day, q, count) rows against the
-        PREVIOUS batches' high-water cutoff, then advance it."""
+        """Upsert one trigger's (day, key, value) rows against the
+        PREVIOUS batches' high-water cutoff, then advance it. The
+        value is opaque — a count for the bucket monitors, the whole
+        six-int sufficient-stat tuple for the welch family."""
         cutoff = (
             None
             if self.max_day is None
             else self.max_day - self.lateness
         )
         batch_max = self.max_day
-        for day, q, count in rows:
+        for day, key, value in rows:
             if batch_max is None or day > batch_max:
                 batch_max = day
             if cutoff is not None and day < cutoff:
                 self.rejected += 1
                 continue
-            self.data[(str(day), q)] = count
+            self.data[(str(day), key)] = value
         self.max_day = batch_max
 
 
@@ -128,4 +130,63 @@ def streaming_day_buckets_update_mode(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(merge)
         .start()
+    )
+
+
+def streaming_day_arm_stats_update_mode(
+    spark: SparkSession,
+    source_dir: str,
+    store: ClosingDayStore,
+    checkpoint_dir: str,
+    group_col: str = "event_type",
+    watermark: str = "2 days",
+    **source_options,
+):
+    """The welch-monitor family through the same update-mode shape:
+    per-(day, group) arm sufficient statistics (six int64s — the s19
+    kernel, imported) emitted as deltas and merged under the store's
+    closed-day rule. The store's value is the whole six-tuple, so the
+    t² assembly (`operators/abtest.welch_from_stats`) runs on the
+    lifted store unchanged."""
+    from m5_competition_kaggle_spark.streaming.welch_monitor import (
+        day_arm_stats,
+    )
+
+    stream = read_events_stream(
+        spark, source_dir, **source_options
+    ).withWatermark("ts", watermark)
+    stats = day_arm_stats(stream, group_col=group_col)
+
+    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+        store.apply_batch(
+            (
+                r["day"],
+                r[group_col],
+                (
+                    r["n_a"], r["n_b"], r["sum_a"],
+                    r["sum_b"], r["ss_a"], r["ss_b"],
+                ),
+            )
+            for r in batch_df.collect()
+        )
+
+    return (
+        stats.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+        .start()
+    )
+
+
+def store_day_arm_stats(spark: SparkSession, store: ClosingDayStore):
+    """Lift a day-arm-stats store back into the frame
+    `welch_day_table` consumes."""
+    rows = [
+        (datetime.date.fromisoformat(d), g, *v)
+        for (d, g), v in store.data.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "day date, event_type string, n_a bigint, n_b bigint, "
+        "sum_a bigint, sum_b bigint, ss_a bigint, ss_b bigint",
     )

@@ -195,3 +195,56 @@ def test_update_mode_survives_restart_with_persistent_sink(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_update_mode_welch_family_matches_batch_twin(spark):
+    """The welch family through the same deployment shape: day-arm
+    sufficient stats merged as six-tuple values, lifted back through
+    the shared welch_from_stats kernel, equal to the s19 batch twin."""
+    from m5_competition_kaggle_spark.queries.extensions_r8d import (
+        s19_stream_welch,
+    )
+    from m5_competition_kaggle_spark.streaming.update_mode import (
+        store_day_arm_stats,
+        streaming_day_arm_stats_update_mode,
+    )
+    from m5_competition_kaggle_spark.streaming.welch_monitor import (
+        welch_day_table,
+    )
+
+    def key(r):
+        return (
+            str(r["day"]), r["event_type"], r["n_a"], r["n_b"],
+            r["sum_a"], r["sum_b"], r["ss_a"], r["ss_b"],
+            None if r["welch_t2"] is None else round(r["welch_t2"], 9),
+        )
+
+    expected = sorted(key(r) for r in s19_stream_welch(spark, SF).collect())
+    assert expected
+
+    ev = load_table(spark, SF, "events")
+    src = tempfile.mkdtemp(prefix="updwelch_src_")
+    ckpt = tempfile.mkdtemp(prefix="updwelch_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+    store = ClosingDayStore(allowed_lateness_days=2)
+    try:
+        _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
+        _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
+        q = streaming_day_arm_stats_update_mode(
+            spark, src, store, ckpt, maxFilesPerTrigger=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            key(r)
+            for r in welch_day_table(
+                store_day_arm_stats(spark, store)
+            ).collect()
+        )
+        assert got == expected and store.rejected == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
