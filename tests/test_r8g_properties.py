@@ -177,3 +177,60 @@ def test_benford_expectation_table_is_the_log_law():
     )
     # the law is a (floor-rounded) probability distribution
     assert 995 <= sum(BENFORD_PERMILLE) <= 1000
+
+
+# ------------------------------------------------------- cusum identity
+
+
+def _cusum_direct(vals, mu):
+    """The textbook recurrence C_t = max(0, C_{t-1} + (v - mu))."""
+    c, out = 0, []
+    for v in vals:
+        c = max(0, c + (v - mu))
+        out.append(c)
+    return out
+
+
+def _cusum_prefix_min(vals, mu, p0=0, m0=0):
+    """The streaming kernel's identity (streaming/cusum_state.py):
+    C = P - min(0, m) with P the running prefix sum and m its running
+    minimum — the form that carries TWO int64s of state per key."""
+    out, p, m = [], p0, m0
+    for v in vals:
+        p += v - mu
+        m = min(m, p)
+        out.append(p - min(0, m))
+    return out
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=1, max_size=80),
+    st.integers(-100, 100),
+)
+def test_cusum_prefix_min_identity(vals, mu):
+    assert _cusum_prefix_min(vals, mu) == _cusum_direct(vals, mu)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(-1000, 1000), min_size=2, max_size=60),
+    st.integers(-100, 100),
+    st.integers(1, 50),
+)
+def test_cusum_chunk_invariance(vals, mu, cut):
+    """Carrying (p, m) across an arbitrary chunk boundary reproduces
+    the unchunked trajectory — the property that makes the batch
+    kernel and the GroupState streaming kernel the same computation."""
+    cut = cut % len(vals)
+    whole = _cusum_prefix_min(vals, mu)
+    p = sum(v - mu for v in vals[:cut])
+    m = 0
+    run = 0
+    for v in vals[:cut]:
+        run += v - mu
+        m = min(m, run)
+    chunked = _cusum_prefix_min(vals[:cut], mu) + _cusum_prefix_min(
+        vals[cut:], mu, p0=p, m0=m
+    )
+    assert chunked == whole
