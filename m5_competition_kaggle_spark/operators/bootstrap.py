@@ -54,11 +54,13 @@ def poisson_bootstrap_ci(
     """Per-group bootstrap interval of the mean of BIGINT
     ``value_col`` from ``b`` hash-Poisson replicas.
 
-    Output per group: n, point_q (floor mean), n_reps (replicas with
+    Output per group: n, point_q (truncating-quotient mean — Spark
+    ``DIV`` / DuckDB ``//`` truncate toward ZERO, which differs from
+    floor when a group's sum is negative), n_reps (replicas with
     nonzero total weight), ci_lo_q / ci_hi_q (the lo_rank-th /
-    hi_rank-th smallest replica floor-mean; ties broken by replica
-    id). With the defaults (2, 15 of 16) that is the ~80% percentile
-    interval.
+    hi_rank-th smallest replica truncating-quotient mean; ties broken
+    by replica id). With the defaults (2, 15 of 16) that is the ~80%
+    percentile interval.
 
     ``hash_fn``: "h64" (default) draws the replica uniforms from the
     md5-based cross-engine hash — SQL-replicable, what the certified

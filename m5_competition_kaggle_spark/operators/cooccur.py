@@ -121,11 +121,15 @@ def char_pair_counts(
         ).alias("pair")
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(top_n))
+    # orderBy().limit(N) plans as TakeOrderedAndProject (distributed
+    # partial top-N); the rank window then runs over the N survivors
+    # only — never a single-partition sort of the full distinct-pair
+    # table (same fix shape as ngram_lm, r7).
+    top = counted.orderBy(F.col("cnt").desc(), F.col("pair")).limit(
+        int(top_n)
     )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def bigram_next_word(
@@ -167,10 +171,13 @@ def bigram_next_word(
         .filter(F.col("__r") == 1)
         .select("w1", F.col("w2").alias("next_w"), "next_cnt")
     )
-    w_head = Window.orderBy(F.col("w1_cnt").desc(), F.col("w1"))
+    # TakeOrderedAndProject instead of a row_number window: head_cnt is
+    # vocabulary-sized, and a global Window.orderBy would sort it on ONE
+    # partition. orderBy().limit(N) does a distributed partial top-N;
+    # identical rows under the (w1_cnt DESC, w1) total order.
     heads = (
-        head_cnt.withColumn("__hr", F.row_number().over(w_head))
-        .filter(F.col("__hr") <= int(top_heads))
+        head_cnt.orderBy(F.col("w1_cnt").desc(), F.col("w1"))
+        .limit(int(top_heads))
         .select("w1", "w1_cnt")
     )
     return heads.join(best, "w1").select(

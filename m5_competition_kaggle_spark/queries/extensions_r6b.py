@@ -107,21 +107,21 @@ def x75_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 co-occurring part pairs across order baskets with exact
     integer lift (``operators/cooccur.py``). The pair join is keyed on
     the order key (fan-out bounded by basket size), counts are keyed
-    aggregates, the basket total is a broadcast 1-row scalar; only the
-    final top-100 ranking runs on the (already small) qualifying-pair
-    table — the same bounded-global-sort shape as x63."""
+    aggregates, the basket total is a broadcast 1-row scalar; the final
+    top-100 is a distributed TakeOrderedAndProject, with the rank
+    window over the 100 survivors only."""
     li = load_table(spark, sf_dir, "lineitem")
     lifted = basket_pair_lift(
         li, "l_orderkey", "l_partkey", min_pair_count=2
     )
-    w = Window.orderBy(
-        F.col("pair_cnt").desc(), F.col("item_a"), F.col("item_b")
-    )
-    return (
-        lifted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-        .orderBy("rank")
-    )
+    # Distributed partial top-100 (TakeOrderedAndProject) first; the
+    # rank window then runs over the 100 survivors only — the
+    # qualifying-pair table is corpus-sized at scale and must never be
+    # single-partition sorted (r7 ngram_lm fix shape).
+    order = [F.col("pair_cnt").desc(), F.col("item_a"), F.col("item_b")]
+    top = lifted.orderBy(*order).limit(100)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
 
 
 def x76_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

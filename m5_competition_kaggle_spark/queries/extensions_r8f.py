@@ -167,7 +167,8 @@ def _ndcg_oracle(k: int) -> str:
         for i in range(k)
     )
     dcg = " + ".join(
-        f"g{i + 1} * CAST({d[i]!r} AS DOUBLE)" for i in range(k)
+        f"coalesce(p.g{i + 1}, 0) * CAST({d[i]!r} AS DOUBLE)"
+        for i in range(k)
     )
     cases = " ".join(
         f"WHEN n_rel = {m} THEN CAST({ladder[m - 1]!r} AS DOUBLE)"
@@ -202,10 +203,21 @@ nrel AS (
     SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
     FROM exact GROUP BY query_id
 ),
+-- query universe = ivf ∪ exact, mirroring the Spark side's full-outer
+-- join: a query whose index returned zero rows still emits a row
+-- (n_hit = 0, dcg = 0) instead of silently vanishing.
+qids AS (
+    SELECT query_id FROM ivf
+    UNION
+    SELECT query_id FROM exact
+),
 scored AS (
-    SELECT p.query_id, coalesce(r.n_rel, 0) AS n_rel, p.n_hit,
+    SELECT q.query_id, coalesce(r.n_rel, 0) AS n_rel,
+           coalesce(p.n_hit, 0) AS n_hit,
            {dcg} AS dcg
-    FROM perq p LEFT JOIN nrel r ON p.query_id = r.query_id
+    FROM qids q
+    LEFT JOIN perq p ON q.query_id = p.query_id
+    LEFT JOIN nrel r ON q.query_id = r.query_id
 )
 SELECT query_id, n_rel, n_hit, dcg,
        {idcg} AS idcg,

@@ -82,11 +82,27 @@ def psi_day_table(
     days = day_counts.select("day").distinct()
     # reference categories must appear for EVERY monitored day, even
     # at zero observed count — a vanished category IS the drift signal
-    grid = days.crossJoin(ref)
-    joined = (
-        grid.join(day_counts, ["day", "cat"], "full_outer")
-        .withColumn("c_ref", F.coalesce("c_ref", F.lit(0)))
-        .withColumn("c_cmp", F.coalesce("c_cmp", F.lit(0)))
+    # cat joins null-safely (mirroring psi_from_counts): a NULL
+    # category in the comparison stream must MATCH a NULL reference
+    # category, not split into two half-rows that double-count its
+    # mass in n_cmp. day is a window start, never NULL.
+    grid = days.crossJoin(ref).select(
+        F.col("day").alias("__gday"),
+        F.col("cat").alias("__gcat"),
+        "c_ref",
+    )
+    joined = grid.join(
+        day_counts,
+        (F.col("__gday") == F.col("day"))
+        & F.col("__gcat").eqNullSafe(F.col("cat")),
+        "full_outer",
+    ).select(
+        F.coalesce("__gday", "day").alias("day"),
+        F.when(F.col("__gday").isNotNull(), F.col("__gcat"))
+        .otherwise(F.col("cat"))
+        .alias("cat"),
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cmp", F.lit(0)).alias("c_cmp"),
     )
     n_ref = ref_counts.agg(
         F.sum("c_ref").cast("long").alias("n_ref")

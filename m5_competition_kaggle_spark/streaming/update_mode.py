@@ -63,12 +63,29 @@ class ClosingDayStore:
         self.data: dict = {}
         self.max_day: datetime.date | None = None
         self.rejected = 0
+        self.last_batch_id: int | None = None
 
-    def apply_batch(self, rows) -> None:
+    def apply_batch(self, rows, batch_id: int | None = None) -> None:
         """Upsert one trigger's (day, key, value) rows against the
         PREVIOUS batches' high-water cutoff, then advance it. The
         value is opaque — a count for the bucket monitors, the whole
-        six-int sufficient-stat tuple for the welch family."""
+        six-int sufficient-stat tuple for the welch family.
+
+        ``batch_id`` (the foreachBatch epoch) makes the REJECTION
+        counter exact under replay: foreachBatch is at-least-once, and
+        while the data upserts are naturally idempotent, a re-run
+        batch would double-count its rejections — the observability
+        signal the tests assert on. An already-applied batch_id is
+        skipped wholesale, the same dedup a Delta MERGE sink gets from
+        its (queryId, epochId) txn version. ``None`` (direct calls)
+        always applies."""
+        if batch_id is not None:
+            if (
+                self.last_batch_id is not None
+                and batch_id <= self.last_batch_id
+            ):
+                return
+            self.last_batch_id = batch_id
         cutoff = (
             None
             if self.max_day is None
@@ -119,10 +136,13 @@ def streaming_day_buckets_update_mode(
     ).withWatermark("ts", watermark)
     counts = day_bucket_counts(stream, since_nanos=since_nanos)
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
         store.apply_batch(
-            (r["day"], r["q"], r["c_cmp"])
-            for r in batch_df.collect()
+            (
+                (r["day"], r["q"], r["c_cmp"])
+                for r in batch_df.collect()
+            ),
+            batch_id=batch_id,
         )
 
     return (
@@ -157,17 +177,20 @@ def streaming_day_arm_stats_update_mode(
     ).withWatermark("ts", watermark)
     stats = day_arm_stats(stream, group_col=group_col)
 
-    def merge(batch_df: DataFrame, _batch_id: int) -> None:
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
         store.apply_batch(
             (
-                r["day"],
-                r[group_col],
                 (
-                    r["n_a"], r["n_b"], r["sum_a"],
-                    r["sum_b"], r["ss_a"], r["ss_b"],
-                ),
-            )
-            for r in batch_df.collect()
+                    r["day"],
+                    r[group_col],
+                    (
+                        r["n_a"], r["n_b"], r["sum_a"],
+                        r["sum_b"], r["ss_a"], r["ss_b"],
+                    ),
+                )
+                for r in batch_df.collect()
+            ),
+            batch_id=batch_id,
         )
 
     return (
