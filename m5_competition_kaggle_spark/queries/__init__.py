@@ -95,34 +95,17 @@ _MODULES = (
 # survive one future staleness event without losing all certification.
 # 26 picks + 24 promotions = 50 exactly. The r6c singles (x84–x89) and
 # remaining r6b singles stay single-green until r8.
-_HEAD = (
-    "x47_sim_topk_lsh_auto",
-    "x48_bloom_fast",
-    "x49_fit_step",
-    "x50_cms_freq",
-    "x51_semantic_dedup",
-    "s9_stream_cms",
-    "x52_hist_quantiles",
-    "x53_seeded_shuffle",
-    "x54_exact_k_sample",
-    "x55_audio_segments",
-    "x56_snapshot_diff",
-    "x57_semantic_dedup_lsh",
-    "x58_triangle_counts",
-    "x59_fuzzy_join",
-    "x60_incremental_dedup",
-    "x61_chunk_dedup",
-    "x62_oov_rate",
-    "s10_windowed_cms",
-    "x63_bm25_topk",
-    "x64_setsim_join",
-    "x65_kcore",
-    "x66_source_jaccard",
-    "g19_grouping_sets",
-    "x67_interval_join",
-    "s11_stream_neardup",
-    "x68_salted_agg",
-)
+#
+# Round-8 head composition (VERDICT r7 item 1): the structural debt is
+# 36 never-driver-certified r7 registrations (x107–x138, s17–s20) plus
+# the 12 r6b rows deliberately staled by this round's window-start perf
+# fixes (cooccur/x75 TakeOrdered — the fix the r7 session deferred to
+# r8 exactly so the stales re-bank in-window). 48 promotions leave two
+# slots, taken by this round's two new registrations (extensions_r9) —
+# so _HEAD is EMPTY: every deliberate pick from r7 did its double-bank
+# job and is evicted, and the whole window fills from _promotions.py.
+# 48 promotions + 2 new = 50 exactly; nothing may stale mid-round.
+_HEAD = ()
 
 HEAD_CAP = 50
 
