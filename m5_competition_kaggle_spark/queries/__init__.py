@@ -29,6 +29,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r8d,
     extensions_r8e,
     extensions_r8f,
+    extensions_r9,
     llm_curation,
     streaming_shaped,
 )
@@ -44,7 +45,7 @@ _MODULES = (
     extensions_r5, extensions_r6, extensions_r6b, extensions_r6c,
     extensions_r7, extensions_r7b, extensions_r7c, extensions_r8,
     extensions_r8b, extensions_r8c, extensions_r8d,
-    extensions_r8e, extensions_r8f,
+    extensions_r8e, extensions_r8f, extensions_r9,
 )
 
 # Registration order is a driver contract: the driver records correctness

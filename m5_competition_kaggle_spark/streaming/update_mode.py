@@ -153,6 +153,66 @@ def streaming_day_buckets_update_mode(
     )
 
 
+def streaming_day_categories_update_mode(
+    spark: SparkSession,
+    source_dir: str,
+    store: ClosingDayStore,
+    checkpoint_dir: str,
+    cat_col: str = "event_type",
+    since_nanos: int | None = None,
+    watermark: str = "2 days",
+    **source_options,
+):
+    """The PSI family through the same update-mode shape: the s17
+    kernel's ``day_category_counts`` plan (imported from the PSI
+    monitor, not copied) emits changed (day, cat) cells as deltas,
+    merged under the store's closed-day rule. The store value is the
+    category count, so ``psi_day_table`` runs on the lifted store
+    unchanged — complete-mode re-emission of the whole multi-year
+    trajectory every trigger is gone, state stays |open days| x
+    |categories|. Returns the started query (caller stops it)."""
+    from m5_competition_kaggle_spark.streaming.psi_monitor import (
+        day_category_counts,
+    )
+
+    stream = read_events_stream(
+        spark, source_dir, **source_options
+    ).withWatermark("ts", watermark)
+    counts = day_category_counts(
+        stream, cat_col=cat_col, since_nanos=since_nanos
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        store.apply_batch(
+            (
+                (r["day"], r["cat"], r["c_cmp"])
+                for r in batch_df.collect()
+            ),
+            batch_id=batch_id,
+        )
+
+    return (
+        counts.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+        .start()
+    )
+
+
+def store_day_category_counts(
+    spark: SparkSession, store: ClosingDayStore
+):
+    """Lift a day-category store back into the (day, cat, c_cmp)
+    frame ``psi_monitor.psi_day_table`` consumes."""
+    rows = [
+        (datetime.date.fromisoformat(d), c, n)
+        for (d, c), n in store.data.items()
+    ]
+    return spark.createDataFrame(
+        rows, "day date, cat string, c_cmp bigint"
+    )
+
+
 def streaming_day_arm_stats_update_mode(
     spark: SparkSession,
     source_dir: str,

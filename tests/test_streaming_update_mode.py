@@ -248,3 +248,94 @@ def test_update_mode_welch_family_matches_batch_twin(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_update_mode_psi_family_matches_batch_twin(spark):
+    """The PSI family through the same deployment shape, including a
+    restart from the same checkpoint against the persistent store:
+    day-category counts merged as deltas, lifted back through the
+    shared psi_day_table kernel, equal to the s17 batch twin."""
+    from m5_competition_kaggle_spark.queries.extensions_r8b import (
+        PSI_SPLIT_NS,
+        s17_stream_psi,
+    )
+    from m5_competition_kaggle_spark.streaming.psi_monitor import (
+        psi_day_table,
+    )
+    from m5_competition_kaggle_spark.streaming.update_mode import (
+        store_day_category_counts,
+        streaming_day_categories_update_mode,
+    )
+
+    def key(r):
+        return (
+            str(r["day"]), r["event_type"], r["c_ref"], r["c_cmp"],
+            r["n_ref"], r["n_cmp"],
+            None if r["psi_term"] is None else round(r["psi_term"], 9),
+        )
+
+    expected = sorted(key(r) for r in s17_stream_psi(spark, SF).collect())
+    assert expected
+
+    ev = load_table(spark, SF, "events")
+    ref_counts = (
+        ev.filter(F.col("ts_nanos") < F.lit(PSI_SPLIT_NS))
+        .groupBy(F.col("event_type").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    src = tempfile.mkdtemp(prefix="updpsi_src_")
+    ckpt = tempfile.mkdtemp(prefix="updpsi_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+    store = ClosingDayStore(allowed_lateness_days=2)
+
+    def run_round():
+        q = streaming_day_categories_update_mode(
+            spark, src, store, ckpt, since_nanos=PSI_SPLIT_NS
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        # stop/restart mid-corpus: committed batches must not replay
+        # into the persistent store (ClosingDayStore batch_id dedup)
+        _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
+        run_round()
+        assert store.data  # half-corpus snapshot landed
+        _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
+        run_round()
+        got = sorted(
+            key(r)
+            for r in psi_day_table(
+                store_day_category_counts(spark, store), ref_counts
+            )
+            .withColumnRenamed("cat", "event_type")
+            .collect()
+        )
+        assert got == expected
+        assert store.rejected == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_closing_day_store_replayed_batch_is_idempotent():
+    """foreachBatch is at-least-once: a replayed (same batch_id) batch
+    must not double-count rejections or re-apply upserts."""
+    import datetime as dt
+
+    store = ClosingDayStore(allowed_lateness_days=1)
+    d = dt.date(2024, 1, 10)
+    store.apply_batch([(d, "a", 1), (d + dt.timedelta(5), "a", 2)],
+                      batch_id=0)
+    late = [(d - dt.timedelta(3), "a", 9), (d, "a", 7)]
+    store.apply_batch(late, batch_id=1)
+    assert store.rejected == 1
+    snap = dict(store.data)
+    store.apply_batch(late, batch_id=1)  # replay: skipped wholesale
+    assert store.rejected == 1 and store.data == snap
+    # direct calls (batch_id=None) keep the original semantics
+    store.apply_batch(late)
+    assert store.rejected == 2
