@@ -330,7 +330,10 @@ def test_closing_day_store_replayed_batch_is_idempotent():
     d = dt.date(2024, 1, 10)
     store.apply_batch([(d, "a", 1), (d + dt.timedelta(5), "a", 2)],
                       batch_id=0)
-    late = [(d - dt.timedelta(3), "a", 9), (d, "a", 7)]
+    late = [
+        (d - dt.timedelta(3), "a", 9),       # behind cutoff: rejected
+        (d + dt.timedelta(5), "a", 7),       # on-time: applied
+    ]
     store.apply_batch(late, batch_id=1)
     assert store.rejected == 1
     snap = dict(store.data)
