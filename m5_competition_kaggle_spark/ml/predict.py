@@ -25,7 +25,7 @@ PREDICT_SCHEMA = (
 def predict_per_group(
     test_features: DataFrame,
     models: DataFrame,
-    group_cols: tuple[str, str] = ("store_id", "pred_week"),
+    group_cols: tuple[str, ...] = ("store_id", "pred_week"),
 ) -> DataFrame:
     """Apply each group's model to its test rows.
 

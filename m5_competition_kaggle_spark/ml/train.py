@@ -26,6 +26,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# schema of the default (store_id, pred_week) grouping; train_per_group
+# derives the actual schema from its group_cols
 TRAIN_SCHEMA = "store_id string, pred_week int, model binary, n_train long"
 
 
@@ -82,21 +84,26 @@ def _fit_group(pdf: pd.DataFrame, params: dict[str, Any]) -> bytes:
 def train_per_group(
     features: DataFrame,
     params: dict[str, Any] | None = None,
-    group_cols: tuple[str, str] = ("store_id", "pred_week"),
+    group_cols: tuple[str, ...] = ("store_id", "pred_week"),
 ) -> DataFrame:
-    """One model per (store, week) group — the reference's 10×4 task grid
-    as a single grouped-map stage."""
+    """One model per group — the reference's 10×4 (store, week) task
+    grid as a single grouped-map stage. ``group_cols`` is the
+    memory/parallelism lever: (store_id, dept_id, pred_week) sub-splits
+    the ~5.9 M-row store groups into ~7× smaller dept groups (280
+    trainings instead of 40) when executor memory is tight — the
+    output schema follows the grouping, and predict_per_group joins on
+    the same columns."""
     params = params or {}
+    by_name = {f.name: f for f in features.schema.fields}
+    schema = ", ".join(
+        f"{c} {by_name[c].dataType.simpleString()}" for c in group_cols
+    ) + ", model binary, n_train long"
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         blob = _fit_group(pdf, params)
-        return pd.DataFrame(
-            {
-                "store_id": [pdf["store_id"].iloc[0]],
-                "pred_week": [int(pdf["pred_week"].iloc[0])],
-                "model": [blob],
-                "n_train": [len(pdf)],
-            }
-        )
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out["model"] = [blob]
+        out["n_train"] = [len(pdf)]
+        return pd.DataFrame(out)
 
-    return features.groupBy(*group_cols).applyInPandas(fit, TRAIN_SCHEMA)
+    return features.groupBy(*group_cols).applyInPandas(fit, schema)

@@ -22,7 +22,12 @@ intermediate-sink pattern (the reference exchanges pickles between
 Luigi tasks; run_pipeline's single lazy plan would recompute the
 window features for the test branch otherwise).
 
-Usage: python scripts/m5_full_scale.py [workdir]   (default /tmp/m5_full)
+Usage: python scripts/m5_full_scale.py [workdir] [grouping]
+  workdir   default /tmp/m5_full
+  grouping  "store_week" (default, the reference's 40-group grid) or
+            "store_dept_week" (the documented memory/parallelism
+            sub-split: 10 stores x 7 depts x 4 weeks = 280 smaller
+            grouped-map trainings)
 Prints one timing line per stage and a final JSON summary.
 """
 
@@ -166,8 +171,16 @@ def build_fixtures(spark, work):
     )
 
 
+GROUPINGS = {
+    "store_week": ("store_id", "pred_week"),
+    "store_dept_week": ("store_id", "dept_id", "pred_week"),
+}
+
+
 def main():
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/m5_full"
+    grouping = sys.argv[2] if len(sys.argv) > 2 else "store_week"
+    group_cols = GROUPINGS[grouping]
     spark = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
@@ -219,7 +232,7 @@ def main():
     )
     from m5_competition_kaggle_spark.ml.train import train_per_group
 
-    model_df = train_per_group(train).cache()
+    model_df = train_per_group(train, group_cols=group_cols).cache()
     model_rows = model_df.collect()
     t["prepare_train_split_train40"] = round(time.monotonic() - t0, 1)
 
@@ -231,7 +244,7 @@ def main():
         feats, CONFIG["pred_weeks"], CONFIG["test_start"],
         CONFIG["test_end"],
     )
-    preds = predict_per_group(test, model_df)
+    preds = predict_per_group(test, model_df, group_cols=group_cols)
     out = assemble_submission(preds, submission, CONFIG["horizon"])
     out.write.mode("overwrite").parquet(f"{work}/submission.parquet")
     t["predict_assemble_write"] = round(time.monotonic() - t0, 1)
@@ -249,7 +262,9 @@ def main():
     eval_test = prepare_test(
         feats, CONFIG["pred_weeks"], "2016-04-18", "2016-04-24"
     )
-    eval_preds = predict_per_group(eval_test, model_df)
+    eval_preds = predict_per_group(
+        eval_test, model_df, group_cols=group_cols
+    )
     scores = evaluate_forecast(
         feats.select("id", "date", "units_sold"),
         eval_preds,
@@ -268,6 +283,7 @@ def main():
 
     n_sub = spark.read.parquet(f"{work}/submission.parquet").count()
     summary = {
+        "grouping": grouping,
         "eval_series": eval_agg["series"],
         "eval_scored": eval_agg["scored"],
         "eval_mean_rmsse_ppm": eval_agg["mean_rmsse_ppm"],

@@ -59,7 +59,10 @@ def test_hash_flips_only_for_consumers():
 def test_promotions_fill_after_deliberate_head(monkeypatch):
     import m5_competition_kaggle_spark.queries as q
 
-    monkeypatch.setattr(q, "STALE_PROMOTIONS", ("zz_fake", q._HEAD[0]))
+    # synthesize a deliberate pick: _HEAD is legitimately EMPTY in
+    # rounds where the promotion queue fills the whole window (r8)
+    monkeypatch.setattr(q, "_HEAD", ("zz_pick",))
+    monkeypatch.setattr(q, "STALE_PROMOTIONS", ("zz_fake", "zz_pick"))
     eff = q._effective_head()
     assert len(eff) <= q.HEAD_CAP
     # deliberate picks keep their slots (a promotion never displaces

@@ -122,3 +122,49 @@ def test_predict_skips_groups_without_model(spark):
     assert out["i1"]["pred_units_sold"] == 3.0  # modeled group predicts
     assert out["i2"]["pred_units_sold"] is None  # unmodeled group → NULL
     assert len(out) == 2  # no rows dropped
+
+
+def test_train_predict_sub_split_grouping(spark):
+    """group_cols is the memory lever: a (store, dept, week) sub-split
+    trains one model per dept group, the model table carries the
+    grouping columns, and prediction joins on the same columns —
+    end-to-end with the lag-7 stub."""
+    from m5_competition_kaggle_spark.ml.predict import predict_per_group
+    from m5_competition_kaggle_spark.ml.train import train_per_group
+
+    rows = [
+        ("CA_1", dept, 1, float(i), 1.0 + i, 0)
+        for dept in ("FOODS", "HOBBIES")
+        for i in range(6)
+    ]
+    feats = spark.createDataFrame(
+        rows,
+        "store_id string, dept_id string, pred_week int, "
+        "label double, units_sold_lag_7 double, is_valid int",
+    )
+    gc = ("store_id", "dept_id", "pred_week")
+    models = train_per_group(feats, group_cols=gc)
+    got = models.collect()
+    assert {tuple(r[c] for c in gc) for r in got} == {
+        ("CA_1", "FOODS", 1), ("CA_1", "HOBBIES", 1)
+    }
+    assert all(r["n_train"] == 6 for r in got)
+
+    test = spark.createDataFrame(
+        [
+            ("a", "CA_1", "FOODS", 1, "2016-04-01", "2016-04-08", 7.0),
+            ("b", "CA_1", "PETS", 1, "2016-04-01", "2016-04-08", 9.0),
+        ],
+        "id string, store_id string, dept_id string, pred_week int, "
+        "date string, pred_date string, units_sold_lag_7 double",
+    ).selectExpr(
+        "id", "store_id", "dept_id", "pred_week",
+        "cast(date as date) date",
+        "cast(pred_date as date) pred_date", "units_sold_lag_7",
+    )
+    out = {
+        r["id"]: r
+        for r in predict_per_group(test, models, group_cols=gc).collect()
+    }
+    assert out["a"]["pred_units_sold"] == 7.0
+    assert out["b"]["pred_units_sold"] is None  # unmodeled dept
