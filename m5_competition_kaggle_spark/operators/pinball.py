@@ -59,6 +59,13 @@ def scaled_pinball_loss(
     for u in levels_permille:
         if not 1 <= int(u) <= 999:
             raise ValueError("levels are permille in [1, 999]")
+    # The series aggregate feeds FOUR branches (the split scalar, the
+    # rank window, the scale stats and the eval join) and Catalyst
+    # plants no ReusedExchange across them — without truncation the
+    # corpus-sized source would be re-scanned per branch. The series
+    # itself is calendar × key bounded, so one lazy localCheckpoint
+    # (the x58/x130 lesson) caps the cost at a single scan.
+    series = series.localCheckpoint(eager=False)
     split = series.agg(
         (F.max(order_col) - F.lit(int(horizon))).alias("__cut")
     )
