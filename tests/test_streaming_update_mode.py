@@ -342,3 +342,62 @@ def test_closing_day_store_replayed_batch_is_idempotent():
     # direct calls (batch_id=None) keep the original semantics
     store.apply_batch(late)
     assert store.rejected == 2
+
+
+def test_update_mode_ks_family_matches_batch_twin(spark):
+    """The KS family through the deployment shape: the day-bucket
+    store (since the KS comparison window's split) lifted through the
+    shared ks_day_table kernel equals the s18 batch twin."""
+    from m5_competition_kaggle_spark.queries.extensions_r8c import (
+        KS_SPLIT_NS,
+        s18_stream_ks,
+    )
+    from m5_competition_kaggle_spark.streaming.ks_monitor import (
+        ks_day_table,
+    )
+    from m5_competition_kaggle_spark.streaming.update_mode import (
+        store_day_counts,
+    )
+
+    def key(r):
+        return (
+            str(r["day"]), r["n_ref"], r["n_cmp"], r["q_at"],
+            r["d_num"], r["d_den"], r["ks_permille"],
+        )
+
+    expected = sorted(key(r) for r in s18_stream_ks(spark, SF).collect())
+    assert expected
+
+    ev = load_table(spark, SF, "events")
+    ref_counts = (
+        ev.filter(F.col("ts_nanos") < F.lit(KS_SPLIT_NS))
+        .groupBy(F.expr("CAST(round(value) AS BIGINT)").alias("q"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    src = tempfile.mkdtemp(prefix="updks_src_")
+    ckpt = tempfile.mkdtemp(prefix="updks_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+    store = ClosingDayStore(allowed_lateness_days=2)
+    try:
+        _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
+        _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
+        q = streaming_day_buckets_update_mode(
+            spark, src, store, ckpt, since_nanos=KS_SPLIT_NS,
+            maxFilesPerTrigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            key(r)
+            for r in ks_day_table(
+                store_day_counts(spark, store), ref_counts
+            ).collect()
+        )
+        assert got == expected
+        assert store.rejected == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
