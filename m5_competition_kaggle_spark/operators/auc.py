@@ -1,0 +1,74 @@
+"""Rank-based ROC-AUC (Mann-Whitney) over bounded score cells — the
+binary-classifier quality metric the calibration (x112) and gains/lift
+(x133) monitors still lacked.
+
+AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻). The textbook
+computation sorts ALL rows in one global rank window — a single-
+partition scale-killer. This operator instead aggregates to SCORE
+CELLS first: group by (group, score) → (n_pos, n_neg) per cell, then
+one keyed window over the cells ordered by score accumulates the
+negatives strictly below each score. The window's partition count is
+the group count and its row count is bounded by the number of
+DISTINCT scores (quantized scores ⇒ a few thousand cells), never the
+corpus row count:
+
+    2·U = Σ_s [ 2·n_pos(s)·cumneg_below(s) + n_pos(s)·n_neg(s) ]
+    auc_ppm = 1_000_000 · 2U DIV (2 · n_pos · n_neg)
+
+All integer, truncating quotient — hash-certifies against the same
+arithmetic in DuckDB. Ties are handled exactly (the ½ mass is the
+n_pos·n_neg term, kept doubled to stay integral). Overflow contract:
+n_pos·n_neg per group must stay below ~4.6·10¹⁸ (int64 after the ×2),
+i.e. ~2·10⁹ rows per class per group; shard the group key beyond that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def group_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group ROC-AUC of integer ``score_col`` against 0/1
+    ``label_col``.
+
+    Output per group: n_pos, n_neg, n_scores (distinct score cells),
+    auc_ppm (NULL when either class is empty — AUC undefined)."""
+    cells = df.groupBy(group_col, score_col).agg(
+        F.sum(F.col(label_col).cast("long")).alias("__np"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("__nn"),
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = cells.withColumn(
+        "__cumneg", F.coalesce(F.sum("__nn").over(w), F.lit(0))
+    ).withColumn(
+        "__u2",
+        2 * F.col("__np") * F.col("__cumneg")
+        + F.col("__np") * F.col("__nn"),
+    )
+    agg = scored.groupBy(group_col).agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum("__nn").cast("long").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum("__u2").cast("long").alias("__u2_sum"),
+    )
+    return agg.select(
+        group_col,
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("1000000 * __u2_sum DIV (2 * n_pos * n_neg)"),
+        ).alias("auc_ppm"),
+    )
