@@ -281,12 +281,39 @@ def main():
     ).collect()[0]
     t["evaluate_rmsse"] = round(time.monotonic() - t0, 1)
 
+    # stage 5: the UNCERTAINTY track — score the competition's
+    # empirical-train-quantile benchmark with the scaled pinball loss
+    # at the nine official levels over the same 28-day horizon
+    # (plans/m5_uncertainty.py); 30,490 series × 9 quantiles.
+    t0 = time.monotonic()
+    from m5_competition_kaggle_spark.plans.m5_uncertainty import (
+        evaluate_quantile_benchmark,
+    )
+
+    spl = evaluate_quantile_benchmark(
+        spark,
+        feats.select("id", "date", "units_sold"),
+        "2016-04-24",
+        horizon=28,
+    )
+    spl_agg = spl.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum(
+            F.when(F.col("spl_ppm").isNotNull(), 1).otherwise(0)
+        ).alias("scored"),
+        F.expr("CAST(avg(spl_ppm) AS BIGINT)").alias("mean_spl_ppm"),
+    ).collect()[0]
+    t["evaluate_spl"] = round(time.monotonic() - t0, 1)
+
     n_sub = spark.read.parquet(f"{work}/submission.parquet").count()
     summary = {
         "grouping": grouping,
         "eval_series": eval_agg["series"],
         "eval_scored": eval_agg["scored"],
         "eval_mean_rmsse_ppm": eval_agg["mean_rmsse_ppm"],
+        "spl_pairs": spl_agg["pairs"],
+        "spl_scored": spl_agg["scored"],
+        "mean_spl_ppm": spl_agg["mean_spl_ppm"],
         "feature_rows": n_feat,
         "models": len(model_rows),
         "train_rows": int(sum(r["n_train"] for r in model_rows)),
