@@ -112,6 +112,12 @@ def main() -> int:
     assert names, "usage: probe_10x.py <query> [query ...]"
     spark = get_spark("probe10x")
     qs = entry_mod.queries()
+    # staged-but-unregistered queue modules probe too (they need their
+    # BASELINE.md scale rows ready before their registration round)
+    from m5_competition_kaggle_spark.queries import extensions_r9b
+
+    for k, v in extensions_r9b.QUERIES.items():
+        qs.setdefault(k, v)
     build_x10(spark)
     for name in names:
         base = time_query(spark, qs[name], SF_DIR)
