@@ -29,6 +29,52 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def auc_from_cells(
+    cells: DataFrame,
+    group_cols: list[str],
+    score_col: str = "score",
+    pos_col: str = "c_pos",
+    neg_col: str = "c_neg",
+) -> DataFrame:
+    """AUC over pre-aggregated score cells — the entry the streaming
+    monitor shares (its day-bucket store already holds (day, score,
+    c_pos, c_neg) cells; re-aggregating rows would be impossible
+    there and wasteful everywhere).
+
+    ``cells``: one row per (group…, score) with the class counts.
+    Output per group: n_pos, n_neg, n_scores, auc_ppm (NULL when
+    either class is empty — AUC undefined)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = cells.withColumn(
+        "__cumneg",
+        F.coalesce(F.sum(neg_col).over(w), F.lit(0)),
+    ).withColumn(
+        "__u2",
+        2 * F.col(pos_col) * F.col("__cumneg")
+        + F.col(pos_col) * F.col(neg_col),
+    )
+    agg = scored.groupBy(*group_cols).agg(
+        F.sum(pos_col).cast("long").alias("n_pos"),
+        F.sum(neg_col).cast("long").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.sum("__u2").cast("long").alias("__u2_sum"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.expr("1000000 * __u2_sum DIV (2 * n_pos * n_neg)"),
+        ).alias("auc_ppm"),
+    )
+
+
 def group_auc(
     df: DataFrame,
     group_col: str,
@@ -41,34 +87,9 @@ def group_auc(
     Output per group: n_pos, n_neg, n_scores (distinct score cells),
     auc_ppm (NULL when either class is empty — AUC undefined)."""
     cells = df.groupBy(group_col, score_col).agg(
-        F.sum(F.col(label_col).cast("long")).alias("__np"),
-        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("__nn"),
+        F.sum(F.col(label_col).cast("long")).alias("c_pos"),
+        F.sum(F.lit(1) - F.col(label_col).cast("long")).alias("c_neg"),
     )
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(score_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    scored = cells.withColumn(
-        "__cumneg", F.coalesce(F.sum("__nn").over(w), F.lit(0))
-    ).withColumn(
-        "__u2",
-        2 * F.col("__np") * F.col("__cumneg")
-        + F.col("__np") * F.col("__nn"),
-    )
-    agg = scored.groupBy(group_col).agg(
-        F.sum("__np").cast("long").alias("n_pos"),
-        F.sum("__nn").cast("long").alias("n_neg"),
-        F.count(F.lit(1)).alias("n_scores"),
-        F.sum("__u2").cast("long").alias("__u2_sum"),
-    )
-    return agg.select(
-        group_col,
-        "n_pos",
-        "n_neg",
-        "n_scores",
-        F.when(
-            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
-            F.expr("1000000 * __u2_sum DIV (2 * n_pos * n_neg)"),
-        ).alias("auc_ppm"),
+    return auc_from_cells(
+        cells, [group_col], score_col=score_col
     )
