@@ -17,6 +17,14 @@ Spark-vs-DuckDB differential as ``scripts/check_oracle.py``.
 - x144 per-day ROC-AUC (``operators/auc.py``): Mann-Whitney AUC of
   the event value score against the purchase label, one keyed window
   over bounded score cells — never a global rank.
+- s21 streaming-AUC batch twin (``streaming/auc_monitor.py``): the
+  daily AUC trajectory at the monitor family's integer granularity,
+  certifying the exact kernel the update-mode deployment re-assembles
+  through (the s17/s18 twin pattern).
+- x145 expected calibration error (``operators/ece.py``): the scalar
+  monitor over x112's reliability binning — the per-bin deviation
+  telescopes to exact integers, so ECE certifies with NO truncation
+  (unlike the table's display quotients); plus the worst-bin MCE.
 """
 
 from __future__ import annotations
@@ -111,11 +119,47 @@ def x144_day_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_auc(ev, "day", "score", "is_pos").orderBy("day")
 
 
+def s21_stream_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming daily-AUC monitor: the same
+    day-score-class cells (integer score granularity) through the
+    same auc_from_cells kernel the update-mode store re-assembles
+    with — certifying the trajectory arithmetic the stream emits."""
+    from m5_competition_kaggle_spark.streaming.auc_monitor import (
+        auc_day_table,
+        day_score_class_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return auc_day_table(day_score_class_counts(ev)).orderBy("day")
+
+
+def x145_calibration_ece(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ECE/MCE scalar over x112's exact setup (l_discount as the
+    return-risk score vs observed l_returnflag = 'R', bin width 10
+    permille) — the one-number calibration monitor beside the
+    reliability table."""
+    from m5_competition_kaggle_spark.operators.ece import (
+        expected_calibration_error,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return expected_calibration_error(
+        li,
+        F.expr("CAST(round(l_discount * 1000) AS BIGINT)"),
+        F.col("l_returnflag") == F.lit("R"),
+        bin_width=10,
+    )
+
+
 QUERIES = {
     "x141_sbc_classes": x141_sbc_classes,
     "x142_silhouette": x142_silhouette,
     "x143_interval_score": x143_interval_score,
     "x144_day_auc": x144_day_auc,
+    "s21_stream_auc": s21_stream_auc,
+    "x145_calibration_ece": x145_calibration_ece,
 }
 
 ORACLES: dict[str, str] = {}
@@ -284,6 +328,69 @@ SELECT event_type, alpha, n_train, n_eval, lo, hi, n_in,
        END AS sis_ppk
 FROM scored
 ORDER BY event_type, alpha
+"""
+
+ORACLES["s21_stream_auc"] = """
+WITH cells AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(round(value) AS BIGINT) AS score,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS np,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN 0 ELSE 1 END) AS BIGINT) AS nn
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT day, np, nn,
+           CAST(coalesce(sum(nn) OVER (
+               PARTITION BY day ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cumneg
+    FROM cells
+),
+agg AS (
+    SELECT day,
+           CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(count(*) AS BIGINT) AS n_scores,
+           CAST(sum(2 * np * cumneg + np * nn) AS BIGINT) AS u2
+    FROM cum GROUP BY 1
+)
+SELECT day, n_pos, n_neg, n_scores,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN 1000000 * u2 // (2 * n_pos * n_neg)
+       END AS auc_ppm
+FROM agg ORDER BY day
+"""
+
+ORACLES["x145_calibration_ece"] = """
+WITH binned AS (
+    SELECT CAST(round(l_discount * 1000) AS BIGINT) AS score,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+    FROM lineitem
+),
+bins AS (
+    SELECT score // 10 AS bin,
+           CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(pos) AS BIGINT) AS np,
+           CAST(sum(score) AS BIGINT) AS ss
+    FROM binned GROUP BY 1
+),
+dev AS (
+    SELECT bin, n_b, abs(1000 * np - ss) AS d,
+           abs(1000 * np - ss) // n_b AS d_permille
+    FROM bins
+)
+SELECT CAST(sum(n_b) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(d) AS BIGINT) AS abs_dev_sum,
+       1000 * CAST(sum(d) AS BIGINT) // CAST(sum(n_b) AS BIGINT)
+           AS ece_ppm,
+       CAST(max(d_permille) AS BIGINT) AS mce_permille,
+       CAST((SELECT min(bin) FROM dev d2
+             WHERE d2.d_permille = (SELECT max(d_permille) FROM dev))
+            AS BIGINT) AS mce_bin
+FROM dev
 """
 
 ORACLES["x144_day_auc"] = """

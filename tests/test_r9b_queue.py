@@ -200,6 +200,35 @@ def test_silhouette_hand_example(spark):
     assert out[1]["mean_s_ppm"] == 1000000 * 999 // 1000
 
 
+def test_ece_hand_example(spark):
+    """Perfectly calibrated bin → 0; a bin predicting 0.5 with all
+    positives → dev 0.5 of probability per row."""
+    from m5_competition_kaggle_spark.operators.ece import (
+        expected_calibration_error,
+    )
+    from pyspark.sql import functions as F
+
+    cal = spark.createDataFrame(
+        [(500, 1), (500, 1), (500, 0), (500, 0)], "s bigint, p int"
+    )
+    r = expected_calibration_error(
+        cal, F.col("s"), F.col("p") == 1, bin_width=100
+    ).collect()[0]
+    assert (r["n"], r["n_bins"], r["abs_dev_sum"], r["ece_ppm"]) == \
+        (4, 1, 0, 0)
+
+    mis = spark.createDataFrame(
+        [(500, 1)] * 4 + [(100, 0)] * 4, "s bigint, p int"
+    )
+    r = expected_calibration_error(
+        mis, F.col("s"), F.col("p") == 1, bin_width=100
+    ).collect()[0]
+    # bin 5: |4000 - 2000| = 2000; bin 1: |0 - 400| = 400
+    assert (r["n_bins"], r["abs_dev_sum"]) == (2, 2400)
+    assert r["ece_ppm"] == 1000 * 2400 // 8
+    assert (r["mce_permille"], r["mce_bin"]) == (500, 5)
+
+
 def test_vacuity_sf001_audits(spark):
     """Round-7 lesson: every certificate must do real work at the
     certification SF. All four SBC quadrants carry mass; silhouette
@@ -230,3 +259,11 @@ def test_vacuity_sf001_audits(spark):
     auc = extensions_r9b.x144_day_auc(spark, SF01).collect()
     assert len(auc) == 30
     assert len({r["auc_ppm"] for r in auc}) > 1
+
+    s21 = extensions_r9b.s21_stream_auc(spark, SF01).collect()
+    assert len(s21) == 30
+    assert len({r["auc_ppm"] for r in s21}) > 1
+
+    ece = extensions_r9b.x145_calibration_ece(spark, SF01).collect()
+    assert len(ece) == 1 and ece[0]["ece_ppm"] > 0
+    assert ece[0]["mce_permille"] >= ece[0]["ece_ppm"] // 1000
