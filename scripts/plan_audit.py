@@ -90,7 +90,14 @@ def main() -> int:
     from m5_competition_kaggle_spark.session import get_spark
 
     spark = get_spark("plan_audit")
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+    # staged-but-unregistered queue modules audit too, marked: their
+    # plans must be scale-clean BEFORE their registration round
+    from m5_competition_kaggle_spark.queries import extensions_r9b
+
+    for k, v in extensions_r9b.QUERIES.items():
+        if k not in qs:
+            qs[f"{k} (staged)"] = v
     rows = []
     flags: list[str] = []
     for name, fn in qs.items():
