@@ -153,6 +153,27 @@ def x145_calibration_ece(
     )
 
 
+def x146_demand_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-demand gap tails per sampled part (x139's demand
+    construction): max/p50/p90 dry spell and review-period breaches
+    (threshold 30 days) — the replenishment-risk companion to SBC's
+    mean-interval view."""
+    from m5_competition_kaggle_spark.operators.demand_gaps import (
+        demand_gap_stats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 20 == 0
+    )
+    demand = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr(f"unix_micros(l_shipdate) DIV {US_PER_DAY}").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    return demand_gap_stats(
+        demand, "part", "t", over_threshold=30
+    ).orderBy("part")
+
+
 QUERIES = {
     "x141_sbc_classes": x141_sbc_classes,
     "x142_silhouette": x142_silhouette,
@@ -160,6 +181,7 @@ QUERIES = {
     "x144_day_auc": x144_day_auc,
     "s21_stream_auc": s21_stream_auc,
     "x145_calibration_ece": x145_calibration_ece,
+    "x146_demand_gaps": x146_demand_gaps,
 }
 
 ORACLES: dict[str, str] = {}
@@ -391,6 +413,35 @@ SELECT CAST(sum(n_b) AS BIGINT) AS n,
              WHERE d2.d_permille = (SELECT max(d_permille) FROM dev))
             AS BIGINT) AS mce_bin
 FROM dev
+"""
+
+ORACLES["x146_demand_gaps"] = """
+WITH demand AS (
+    SELECT l_partkey AS part,
+           epoch_ns(l_shipdate) // 86400000000000 AS t
+    FROM lineitem WHERE l_partkey % 20 = 0
+    GROUP BY 1, 2
+),
+gaps AS (
+    SELECT part,
+           t - lag(t) OVER (PARTITION BY part ORDER BY t) AS g
+    FROM demand
+    QUALIFY g IS NOT NULL
+),
+agg AS (
+    SELECT part,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(max(g) AS BIGINT) AS max_gap,
+           CAST(sum(CASE WHEN g > 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_over,
+           list_sort(list(g)) AS arr
+    FROM gaps GROUP BY 1
+)
+SELECT part, n_gaps, max_gap,
+       CAST(arr[(500 * n_gaps + 999) // 1000] AS BIGINT) AS p50_gap,
+       CAST(arr[(900 * n_gaps + 999) // 1000] AS BIGINT) AS p90_gap,
+       n_over
+FROM agg ORDER BY part
 """
 
 ORACLES["x144_day_auc"] = """

@@ -229,6 +229,26 @@ def test_ece_hand_example(spark):
     assert (r["mce_permille"], r["mce_bin"]) == (500, 5)
 
 
+def test_demand_gaps_hand_example(spark):
+    """Gaps of a hand-built sparse series; type-1 quantile pins."""
+    from m5_competition_kaggle_spark.operators.demand_gaps import (
+        demand_gap_stats,
+    )
+
+    # demands at t = 0, 1, 3, 10, 50 → gaps [1, 2, 7, 40]
+    df = spark.createDataFrame(
+        [("a", t) for t in (0, 1, 3, 10, 50)] + [("solo", 5)],
+        "k string, t bigint",
+    )
+    out = {r["k"]: r for r in demand_gap_stats(
+        df, "k", "t", over_threshold=30).collect()}
+    r = out["a"]
+    # p50: k = ceil(500·4/1000) = 2 → 2; p90: k = ceil(900·4/1000) = 4
+    assert (r["n_gaps"], r["max_gap"], r["p50_gap"], r["p90_gap"],
+            r["n_over"]) == (4, 40, 2, 40, 1)
+    assert "solo" not in out  # singleton has no gap
+
+
 def test_vacuity_sf001_audits(spark):
     """Round-7 lesson: every certificate must do real work at the
     certification SF. All four SBC quadrants carry mass; silhouette
@@ -267,3 +287,8 @@ def test_vacuity_sf001_audits(spark):
     ece = extensions_r9b.x145_calibration_ece(spark, SF01).collect()
     assert len(ece) == 1 and ece[0]["ece_ppm"] > 0
     assert ece[0]["mce_permille"] >= ece[0]["ece_ppm"] // 1000
+
+    gaps = extensions_r9b.x146_demand_gaps(spark, SF01).collect()
+    assert len(gaps) > 50
+    assert any(r["n_over"] > 0 for r in gaps)
+    assert any(r["p90_gap"] > r["p50_gap"] for r in gaps)
