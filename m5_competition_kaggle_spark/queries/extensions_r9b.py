@@ -174,6 +174,34 @@ def x146_demand_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("part")
 
 
+def x147_tracking_signal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tracking signal of the seasonal-naive (lag-7) forecaster on
+    the per-event-type daily series — is the weekly-naive baseline
+    systematically high or low per series? One per-series lag window
+    builds the forecast; the operator is one keyed aggregate."""
+    from pyspark.sql.window import Window
+
+    from m5_competition_kaggle_spark.operators.tracking_signal import (
+        tracking_signal,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NS_PER_DAY}").alias("t"),
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    series = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    pairs = series.withColumn("yhat", F.lag("y", 7).over(w))
+    return tracking_signal(
+        pairs, "event_type", "y", "yhat"
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "x141_sbc_classes": x141_sbc_classes,
     "x142_silhouette": x142_silhouette,
@@ -182,6 +210,7 @@ QUERIES = {
     "s21_stream_auc": s21_stream_auc,
     "x145_calibration_ece": x145_calibration_ece,
     "x146_demand_gaps": x146_demand_gaps,
+    "x147_tracking_signal": x147_tracking_signal,
 }
 
 ORACLES: dict[str, str] = {}
@@ -442,6 +471,36 @@ SELECT part, n_gaps, max_gap,
        CAST(arr[(900 * n_gaps + 999) // 1000] AS BIGINT) AS p90_gap,
        n_over
 FROM agg ORDER BY part
+"""
+
+ORACLES["x147_tracking_signal"] = """
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS t,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT event_type, y,
+           lag(y, 7) OVER (PARTITION BY event_type ORDER BY t)
+               AS yhat
+    FROM series
+    QUALIFY yhat IS NOT NULL
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y - yhat) AS BIGINT) AS err_sum,
+           CAST(sum(abs(y - yhat)) AS BIGINT) AS abs_err_sum
+    FROM pairs GROUP BY 1
+)
+SELECT event_type, n, err_sum, abs_err_sum,
+       CASE WHEN abs_err_sum > 0
+            THEN 1000 * err_sum // abs_err_sum END AS bias_permille,
+       CASE WHEN abs_err_sum > 0
+            THEN 100 * err_sum * n // abs_err_sum END AS ts_x100
+FROM agg ORDER BY event_type
 """
 
 ORACLES["x144_day_auc"] = """

@@ -249,6 +249,32 @@ def test_demand_gaps_hand_example(spark):
     assert "solo" not in out  # singleton has no gap
 
 
+def test_tracking_signal_hand_example(spark):
+    """Pins: unbiased alternating errors → 0; all-over forecast →
+    −1000 permille; exact forecast → NULLs."""
+    from m5_competition_kaggle_spark.operators.tracking_signal import (
+        tracking_signal,
+    )
+
+    rows = [
+        ("alt", 10, 8), ("alt", 10, 12),      # e = +2, −2
+        ("over", 5, 9), ("over", 5, 7),       # e = −4, −2
+        ("exact", 3, 3),
+        ("warm", 3, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, y bigint, yhat bigint"
+    )
+    got = {r["k"]: r for r in tracking_signal(
+        df, "k", "y", "yhat").collect()}
+    assert (got["alt"]["err_sum"], got["alt"]["bias_permille"],
+            got["alt"]["ts_x100"]) == (0, 0, 0)
+    assert got["over"]["bias_permille"] == -1000
+    assert got["over"]["ts_x100"] == 100 * -6 * 2 // 6
+    assert got["exact"]["bias_permille"] is None
+    assert "warm" not in got  # all-NULL forecasts drop the key
+
+
 def test_vacuity_sf001_audits(spark):
     """Round-7 lesson: every certificate must do real work at the
     certification SF. All four SBC quadrants carry mass; silhouette
@@ -292,3 +318,8 @@ def test_vacuity_sf001_audits(spark):
     assert len(gaps) > 50
     assert any(r["n_over"] > 0 for r in gaps)
     assert any(r["p90_gap"] > r["p50_gap"] for r in gaps)
+
+    ts = extensions_r9b.x147_tracking_signal(spark, SF01).collect()
+    assert len(ts) == 5
+    assert len({r["ts_x100"] for r in ts}) > 1
+    assert all(r["abs_err_sum"] > 0 for r in ts)
