@@ -127,6 +127,16 @@ def main() -> int:
         )
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    if only:
+        # explicitly-named staged (unregistered) queue entries resolve
+        # too; the default full run stays the driver's registered set
+        from m5_competition_kaggle_spark.queries import extensions_r9b
+
+        for k in only - set(qs):
+            if k in extensions_r9b.QUERIES:
+                qs[k] = extensions_r9b.QUERIES[k]
+                if k in extensions_r9b.ORACLES:
+                    oracles[k] = extensions_r9b.ORACLES[k]
     failures = []
     attempted = 0
     for name, fn in qs.items():
