@@ -305,6 +305,39 @@ def main():
     ).collect()[0]
     t["evaluate_spl"] = round(time.monotonic() - t0, 1)
 
+    # stage 6: conformal prediction intervals around the pipeline's
+    # OWN forecasts (plans/m5_intervals.py): calibrate per-store
+    # |residual| thresholds on the first half of the observed horizon
+    # (2016-04-25..05-08), measure achieved coverage on the second
+    # (05-09..05-22) at 90% and 67% targets.
+    t0 = time.monotonic()
+    from m5_competition_kaggle_spark.plans.m5_intervals import (
+        conformal_forecast_intervals,
+    )
+
+    iv = conformal_forecast_intervals(
+        feats.select("id", "date", "units_sold"),
+        eval_preds,
+        "2016-05-08",
+    )
+    iv_agg = iv.groupBy("alpha_num", "alpha_den").agg(
+        F.count(F.lit(1)).alias("stores"),
+        F.expr(
+            "1000 * CAST(sum(n_in) AS BIGINT)"
+            " DIV CAST(sum(n_eval) AS BIGINT)"
+        ).alias("cover_permille"),
+        F.expr("CAST(avg(q_hat) AS BIGINT)").alias("mean_qhat_x1000"),
+    ).collect()
+    t["conformal_intervals"] = round(time.monotonic() - t0, 1)
+    intervals = {
+        f"{r['alpha_num']}/{r['alpha_den']}": {
+            "stores": r["stores"],
+            "cover_permille": r["cover_permille"],
+            "mean_qhat_x1000": r["mean_qhat_x1000"],
+        }
+        for r in iv_agg
+    }
+
     n_sub = spark.read.parquet(f"{work}/submission.parquet").count()
     summary = {
         "grouping": grouping,
@@ -314,6 +347,7 @@ def main():
         "spl_pairs": spl_agg["pairs"],
         "spl_scored": spl_agg["scored"],
         "mean_spl_ppm": spl_agg["mean_spl_ppm"],
+        "intervals": intervals,
         "feature_rows": n_feat,
         "models": len(model_rows),
         "train_rows": int(sum(r["n_train"] for r in model_rows)),
