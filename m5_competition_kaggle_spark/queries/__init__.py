@@ -30,6 +30,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r8e,
     extensions_r8f,
     extensions_r9,
+    extensions_r9b,
     llm_curation,
     streaming_shaped,
 )
@@ -45,7 +46,7 @@ _MODULES = (
     extensions_r5, extensions_r6, extensions_r6b, extensions_r6c,
     extensions_r7, extensions_r7b, extensions_r7c, extensions_r8,
     extensions_r8b, extensions_r8c, extensions_r8d,
-    extensions_r8e, extensions_r8f, extensions_r9,
+    extensions_r8e, extensions_r8f, extensions_r9, extensions_r9b,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -106,7 +107,42 @@ _MODULES = (
 # so _HEAD is EMPTY: every deliberate pick from r7 did its double-bank
 # job and is evicted, and the whole window fills from _promotions.py.
 # 48 promotions + 2 new = 50 exactly; nothing may stale mid-round.
-_HEAD = ()
+#
+# Round-9 head composition (VERDICT r8 item 1): r8 cleared all debt —
+# 202/202 currently-valid driver-green rows, zero pending promotions.
+# The only structural need is the 8 staged extensions_r9b queries
+# (x141–x147, s21 — locally certified at sf0.001+sf0.01, 10×-probed,
+# plan-audited in r8, registered this round), which auto-promote via
+# _promotions.py. The remaining 42 slots are deliberate second-green
+# picks for the OLDEST single-green rows, oldest-built first: the 11
+# r6-only singles (x69–x72, s12–s13, x84–x87, x89), then x47 (r5-built,
+# single r7 green), the r6-built/r7-certified singles (x48–x62, s9–s10,
+# x88), then the oldest r7-built singles (s14–s15, x90–x98, x100).
+# 42 picks + 8 promotions = 50 exactly. Leftover r7 singles (x101,
+# s16, x102–x106) and the 50 r8 singles queue for r10 re-banks.
+_HEAD = (
+    # r6-built, single r6 green (oldest valid rows in the ledger)
+    "x69_source_overlap_sketch", "x70_heavy_hitters",
+    "s12_stream_interval_join", "x71_entity_clusters",
+    "x72_sim_topk_pq", "s13_stream_ann_probe",
+    "x84_mad_outliers", "x85_window_anomaly", "x86_rrf_fusion",
+    "x87_centroid_classify", "x89_attribution",
+    # r5/r6-built, single r7 green
+    "x47_sim_topk_lsh_auto",
+    "x48_bloom_fast", "x49_fit_step", "x50_cms_freq",
+    "x51_semantic_dedup", "s9_stream_cms", "x52_hist_quantiles",
+    "x53_seeded_shuffle", "x54_exact_k_sample", "x55_audio_segments",
+    "x56_snapshot_diff", "x57_semantic_dedup_lsh",
+    "x58_triangle_counts", "x59_fuzzy_join", "x60_incremental_dedup",
+    "x61_chunk_dedup", "x62_oov_rate", "s10_windowed_cms",
+    "x88_salted_join",
+    # r7-built, single r7 green (oldest first)
+    "s14_stateful_anomaly", "s15_stream_attribution",
+    "x90_kneser_ney", "x91_eqfreq_binning", "x92_cross_corr",
+    "x93_linear_attribution", "x94_dedup_eval", "x95_bloom_join",
+    "x96_manifest_stats", "x97_hard_negatives",
+    "x98_leakage_free_split", "x100_rfm_segments",
+)
 
 HEAD_CAP = 50
 
