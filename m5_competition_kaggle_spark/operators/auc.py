@@ -41,9 +41,20 @@ def auc_from_cells(
     c_pos, c_neg) cells; re-aggregating rows would be impossible
     there and wasteful everywhere).
 
-    ``cells``: one row per (group…, score) with the class counts.
+    ``cells``: rows of (group…, score, class counts). Duplicate
+    (group…, score) cells are merged here first — a union of two cell
+    tables (e.g. re-assembling update-mode deltas) is a valid input;
+    without the merge the ROWS-frame cumulative below would split tied
+    scores arbitrarily between "strictly below" and "tied" and the AUC
+    would be nondeterministically wrong. The merge groups by the same
+    keys the input is usually already partitioned on, so Catalyst
+    plans it without an extra exchange in the row-level path.
     Output per group: n_pos, n_neg, n_scores, auc_ppm (NULL when
     either class is empty — AUC undefined)."""
+    cells = cells.groupBy(*group_cols, score_col).agg(
+        F.sum(pos_col).cast("long").alias(pos_col),
+        F.sum(neg_col).cast("long").alias(neg_col),
+    )
     w = (
         Window.partitionBy(*group_cols)
         .orderBy(score_col)

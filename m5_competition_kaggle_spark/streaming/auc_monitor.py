@@ -128,6 +128,7 @@ def streaming_day_auc_update_mode(
                 for r in batch_df.collect()
             ),
             batch_id=batch_id,
+            run_key=checkpoint_dir,
         )
 
     return (

@@ -68,7 +68,11 @@ def streaming_windowed_cms_cells(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """The streaming form of :func:`windowed_cms_cells`, watermarked so
-    late data past ``watermark`` is dropped and window state expires."""
+    window state expires once the watermark passes. NOTE: Spark's
+    late-data guarantee is one-sided (measured — ARCHITECTURE.md
+    erratum): rows within the watermark WILL aggregate, but rows beyond
+    it are NOT guaranteed dropped; a sink-side cutoff
+    (``streaming/update_mode.py``) is required when exactness matters."""
     ev = read_events_stream(spark, source_dir).withWatermark(
         "ts", watermark
     )

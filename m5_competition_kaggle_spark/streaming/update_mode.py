@@ -63,9 +63,17 @@ class ClosingDayStore:
         self.data: dict = {}
         self.max_day: datetime.date | None = None
         self.rejected = 0
-        self.last_batch_id: int | None = None
+        # per-run epoch high-water marks: run_key -> last applied
+        # batch_id. Keyed like Delta's (queryId, epochId) txn version
+        # so a store shared by TWO queries (two checkpoints) keeps
+        # independent dedup sequences instead of silently dropping
+        # the second query's epochs.
+        self.last_batch_id: dict = {}
+        self.skipped_batches = 0
 
-    def apply_batch(self, rows, batch_id: int | None = None) -> None:
+    def apply_batch(
+        self, rows, batch_id: int | None = None, run_key: str = ""
+    ) -> None:
         """Upsert one trigger's (day, key, value) rows against the
         PREVIOUS batches' high-water cutoff, then advance it. The
         value is opaque — a count for the bucket monitors, the whole
@@ -76,16 +84,23 @@ class ClosingDayStore:
         while the data upserts are naturally idempotent, a re-run
         batch would double-count its rejections — the observability
         signal the tests assert on. An already-applied batch_id is
-        skipped wholesale, the same dedup a Delta MERGE sink gets from
-        its (queryId, epochId) txn version. ``None`` (direct calls)
-        always applies."""
+        skipped wholesale (counted in ``skipped_batches``), the same
+        dedup a Delta MERGE sink gets from its (queryId, epochId) txn
+        version — and like Delta's, the mark is scoped per ``run_key``
+        (the streaming helpers pass their checkpoint location), so one
+        store serving several queries dedups each epoch sequence
+        independently. Epochs restart at 0 only when a checkpoint is
+        RESET — a store must not outlive its query's checkpoint; wiping
+        the checkpoint requires a fresh store (or a new run_key), else
+        the restarted epochs are skipped as replays (visible in the
+        ``skipped_batches`` counter, never silent). ``None`` (direct
+        calls) always applies."""
         if batch_id is not None:
-            if (
-                self.last_batch_id is not None
-                and batch_id <= self.last_batch_id
-            ):
+            last = self.last_batch_id.get(run_key)
+            if last is not None and batch_id <= last:
+                self.skipped_batches += 1
                 return
-            self.last_batch_id = batch_id
+            self.last_batch_id[run_key] = batch_id
         cutoff = (
             None
             if self.max_day is None
@@ -143,6 +158,7 @@ def streaming_day_buckets_update_mode(
                 for r in batch_df.collect()
             ),
             batch_id=batch_id,
+            run_key=checkpoint_dir,
         )
 
     return (
@@ -189,6 +205,7 @@ def streaming_day_categories_update_mode(
                 for r in batch_df.collect()
             ),
             batch_id=batch_id,
+            run_key=checkpoint_dir,
         )
 
     return (
@@ -251,6 +268,7 @@ def streaming_day_arm_stats_update_mode(
                 for r in batch_df.collect()
             ),
             batch_id=batch_id,
+            run_key=checkpoint_dir,
         )
 
     return (

@@ -74,6 +74,32 @@ def test_kernel_matches_row_level_operator(spark):
     assert len(via_cells) > 1
 
 
+def test_kernel_merges_duplicate_score_cells(spark):
+    """A union of two cell tables (e.g. re-assembled update-mode
+    deltas) carries duplicate (group, score) cells; auc_from_cells
+    must merge them before the cumulative window, or tied scores
+    split arbitrarily between 'strictly below' and 'tied' and the
+    AUC is nondeterministically wrong."""
+    from m5_competition_kaggle_spark.operators.auc import (
+        auc_from_cells,
+    )
+
+    merged = [("g", 5, 3, 2), ("g", 7, 1, 4)]
+    split = [  # same cells, each split across two fragments
+        ("g", 5, 1, 1), ("g", 5, 2, 1),
+        ("g", 7, 1, 0), ("g", 7, 0, 4),
+    ]
+    schema = "grp string, score bigint, c_pos bigint, c_neg bigint"
+    want = auc_from_cells(
+        spark.createDataFrame(merged, schema), ["grp"]
+    ).collect()
+    got = auc_from_cells(
+        spark.createDataFrame(split, schema), ["grp"]
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert want[0]["auc_ppm"] is not None
+
+
 def test_update_mode_stream_matches_batch_table(spark):
     ev = load_table(spark, SF, "events")
     expected = sorted(

@@ -344,6 +344,31 @@ def test_closing_day_store_replayed_batch_is_idempotent():
     assert store.rejected == 2
 
 
+def test_closing_day_store_dedup_is_per_run_key():
+    """The epoch dedup is keyed (run_key, batch_id) like Delta's
+    (queryId, epochId) txn version: a store shared by two queries
+    (distinct checkpoints) must not drop the second query's epoch 0
+    because the first already applied its own epoch 0 — and skipped
+    replays are counted, never silent."""
+    import datetime as dt
+
+    store = ClosingDayStore(allowed_lateness_days=2)
+    d = dt.date(2024, 3, 1)
+    store.apply_batch([(d, "a", 1)], batch_id=0, run_key="ckpt/q1")
+    # second query, same epoch number: must APPLY, not dedup
+    store.apply_batch([(d, "b", 2)], batch_id=0, run_key="ckpt/q2")
+    assert store.data[(str(d), "b")] == 2
+    assert store.skipped_batches == 0
+    # true replay within one run: skipped AND counted
+    store.apply_batch([(d, "b", 99)], batch_id=0, run_key="ckpt/q2")
+    assert store.data[(str(d), "b")] == 2
+    assert store.skipped_batches == 1
+    # each run's high-water mark advances independently
+    store.apply_batch([(d, "a", 3)], batch_id=1, run_key="ckpt/q1")
+    store.apply_batch([(d, "b", 4)], batch_id=1, run_key="ckpt/q2")
+    assert store.last_batch_id == {"ckpt/q1": 1, "ckpt/q2": 1}
+
+
 def test_update_mode_ks_family_matches_batch_twin(spark):
     """The KS family through the deployment shape: the day-bucket
     store (since the KS comparison window's split) lifted through the
