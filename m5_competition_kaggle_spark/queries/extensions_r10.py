@@ -1,0 +1,320 @@
+"""Round-10 queue — staged BEHIND the r9 head-50 (NOT registered in
+``queries/__init__`` until the r9 driver window lands; the r9 head is
+exactly full with the 8 r9b promotions + 42 re-bank picks). Locally
+certified by ``tests/test_r10_queue.py`` running the same
+Spark-vs-DuckDB differential as ``scripts/check_oracle.py``.
+
+- x148 isotonic calibration (``operators/isotonic.py``): the PAV
+  calibrator itself — the monotone score→rate map that x112's
+  reliability table and x145's ECE only MEASURE — via the closed
+  minimax form over bounded score bins (fully relational: one keyed
+  shuffle + one bounded self-join + reversed-sort suffix-min window).
+- x149 offline changepoint (``operators/changepoint.py``): per-series
+  max-CUSUM localization of WHERE a completed daily series' mean
+  shifted — the retrospective twin of the streaming CUSUM monitor
+  (x101/s16); exact integer outputs, double only as selection order.
+- x150 rank-biased overlap (``operators/rbo.py``): head-weighted
+  ranking similarity between the exact (x9) and IVF (x23) top-10
+  rankings — completes the ANN eval family (recall x116 counts set
+  hits, nDCG x131 grades one ranking against truth, RBO compares the
+  two ORDERINGS); all-integer via the lcm(1..10)·10^9 common
+  denominator.
+- s22 streaming-ECE batch twin (``streaming/ece_monitor.py``): the
+  daily calibration trajectory at the monitor family's bounded-bin
+  granularity, certifying the exact telescoped-integer kernel the
+  update-mode deployment re-assembles through (the s21 twin pattern —
+  AUC watches ranking quality, this watches score meaning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.operators.changepoint import (
+    best_mean_shift,
+)
+from m5_competition_kaggle_spark.operators.isotonic import isotonic_fit
+from m5_competition_kaggle_spark.operators.rbo import (
+    _W_NUM,
+    rbo_prefix,
+)
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+NS_PER_DAY = 86_400_000_000_000
+
+
+def x148_isotonic_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PAV-fitted monotone purchase-rate map per user-cohort segment:
+    score bins are least(round(value) DIV 10, 49) — a domain bounded
+    at 50 bins BY CONSTRUCTION at any scale, so everything after the
+    one keyed cell shuffle is constant-size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("segment"),
+        F.least(
+            F.expr("CAST(round(value) AS BIGINT) DIV 10"), F.lit(49)
+        ).alias("score_bin"),
+        (F.col("event_type") == "purchase").alias("is_pos"),
+    )
+    return isotonic_fit(
+        ev, ["segment"], "score_bin", "is_pos"
+    ).orderBy("segment", "bin")
+
+
+def x149_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single mean-shift split of each event type's daily COUNT
+    series (counts keep every integer far inside the g² overflow
+    contract) — where did this stream's volume regime change?"""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NS_PER_DAY}").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return best_mean_shift(
+        series, "event_type", "t", "y"
+    ).orderBy("event_type")
+
+
+def x150_rank_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO(p=9/10, d=10) between the exact (x9) and IVF (x23) top-10
+    rankings, per query — identical construction to x116/x131 (query
+    set vec_id % 50 == 0, nprobe=4, 16 centroids) so all three eval
+    metrics grade the SAME index run. A query with zero overlap still
+    emits a row (rbo_ppm = 0); identical rankings cap at the
+    truncated-prefix maximum 1 − p^10 = 651321 ppm (no extrapolation
+    tail)."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = brute_force_topk(emb, qset, k=10)
+    ivf = ivf_topk(emb, qset, k=10, nprobe=4, n_centroids=16)
+    per_q = rbo_prefix(exact, ivf, "query_id", "neighbor_id", "rank")
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_matched", F.lit(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.coalesce("rbo_num", F.lit(0))
+            .cast("long")
+            .alias("rbo_num"),
+            F.coalesce("rbo_ppm", F.lit(0))
+            .cast("long")
+            .alias("rbo_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def s22_stream_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming daily-ECE monitor: per-day
+    calibration of the capped permille score least(round(value·10),
+    1000) against the purchase label, bin width 10 (≤101 bins of
+    state per open day BY CONSTRUCTION), through the same telescoped
+    exact-integer kernel the update-mode store re-assembles with."""
+    from m5_competition_kaggle_spark.streaming.ece_monitor import (
+        day_bin_stats,
+        ece_day_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = day_bin_stats(
+        ev,
+        score_expr=(
+            "least(CAST(round(value * 10) AS BIGINT), 1000L)"
+        ),
+        bin_width=10,
+    )
+    return ece_day_table(cells).orderBy("day")
+
+
+QUERIES = {
+    "x148_isotonic_calibration": x148_isotonic_calibration,
+    "x149_changepoint": x149_changepoint,
+    "x150_rank_rbo": x150_rank_rbo,
+    "s22_stream_ece": s22_stream_ece,
+}
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["x148_isotonic_calibration"] = """
+WITH pts AS (
+    SELECT user_id % 4 AS segment,
+           least(CAST(round(value) AS BIGINT) // 10, 49) AS bin,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+cells AS (
+    SELECT segment, bin,
+           CAST(count(*) AS BIGINT) AS n_b,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM pts GROUP BY 1, 2
+),
+cum AS (
+    SELECT segment, bin, n_b, n_pos,
+           CAST(sum(n_b) OVER w AS BIGINT) AS N,
+           CAST(sum(n_pos) OVER w AS BIGINT) AS P
+    FROM cells
+    WINDOW w AS (PARTITION BY segment ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pairs AS (
+    SELECT j.segment, j.bin AS jb, k.bin AS kb,
+           CAST(k.P - (j.P - j.n_pos) AS DOUBLE)
+               / CAST(k.N - (j.N - j.n_b) AS DOUBLE) AS seg_rate
+    FROM cum j
+    JOIN cum k ON j.segment = k.segment AND j.bin <= k.bin
+),
+m AS (
+    SELECT segment, jb, kb AS ib,
+           min(seg_rate) OVER (
+               PARTITION BY segment, jb ORDER BY kb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS min_rate
+    FROM pairs
+),
+fit AS (
+    SELECT segment, ib, max(min_rate) AS fitted_rate
+    FROM m GROUP BY 1, 2
+)
+SELECT c.segment AS segment, c.bin AS bin, c.n_b AS n_b,
+       c.n_pos AS n_pos,
+       1000 * c.n_pos // c.n_b AS raw_permille,
+       CAST(floor(1000 * f.fitted_rate) AS BIGINT)
+           AS fitted_permille
+FROM cells c
+JOIN fit f ON f.segment = c.segment AND f.ib = c.bin
+ORDER BY segment, bin
+"""
+
+ORACLES["x149_changepoint"] = """
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS t,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, t,
+           CAST(row_number() OVER w AS BIGINT) AS i,
+           CAST(sum(y) OVER (
+               PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS S,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n,
+           CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+               AS Sn
+    FROM series
+    WINDOW w AS (PARTITION BY event_type ORDER BY t)
+),
+splits AS (
+    SELECT event_type, n, i AS cp_idx, t AS cp_t,
+           n * S - i * Sn AS g,
+           i * (n - i) AS den
+    FROM cum WHERE i < n AND n >= 2
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(g * g AS DOUBLE) / CAST(den AS DOUBLE)
+                        DESC, cp_idx ASC
+           ) AS r
+    FROM splits
+)
+SELECT event_type, n, cp_idx, cp_t,
+       abs(g) AS g_abs, den,
+       CASE WHEN g < 0 THEN 'up' WHEN g > 0 THEN 'down'
+            ELSE 'flat' END AS direction
+FROM ranked WHERE r = 1
+ORDER BY event_type
+"""
+
+ORACLES["s22_stream_ece"] = """
+WITH pts AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           least(CAST(round(value * 10) AS BIGINT), 1000) AS score,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+cells AS (
+    SELECT day, score - score % 10 AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS np,
+           CAST(sum(score) AS BIGINT) AS ss
+    FROM pts GROUP BY 1, 2
+),
+dev AS (
+    SELECT day, n, abs(1000 * np - ss) AS d,
+           abs(1000 * np - ss) // n AS dp
+    FROM cells
+)
+SELECT day,
+       CAST(sum(n) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(d) AS BIGINT) AS abs_dev_sum,
+       1000 * CAST(sum(d) AS BIGINT) // CAST(sum(n) AS BIGINT)
+           AS ece_ppm,
+       CAST(max(dp) AS BIGINT) AS mce_permille
+FROM dev GROUP BY day ORDER BY day
+"""
+
+
+def _rbo_oracle() -> str:
+    """Composes the certified x9 (exact) and x23 (IVF) oracle texts
+    with the exact integer RBO weight ladder — the same compile-time
+    W_num(m) integers the Spark side embeds."""
+    from m5_competition_kaggle_spark.queries import (
+        extensions,
+        llm_curation,
+    )
+
+    exact_sql = extensions.ORACLES["x9_sim_topk"]
+    ivf_sql = llm_curation.ORACLES["x23_sim_topk_ivf"]
+    w_cases = " ".join(
+        f"WHEN {m} THEN {num}" for m, num in _W_NUM.items()
+    )
+    return f"""
+WITH exact AS MATERIALIZED (
+    SELECT query_id, neighbor_id, "rank" AS ra
+    FROM ({exact_sql}) t
+),
+ivf AS MATERIALIZED (
+    SELECT query_id, neighbor_id, "rank" AS rb
+    FROM ({ivf_sql}) t
+),
+matched AS (
+    SELECT e.query_id, greatest(e.ra, i.rb) AS m
+    FROM exact e
+    JOIN ivf i ON e.query_id = i.query_id
+              AND e.neighbor_id = i.neighbor_id
+    WHERE e.ra <= 10 AND i.rb <= 10
+),
+perq AS (
+    SELECT query_id,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(CASE m {w_cases} ELSE 0 END) AS BIGINT)
+               AS rbo_num
+    FROM matched GROUP BY 1
+),
+qids AS (SELECT DISTINCT query_id FROM exact)
+SELECT q.query_id AS query_id,
+       coalesce(p.n_matched, 0) AS n_matched,
+       coalesce(p.rbo_num, 0) AS rbo_num,
+       coalesce(p.rbo_num, 0) // 25200000 AS rbo_ppm
+FROM qids q
+LEFT JOIN perq p ON q.query_id = p.query_id
+ORDER BY query_id
+"""
+
+
+ORACLES["x150_rank_rbo"] = _rbo_oracle()

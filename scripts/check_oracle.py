@@ -130,13 +130,13 @@ def main() -> int:
     if only:
         # explicitly-named staged (unregistered) queue entries resolve
         # too; the default full run stays the driver's registered set
-        from m5_competition_kaggle_spark.queries import extensions_r9b
+        from m5_competition_kaggle_spark.queries import extensions_r10
 
         for k in only - set(qs):
-            if k in extensions_r9b.QUERIES:
-                qs[k] = extensions_r9b.QUERIES[k]
-                if k in extensions_r9b.ORACLES:
-                    oracles[k] = extensions_r9b.ORACLES[k]
+            if k in extensions_r10.QUERIES:
+                qs[k] = extensions_r10.QUERIES[k]
+                if k in extensions_r10.ORACLES:
+                    oracles[k] = extensions_r10.ORACLES[k]
     failures = []
     attempted = 0
     for name, fn in qs.items():

@@ -93,9 +93,9 @@ def main() -> int:
     qs = dict(entry_mod.queries())
     # staged-but-unregistered queue modules audit too, marked: their
     # plans must be scale-clean BEFORE their registration round
-    from m5_competition_kaggle_spark.queries import extensions_r9b
+    from m5_competition_kaggle_spark.queries import extensions_r10
 
-    for k, v in extensions_r9b.QUERIES.items():
+    for k, v in extensions_r10.QUERIES.items():
         if k not in qs:
             qs[f"{k} (staged)"] = v
     rows = []

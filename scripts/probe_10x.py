@@ -114,9 +114,9 @@ def main() -> int:
     qs = entry_mod.queries()
     # staged-but-unregistered queue modules probe too (they need their
     # BASELINE.md scale rows ready before their registration round)
-    from m5_competition_kaggle_spark.queries import extensions_r9b
+    from m5_competition_kaggle_spark.queries import extensions_r10
 
-    for k, v in extensions_r9b.QUERIES.items():
+    for k, v in extensions_r10.QUERIES.items():
         qs.setdefault(k, v)
     build_x10(spark)
     for name in names:

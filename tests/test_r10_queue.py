@@ -1,0 +1,222 @@
+"""Staged certification for the round-10 queue
+(queries/extensions_r10.py — x148 isotonic PAV, x149 changepoint,
+x150 RBO, s22 streaming-ECE twin). The module is deliberately NOT
+registered in queries/__init__ (the r9 head-50 window is exactly
+full); this test runs the same Spark-vs-DuckDB differential as
+scripts/check_oracle.py so the batch is certified-locally before its
+r10 registration, plus hand-computed unit pins and the sf0.01
+vacuity audits the round-7 lessons demand."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import extensions_r10
+from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "check_oracle.py"),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and check_oracle)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r10.QUERIES))
+def test_differential_vs_duckdb(spark, name):
+    """Row count, column names and order-insensitive value hash match
+    DuckDB at sf0.001 — the driver's gate, run locally."""
+    sdf = extensions_r10.QUERIES[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF)
+    tbl = con.sql(extensions_r10.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    d_types = {f.name: check_oracle.arrow_type_class(f.type)
+               for f in tbl.schema}
+    s_types = {f.name: check_oracle.spark_type_class(f.dataType)
+               for f in sdf.schema.fields}
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert sorted(s_cols) == sorted(d_cols)
+    assert s_types == d_types
+    assert check_oracle.value_hash(s_rows, s_cols) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r10.QUERIES))
+def test_differential_vs_duckdb_sf001(spark, name):
+    """Same differential at sf0.01 — the scale the driver certifies."""
+    sdf = extensions_r10.QUERIES[name](spark, SF01)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF01)
+    tbl = con.sql(extensions_r10.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert check_oracle.value_hash(s_rows, sdf.columns) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+def test_isotonic_hand_example(spark):
+    """PAV pins against the textbook pooled solution. Rates
+    0/10, 8/10, 2/10, 10/10 by bin: bins 1 and 2 violate
+    monotonicity and pool to (8+2)/20 = 0.5; bins 0 and 3 stand."""
+    from m5_competition_kaggle_spark.operators.isotonic import (
+        isotonic_fit,
+    )
+
+    rows = []
+    for b, pos in [(0, 0), (1, 8), (2, 2), (3, 10)]:
+        rows += [("g", b, i < pos) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, bin int, y boolean")
+    got = {
+        r["bin"]: r
+        for r in isotonic_fit(df, ["g"], "bin", "y").collect()
+    }
+    assert [got[b]["fitted_permille"] for b in range(4)] == [
+        0, 500, 500, 1000
+    ]
+    assert [got[b]["raw_permille"] for b in range(4)] == [
+        0, 800, 200, 1000
+    ]
+    # already-monotone input is returned unchanged
+    mono = []
+    for b, pos in [(0, 1), (1, 5), (2, 9)]:
+        mono += [("g", b, i < pos) for i in range(10)]
+    df = spark.createDataFrame(mono, "g string, bin int, y boolean")
+    got = {
+        r["bin"]: r["fitted_permille"]
+        for r in isotonic_fit(df, ["g"], "bin", "y").collect()
+    }
+    assert got == {0: 100, 1: 500, 2: 900}
+
+
+def test_isotonic_is_monotone_and_weighted_mean_preserving(spark):
+    """Structural invariants of PAV on real data at sf0.001: fitted
+    is non-decreasing within each segment, bounded by [0, 1000], and
+    pooling never changes the group's weighted total."""
+    out = extensions_r10.x148_isotonic_calibration(
+        spark, SF
+    ).collect()
+    by_seg: dict = {}
+    for r in out:
+        by_seg.setdefault(r["segment"], []).append(r)
+    assert len(by_seg) == 4
+    for seg, rows in by_seg.items():
+        rows.sort(key=lambda r: r["bin"])
+        fitted = [r["fitted_permille"] for r in rows]
+        assert fitted == sorted(fitted), (seg, fitted)
+        assert all(0 <= f <= 1000 for f in fitted)
+        # pooled-block means average the raw rates they replace:
+        # sum_b n_b·fitted ≈ 1000·sum_b n_pos (within flooring slack)
+        tot = sum(r["n_b"] * r["fitted_permille"] for r in rows)
+        want = 1000 * sum(r["n_pos"] for r in rows)
+        slack = sum(r["n_b"] for r in rows)  # 1 permille per row
+        assert abs(tot - want) <= slack, (seg, tot, want)
+
+
+def test_changepoint_hand_example(spark):
+    """A clean level shift is localized exactly; a constant series
+    reports direction 'flat' with g = 0."""
+    from m5_competition_kaggle_spark.operators.changepoint import (
+        best_mean_shift,
+    )
+
+    rows = [("a", t, 10) for t in range(10)]
+    rows += [("a", t, 50) for t in range(10, 20)]
+    rows += [("flat", t, 7) for t in range(5)]
+    rows += [("solo", 0, 3)]
+    df = spark.createDataFrame(rows, "k string, t bigint, y bigint")
+    got = {r["k"]: r for r in best_mean_shift(
+        df, "k", "t", "y").collect()}
+    a = got["a"]
+    # split after index 10 (t=9): left mean 10, right mean 50
+    assert (a["n"], a["cp_idx"], a["cp_t"]) == (20, 10, 9)
+    assert a["direction"] == "up"
+    # g = n·S_t − t·S_n = 20·100 − 10·600 = −4000
+    assert (a["g_abs"], a["den"]) == (4000, 100)
+    assert got["flat"]["g_abs"] == 0
+    assert got["flat"]["direction"] == "flat"
+    assert "solo" not in got  # n < 2 has no interior split
+
+
+def test_rbo_hand_examples(spark):
+    """Identical rankings hit the truncated-prefix ceiling
+    1 − 0.9^10 = 651321 ppm; disjoint rankings score 0; a single
+    shared top-1 contributes W(1)."""
+    from m5_competition_kaggle_spark.operators.rbo import (
+        _W_NUM,
+        rbo_prefix,
+    )
+
+    ident = [(1, d, r) for r, d in enumerate(range(100, 110), 1)]
+    a = spark.createDataFrame(ident, "q long, doc long, rank long")
+    r = rbo_prefix(a, a, "q", "doc", "rank").collect()[0]
+    assert (r["n_matched"], r["rbo_ppm"]) == (10, 651321)
+
+    b = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate(range(200, 210), 1)],
+        "q long, doc long, rank long",
+    )
+    assert rbo_prefix(a, b, "q", "doc", "rank").count() == 0
+
+    c = spark.createDataFrame(
+        [(1, 100, 1)] + [(1, d, r) for r, d in
+                         enumerate(range(300, 309), 2)],
+        "q long, doc long, rank long",
+    )
+    r = rbo_prefix(a, c, "q", "doc", "rank").collect()[0]
+    assert (r["n_matched"], r["rbo_num"]) == (1, _W_NUM[1])
+
+
+def test_vacuity_sf001_audits(spark):
+    """Round-7 lesson: every certificate must do real work at the
+    certification SF."""
+    iso = extensions_r10.x148_isotonic_calibration(
+        spark, SF01
+    ).collect()
+    # pooling actually happened somewhere: at least one bin's fitted
+    # differs from its raw rate, and fitted values are not all equal
+    assert any(
+        r["fitted_permille"] != r["raw_permille"] for r in iso
+    )
+    assert len({r["fitted_permille"] for r in iso}) > 1
+    assert len({r["segment"] for r in iso}) == 4
+
+    cp = extensions_r10.x149_changepoint(spark, SF01).collect()
+    assert len(cp) == 5
+    assert all(r["g_abs"] > 0 for r in cp)  # no degenerate flats
+    assert len({r["cp_t"] for r in cp}) > 1  # not all the same split
+
+    rbo = extensions_r10.x150_rank_rbo(spark, SF01).collect()
+    assert len(rbo) == 10
+    vals = {r["rbo_ppm"] for r in rbo}
+    assert len(vals) > 1  # IVF really degrades some queries
+    assert all(0 <= r["rbo_ppm"] <= 651321 for r in rbo)
+    assert any(r["rbo_ppm"] > 0 for r in rbo)
+
+    ece = extensions_r10.s22_stream_ece(spark, SF01).collect()
+    assert len(ece) == 30
+    assert len({r["ece_ppm"] for r in ece}) > 1
+    assert all(r["mce_permille"] >= 0 for r in ece)
+    assert all(r["n_bins"] <= 101 for r in ece)  # bounded state
