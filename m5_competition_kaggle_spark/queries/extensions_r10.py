@@ -136,11 +136,60 @@ def s22_stream_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ece_day_table(cells).orderBy("day")
 
 
+def x151_adida(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADIDA over the x139 part-demand construction with quarterly
+    (91-day) buckets — the temporal-aggregation forecaster for the
+    intermittent family Croston smooths directly. The bucket grid per
+    part is calendar-span/91 bounded; zero buckets participate in the
+    SES (the regularization is the method)."""
+    from m5_competition_kaggle_spark.operators.adida import (
+        adida_forecast,
+    )
+
+    US_PER_DAY = 86_400_000_000
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 20 == 0
+    )
+    demand = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.expr(f"unix_micros(l_shipdate) DIV {US_PER_DAY}").alias(
+            "t"
+        ),
+    ).agg(
+        F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("q")
+    )
+    return adida_forecast(
+        demand, "part", "t", "q", bucket_days=91, alpha_den=4
+    ).orderBy("part")
+
+
+def x152_forecastability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecastability triple (dispersion, dow seasonality strength,
+    linear trend) of each event type's daily COUNT series — the
+    method-selection features beside SBC's demand quadrants."""
+    from m5_competition_kaggle_spark.operators.forecastability import (
+        forecastability_features,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NS_PER_DAY}").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    return forecastability_features(
+        series, "event_type", "t", "y"
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "x148_isotonic_calibration": x148_isotonic_calibration,
     "x149_changepoint": x149_changepoint,
     "x150_rank_rbo": x150_rank_rbo,
     "s22_stream_ece": s22_stream_ece,
+    "x151_adida": x151_adida,
+    "x152_forecastability": x152_forecastability,
 }
 
 ORACLES: dict[str, str] = {}
@@ -267,6 +316,119 @@ SELECT day,
        CAST(max(dp) AS BIGINT) AS mce_permille
 FROM dev GROUP BY day ORDER BY day
 """
+
+
+ORACLES["x151_adida"] = """
+WITH RECURSIVE demand AS (
+    SELECT l_partkey AS part,
+           epoch_ns(l_shipdate) // 86400000000000 AS t,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                AS BIGINT) AS q
+    FROM lineitem WHERE l_partkey % 20 = 0
+    GROUP BY 1, 2
+),
+bsum AS (
+    SELECT part, t // 91 AS b, CAST(sum(q) AS BIGINT) AS q
+    FROM demand GROUP BY 1, 2
+),
+span AS (
+    SELECT part, min(b) AS b0, max(b) AS b1,
+           CAST(count(*) AS BIGINT) AS n_nonzero
+    FROM bsum GROUP BY part
+),
+grid AS (
+    SELECT s.part, s.n_nonzero, u.b,
+           row_number() OVER (PARTITION BY s.part ORDER BY u.b)
+               AS idx
+    FROM span s, unnest(generate_series(s.b0, s.b1)) AS u(b)
+),
+full_series AS (
+    SELECT g.part, g.n_nonzero, g.idx,
+           CAST(coalesce(m.q, 0) AS BIGINT) AS q
+    FROM grid g
+    LEFT JOIN bsum m ON m.part = g.part AND m.b = g.b
+),
+n_per AS (
+    SELECT part, CAST(count(*) AS BIGINT) AS n_buckets
+    FROM full_series GROUP BY part
+),
+rec AS (
+    SELECT part, idx, q AS z FROM full_series WHERE idx = 1
+    UNION ALL
+    SELECT s.part, s.idx, r.z + (s.q - r.z) // 4
+    FROM rec r
+    JOIN full_series s ON s.part = r.part AND s.idx = r.idx + 1
+)
+SELECT n.part AS part, n.n_buckets AS n_buckets,
+       f.n_nonzero AS n_nonzero,
+       r.z AS agg_level,
+       1000000 * r.z // 91 AS forecast_ppm
+FROM n_per n
+JOIN rec r ON r.part = n.part AND r.idx = n.n_buckets
+JOIN (SELECT DISTINCT part, n_nonzero FROM full_series) f
+  ON f.part = n.part
+ORDER BY n.part
+"""
+
+ORACLES["x152_forecastability"] = """
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS t,
+           CAST(count(*) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+cells AS (
+    SELECT event_type, t % 7 AS dow,
+           CAST(count(*) AS BIGINT) AS n_d,
+           CAST(sum(y) AS BIGINT) AS s_d,
+           CAST(sum(y * y) AS BIGINT) AS q_d,
+           CAST(sum(t) AS BIGINT) AS st_d,
+           CAST(sum(t * t) AS BIGINT) AS stt_d,
+           CAST(sum(t * y) AS BIGINT) AS sty_d
+    FROM series GROUP BY 1, 2
+),
+row_stats AS (
+    SELECT event_type,
+           {pivot},
+           CAST(sum(n_d) AS BIGINT) AS n,
+           CAST(sum(s_d) AS BIGINT) AS S,
+           CAST(sum(q_d) AS BIGINT) AS Q,
+           CAST(sum(st_d) AS BIGINT) AS St,
+           CAST(sum(stt_d) AS BIGINT) AS Stt,
+           CAST(sum(sty_d) AS BIGINT) AS Sty
+    FROM cells GROUP BY event_type
+)
+SELECT event_type, n,
+       CASE WHEN S > 0
+            THEN 1000 * (n * Q - S * S) // (n * S)
+       END AS vmr_permille,
+       CASE WHEN n * Q - S * S > 0 THEN CAST(floor(
+           1000000.0 * (({ssb})
+               - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+           / (CAST(Q AS DOUBLE) - CAST(S AS DOUBLE)
+                 * CAST(S AS DOUBLE) / CAST(n AS DOUBLE))
+       ) AS BIGINT) END AS eta2_dow_ppm,
+       CASE WHEN n * Stt - St * St > 0
+            THEN 1000000 * (n * Sty - St * S)
+                 // (n * Stt - St * St)
+       END AS trend_slope_ppm
+FROM row_stats
+ORDER BY event_type
+""".format(
+    pivot=",\n           ".join(
+        f"CAST(sum(CASE WHEN dow = {d} THEN {c} ELSE 0 END) "
+        f"AS BIGINT) AS {c[0]}_d{d}"
+        for d in range(7)
+        for c in ("n_d", "s_d")
+    ),
+    ssb=" + ".join(
+        f"CASE WHEN n_d{d} > 0 THEN "
+        f"CAST(s_d{d} AS DOUBLE) * CAST(s_d{d} AS DOUBLE) "
+        f"/ CAST(n_d{d} AS DOUBLE) ELSE 0.0 END"
+        for d in range(7)
+    ),
+)
 
 
 def _rbo_oracle() -> str:

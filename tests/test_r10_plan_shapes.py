@@ -59,6 +59,26 @@ def test_rbo_weight_ladder_is_jvm_case(spark):
     assert "CASE WHEN" in _optimized(df).upper() or True
 
 
+def test_adida_keyed_windows_jvm_fold(spark):
+    df = extensions_r10.QUERIES["x151_adida"](spark, SF)
+    plan = _optimized(df)
+    assert "UNBOUNDED FOLLOWING" not in plan.upper()
+    # the span min/max windows are keyed by the part key
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).split(",")[0].startswith("k#"), m.group(1)
+    ex = _executed(df)
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in ex, marker
+
+
+def test_forecastability_is_aggregate_only(spark):
+    df = extensions_r10.QUERIES["x152_forecastability"](spark, SF)
+    plan = _optimized(df)
+    assert "windowspecdefinition" not in plan
+    assert "BatchEvalPython" not in _executed(df)
+
+
 def test_stream_ece_twin_is_aggregate_only(spark):
     df = extensions_r10.QUERIES["s22_stream_ece"](spark, SF)
     plan = _optimized(df)

@@ -189,6 +189,67 @@ def test_rbo_hand_examples(spark):
     assert (r["n_matched"], r["rbo_num"]) == (1, _W_NUM[1])
 
 
+def test_adida_hand_example(spark):
+    """SES over the bucket grid WITH reconstructed zeros — the zero
+    participation is the method, so it is pinned explicitly."""
+    from m5_competition_kaggle_spark.operators.adida import (
+        adida_forecast,
+    )
+
+    # demands at t=0 (q=8) and t=5 (q=4), m=2 → buckets [8, 0, 4]:
+    # z = 8 → 8 + (0−8) DIV 2 = 4 → 4 + (4−4) DIV 2 = 4
+    df = spark.createDataFrame(
+        [("a", 0, 8), ("a", 5, 4)], "k string, t bigint, q bigint"
+    )
+    r = adida_forecast(
+        df, "k", "t", "q", bucket_days=2, alpha_den=2
+    ).collect()[0]
+    assert (r["n_buckets"], r["n_nonzero"], r["agg_level"]) == (
+        3, 2, 4,
+    )
+    assert r["forecast_ppm"] == 1_000_000 * 4 // 2
+    # adjacent buckets, no gap: [8, 4] → 8 + (4−8) DIV 2 = 6
+    df = spark.createDataFrame(
+        [("a", 0, 8), ("a", 2, 4)], "k string, t bigint, q bigint"
+    )
+    r = adida_forecast(
+        df, "k", "t", "q", bucket_days=2, alpha_den=2
+    ).collect()[0]
+    assert (r["n_buckets"], r["agg_level"]) == (2, 6)
+    # singleton series: level = the one bucket, grid length 1
+    df = spark.createDataFrame(
+        [("s", 7, 5)], "k string, t bigint, q bigint"
+    )
+    r = adida_forecast(
+        df, "k", "t", "q", bucket_days=2, alpha_den=2
+    ).collect()[0]
+    assert (r["n_buckets"], r["agg_level"]) == (1, 5)
+
+
+def test_forecastability_hand_examples(spark):
+    """Constant series → vmr 0 / NULL eta² / slope 0; a pure
+    day-of-week pattern → eta² = 10⁶ exactly; y = 3t → slope 3·10⁶."""
+    from m5_competition_kaggle_spark.operators.forecastability import (
+        forecastability_features,
+    )
+
+    rows = [("const", t, 5) for t in range(14)]
+    rows += [("dow", t, 10 + (t % 7)) for t in range(14)]
+    rows += [("trend", t, 3 * t) for t in range(14)]
+    df = spark.createDataFrame(rows, "k string, t bigint, y bigint")
+    got = {r["k"]: r for r in forecastability_features(
+        df, "k", "t", "y").collect()}
+    c = got["const"]
+    assert (c["vmr_permille"], c["eta2_dow_ppm"],
+            c["trend_slope_ppm"]) == (0, None, 0)
+    d = got["dow"]
+    # two identical values per dow ⇒ zero within-group variance
+    assert d["eta2_dow_ppm"] == 1_000_000
+    t = got["trend"]
+    assert t["trend_slope_ppm"] == 3_000_000
+    assert t["eta2_dow_ppm"] < 1_000_000
+
+
 def test_vacuity_sf001_audits(spark):
     """Round-7 lesson: every certificate must do real work at the
     certification SF."""
@@ -220,3 +281,16 @@ def test_vacuity_sf001_audits(spark):
     assert len({r["ece_ppm"] for r in ece}) > 1
     assert all(r["mce_permille"] >= 0 for r in ece)
     assert all(r["n_bins"] <= 101 for r in ece)  # bounded state
+
+    ad = extensions_r10.x151_adida(spark, SF01).collect()
+    assert len(ad) == 100
+    # the grid really reconstructs zeros: some parts have more
+    # buckets than nonzero buckets, and levels vary
+    assert any(r["n_buckets"] > r["n_nonzero"] for r in ad)
+    assert len({r["agg_level"] for r in ad}) > 1
+
+    fc = extensions_r10.x152_forecastability(spark, SF01).collect()
+    assert len(fc) == 5
+    assert all(r["vmr_permille"] is not None for r in fc)
+    assert len({r["eta2_dow_ppm"] for r in fc}) > 1
+    assert all(r["eta2_dow_ppm"] < 1_000_000 for r in fc)
