@@ -24,6 +24,16 @@ Spark-vs-DuckDB differential as ``scripts/check_oracle.py``.
   granularity, certifying the exact telescoped-integer kernel the
   update-mode deployment re-assembles through (the s21 twin pattern —
   AUC watches ranking quality, this watches score meaning).
+- x151 ADIDA (``operators/adida.py``): the temporal-aggregation
+  intermittent forecaster beside Croston (x139) — quarterly buckets
+  with reconstructed zeros, integer SES, per-day ppm disaggregation.
+- x152 forecastability features (``operators/forecastability.py``):
+  VMR dispersion, day-of-week eta² seasonal strength, OLS trend —
+  the method-selection triple beside SBC's demand quadrants.
+- x153 Theil–Sen robust trend (``operators/theil_sen.py``): the
+  ~29%-breakdown median-of-pairwise-slopes estimator OLS lacks —
+  calendar-bounded keyed pair join, lower-median pick emits the
+  exact rational.
 """
 
 from __future__ import annotations
@@ -183,6 +193,29 @@ def x152_forecastability(
     ).orderBy("event_type")
 
 
+def x153_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of each event type's daily permille-sum
+    series — the breakdown-resistant companion to x152's OLS slope
+    (one corrupted day cannot drag it). The pair set is calendar-
+    bounded: days²/2 per event type."""
+    from m5_competition_kaggle_spark.operators.theil_sen import (
+        theil_sen_slope,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NS_PER_DAY}").alias("t"),
+    ).agg(
+        F.sum(
+            F.expr("CAST(round(value * 1000) AS BIGINT)")
+        ).alias("y")
+    )
+    return theil_sen_slope(
+        series, "event_type", "t", "y"
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "x148_isotonic_calibration": x148_isotonic_calibration,
     "x149_changepoint": x149_changepoint,
@@ -190,6 +223,7 @@ QUERIES = {
     "s22_stream_ece": s22_stream_ece,
     "x151_adida": x151_adida,
     "x152_forecastability": x152_forecastability,
+    "x153_theil_sen": x153_theil_sen,
 }
 
 ORACLES: dict[str, str] = {}
@@ -429,6 +463,47 @@ ORDER BY event_type
         for d in range(7)
     ),
 )
+
+
+ORACLES["x153_theil_sen"] = """
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // 86400000000000 AS t,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type,
+           a.t AS ti, b.t AS tj,
+           b.y - a.y AS dy, b.t - a.t AS dx
+    FROM series a
+    JOIN series b ON a.event_type = b.event_type AND a.t < b.t
+),
+ranked AS (
+    SELECT event_type, dy, dx,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+                        ti ASC, tj ASC
+           ) AS r,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_pairs
+    FROM pairs
+),
+n_pts AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM series GROUP BY 1
+)
+SELECT p.event_type AS event_type, p.n AS n, r.n_pairs AS n_pairs,
+       r.dy AS slope_num, r.dx AS slope_den,
+       CASE WHEN r.dy >= 0 THEN 1000000 * r.dy // r.dx
+            ELSE -((1000000 * (-r.dy)) // r.dx) END AS slope_ppm
+FROM n_pts p
+JOIN ranked r ON r.event_type = p.event_type
+             AND r.r = (r.n_pairs + 1) // 2
+ORDER BY p.event_type
+"""
 
 
 def _rbo_oracle() -> str:

@@ -79,6 +79,18 @@ def test_forecastability_is_aggregate_only(spark):
     assert "BatchEvalPython" not in _executed(df)
 
 
+def test_theil_sen_pairs_keyed_no_python(spark):
+    df = extensions_r10.QUERIES["x153_theil_sen"](spark, SF)
+    plan = _optimized(df)
+    assert "UNBOUNDED FOLLOWING" not in plan.upper()
+    # the pair join and both windows are keyed on the series key
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).split(",")[0].startswith("k#"), m.group(1)
+    ex = _executed(df)
+    assert "CartesianProduct" not in ex
+    assert "BatchEvalPython" not in ex
+
+
 def test_stream_ece_twin_is_aggregate_only(spark):
     df = extensions_r10.QUERIES["s22_stream_ece"](spark, SF)
     plan = _optimized(df)

@@ -250,6 +250,32 @@ def test_forecastability_hand_examples(spark):
     assert t["eta2_dow_ppm"] < 1_000_000
 
 
+def test_theil_sen_hand_example(spark):
+    """y = 2t + contamination: the median pairwise slope ignores one
+    wild outlier that would wreck OLS; exact rational output."""
+    from m5_competition_kaggle_spark.operators.theil_sen import (
+        theil_sen_slope,
+    )
+
+    rows = [("a", t, 2 * t) for t in range(9)] + [("a", 9, 500)]
+    rows += [("b", 0, 10), ("b", 1, 14)]
+    rows += [("solo", 3, 1)]
+    df = spark.createDataFrame(rows, "k string, t bigint, y bigint")
+    got = {r["k"]: r for r in theil_sen_slope(
+        df, "k", "t", "y").collect()}
+    a = got["a"]
+    assert (a["n"], a["n_pairs"]) == (10, 45)
+    # 36 clean pairs all have slope exactly 2; 9 outlier pairs are
+    # huge — the median lands in the clean mass
+    assert a["slope_num"] == 2 * a["slope_den"]
+    assert a["slope_ppm"] == 2_000_000
+    b = got["b"]
+    assert (b["slope_num"], b["slope_den"], b["slope_ppm"]) == (
+        4, 1, 4_000_000,
+    )
+    assert "solo" not in got
+
+
 def test_vacuity_sf001_audits(spark):
     """Round-7 lesson: every certificate must do real work at the
     certification SF."""
@@ -294,3 +320,8 @@ def test_vacuity_sf001_audits(spark):
     assert all(r["vmr_permille"] is not None for r in fc)
     assert len({r["eta2_dow_ppm"] for r in fc}) > 1
     assert all(r["eta2_dow_ppm"] < 1_000_000 for r in fc)
+
+    ts = extensions_r10.x153_theil_sen(spark, SF01).collect()
+    assert len(ts) == 5
+    assert all(r["n_pairs"] == r["n"] * (r["n"] - 1) // 2 for r in ts)
+    assert len({r["slope_ppm"] for r in ts}) > 1
