@@ -216,6 +216,44 @@ def x153_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def x154_method_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SBC-routed forecasting over BOTH demand families
+    (x141's construction): sparse part demand (horizon 182 days —
+    the family's mean inter-demand gap is ~57 days, so a week would
+    be empty) and dense user activity (horizon 7). Each series is
+    classified, routed to Croston or weekly-ADIDA SES, and its
+    held-out µ-unit error certified against the zero baseline —
+    the whole method-selection loop in one hash."""
+    from m5_competition_kaggle_spark.plans.method_select import (
+        routed_forecast_eval,
+    )
+
+    US_PER_DAY = 86_400_000_000
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") % 20 == 0
+    )
+    part_demand = li.groupBy(
+        F.col("l_partkey").alias("k"),
+        F.expr(f"unix_micros(l_shipdate) DIV {US_PER_DAY}").alias(
+            "t"
+        ),
+    ).agg(
+        F.sum(F.expr("CAST(round(l_quantity) AS BIGINT)")).alias("q")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    user_demand = ev.groupBy(
+        F.col("user_id").alias("k"),
+        F.expr(f"ts_nanos DIV {NS_PER_DAY}").alias("t"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("q"))
+    parts = routed_forecast_eval(
+        part_demand, "k", "t", "q", horizon=182
+    ).select(F.lit("part").alias("family"), "*")
+    users = routed_forecast_eval(
+        user_demand, "k", "t", "q", horizon=7
+    ).select(F.lit("user").alias("family"), "*")
+    return parts.unionByName(users).orderBy("family", "k")
+
+
 QUERIES = {
     "x148_isotonic_calibration": x148_isotonic_calibration,
     "x149_changepoint": x149_changepoint,
@@ -224,6 +262,7 @@ QUERIES = {
     "x151_adida": x151_adida,
     "x152_forecastability": x152_forecastability,
     "x153_theil_sen": x153_theil_sen,
+    "x154_method_select": x154_method_select,
 }
 
 ORACLES: dict[str, str] = {}
@@ -504,6 +543,157 @@ JOIN ranked r ON r.event_type = p.event_type
              AND r.r = (r.n_pairs + 1) // 2
 ORDER BY p.event_type
 """
+
+
+def _method_select_family_sql(
+    family: str, demand_sql: str, horizon: int
+) -> str:
+    """One family's routed-forecast certification SQL: the x141 SBC
+    arithmetic, the x139 Croston recursion and the x151 ADIDA(m=7)
+    recursion over the TRAIN split, routed and scored on the held-out
+    horizon — the same exact integers the Spark composition emits."""
+    h = int(horizon)
+    return f"""
+SELECT * FROM (
+WITH RECURSIVE demand AS MATERIALIZED ({demand_sql}),
+cutoff AS (SELECT max(t) - {h} AS c FROM demand),
+train AS MATERIALIZED (
+    SELECT d.k, d.t, d.q FROM demand d, cutoff WHERE d.t <= cutoff.c
+),
+ev AS MATERIALIZED (
+    SELECT d.k, d.q FROM demand d, cutoff WHERE d.t > cutoff.c
+),
+st AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS n_demands,
+           max(t) - min(t) AS span,
+           CAST(sum(q * q) AS BIGINT) AS sq2,
+           CAST(sum(q) AS BIGINT) AS sq
+    FROM train GROUP BY k HAVING count(*) >= 2
+),
+classes AS MATERIALIZED (
+    SELECT k,
+           CASE
+             WHEN 100 * span >= 132 * (n_demands - 1)
+                  AND 100 * (n_demands * sq2 - sq * sq) >= 49 * sq * sq
+               THEN 'lumpy'
+             WHEN 100 * span >= 132 * (n_demands - 1)
+               THEN 'intermittent'
+             WHEN 100 * (n_demands * sq2 - sq * sq) >= 49 * sq * sq
+               THEN 'erratic'
+             ELSE 'smooth'
+           END AS sbc_class
+    FROM st
+),
+indexed AS MATERIALIZED (
+    SELECT k, t, q,
+           row_number() OVER (PARTITION BY k ORDER BY t) AS idx
+    FROM train
+),
+n_per AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS nd FROM indexed GROUP BY k
+),
+crec AS (
+    SELECT k, idx, q AS z, CAST(-1 AS BIGINT) AS p, t AS pt
+    FROM indexed WHERE idx = 1
+    UNION ALL
+    SELECT s.k, s.idx,
+           r.z + (s.q - r.z) // 4,
+           CASE WHEN r.p = -1 THEN s.t - r.pt
+                ELSE r.p + ((s.t - r.pt) - r.p) // 4 END,
+           s.t
+    FROM crec r JOIN indexed s ON s.k = r.k AND s.idx = r.idx + 1
+),
+cro AS MATERIALIZED (
+    SELECT n.k,
+           CASE WHEN r.p >= 1 THEN 1000000 * r.z // r.p END AS f_cro
+    FROM n_per n JOIN crec r ON r.k = n.k AND r.idx = n.nd
+),
+bsum AS MATERIALIZED (
+    SELECT k, t // 7 AS b, CAST(sum(q) AS BIGINT) AS q
+    FROM train GROUP BY 1, 2
+),
+span7 AS (SELECT k, min(b) AS b0, max(b) AS b1 FROM bsum GROUP BY k),
+grid AS MATERIALIZED (
+    SELECT s.k, u.b,
+           row_number() OVER (PARTITION BY s.k ORDER BY u.b) AS idx
+    FROM span7 s, unnest(generate_series(s.b0, s.b1)) AS u(b)
+),
+fs AS MATERIALIZED (
+    SELECT g.k, g.idx, CAST(coalesce(m.q, 0) AS BIGINT) AS q
+    FROM grid g LEFT JOIN bsum m ON m.k = g.k AND m.b = g.b
+),
+nb AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS n_buckets FROM fs GROUP BY k
+),
+arec AS (
+    SELECT k, idx, q AS z FROM fs WHERE idx = 1
+    UNION ALL
+    SELECT s.k, s.idx, r.z + (s.q - r.z) // 4
+    FROM arec r JOIN fs s ON s.k = r.k AND s.idx = r.idx + 1
+),
+ses AS MATERIALIZED (
+    SELECT n.k, 1000000 * r.z // 7 AS f_ses
+    FROM nb n JOIN arec r ON r.k = n.k AND r.idx = n.n_buckets
+),
+routed AS MATERIALIZED (
+    SELECT c.k, c.sbc_class,
+           CASE WHEN c.sbc_class IN ('intermittent', 'lumpy')
+                THEN 'croston' ELSE 'adida_ses' END AS method,
+           CASE WHEN c.sbc_class IN ('intermittent', 'lumpy')
+                THEN cr.f_cro ELSE se.f_ses END AS f_ppm
+    FROM classes c
+    LEFT JOIN cro cr ON cr.k = c.k
+    LEFT JOIN ses se ON se.k = c.k
+),
+evst AS (
+    SELECT k, CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(q) AS BIGINT) AS q_eval
+    FROM ev GROUP BY k
+),
+sae_pos AS (
+    SELECT r.k,
+           CAST(sum(abs(1000000 * e.q - r.f_ppm)) AS BIGINT) AS sp
+    FROM routed r JOIN ev e ON e.k = r.k
+    GROUP BY r.k
+)
+SELECT '{family}' AS family, r.k AS k, r.sbc_class AS sbc_class,
+       r.method AS method, r.f_ppm AS f_ppm,
+       coalesce(s.n_eval, 0) AS n_eval,
+       coalesce(p.sp, 0)
+           + ({h} - coalesce(s.n_eval, 0)) * r.f_ppm AS sae,
+       1000000 * coalesce(s.q_eval, 0) AS sae_zero,
+       CAST(coalesce(p.sp, 0)
+                + ({h} - coalesce(s.n_eval, 0)) * r.f_ppm
+            < 1000000 * coalesce(s.q_eval, 0) AS INT) AS beats_zero
+FROM routed r
+LEFT JOIN evst s ON s.k = r.k
+LEFT JOIN sae_pos p ON p.k = r.k
+) t_{family}
+"""
+
+
+_PART_DEMAND_SQL = """
+    SELECT l_partkey AS k,
+           epoch_ns(l_shipdate) // 86400000000000 AS t,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                AS BIGINT) AS q
+    FROM lineitem WHERE l_partkey % 20 = 0
+    GROUP BY 1, 2
+"""
+
+_USER_DEMAND_SQL = """
+    SELECT user_id AS k,
+           epoch_ns(ts) // 86400000000000 AS t,
+           CAST(count(*) AS BIGINT) AS q
+    FROM events GROUP BY 1, 2
+"""
+
+ORACLES["x154_method_select"] = (
+    _method_select_family_sql("part", _PART_DEMAND_SQL, 182)
+    + "\nUNION ALL\n"
+    + _method_select_family_sql("user", _USER_DEMAND_SQL, 7)
+    + "\nORDER BY family, k"
+)
 
 
 def _rbo_oracle() -> str:

@@ -91,6 +91,18 @@ def test_theil_sen_pairs_keyed_no_python(spark):
     assert "BatchEvalPython" not in ex
 
 
+def test_method_select_keyed_no_python_no_cartesian(spark):
+    df = extensions_r10.QUERIES["x154_method_select"](spark, SF)
+    plan = _optimized(df)
+    assert "UNBOUNDED FOLLOWING" not in plan.upper()
+    ex = _executed(df)
+    assert "CartesianProduct" not in ex
+    # the only unkeyed join is the 1-row cutoff broadcast (BNLJ)
+    assert "BatchEvalPython" not in ex
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert m.group(1).split(",")[0].startswith("k#"), m.group(1)
+
+
 def test_stream_ece_twin_is_aggregate_only(spark):
     df = extensions_r10.QUERIES["s22_stream_ece"](spark, SF)
     plan = _optimized(df)

@@ -325,3 +325,15 @@ def test_vacuity_sf001_audits(spark):
     assert len(ts) == 5
     assert all(r["n_pairs"] == r["n"] * (r["n"] - 1) // 2 for r in ts)
     assert len({r["slope_ppm"] for r in ts}) > 1
+
+    ms = extensions_r10.x154_method_select(spark, SF01).collect()
+    assert len(ms) > 100
+    assert {r["method"] for r in ms} == {"croston", "adida_ses"}
+    assert len({r["sbc_class"] for r in ms}) == 4
+    assert all(r["f_ppm"] is not None for r in ms)
+    # the baseline contest is real: each side wins somewhere
+    assert any(r["beats_zero"] == 1 for r in ms)
+    assert any(r["beats_zero"] == 0 for r in ms)
+    # dense user series must beat the zero forecaster mostly
+    users = [r for r in ms if r["family"] == "user"]
+    assert sum(r["beats_zero"] for r in users) > len(users) // 2
