@@ -338,6 +338,51 @@ def main():
         for r in iv_agg
     }
 
+    # stage 7: classical method selection at full scale
+    # (plans/method_select.py): every one of the 30,490 series SBC-
+    # classified on its nonzero-demand train split, routed to Croston
+    # or weekly-ADIDA SES, and scored on the last 28 observed days in
+    # exact µ-unit integers vs the zero baseline — the per-series
+    # classical alternative to the reference's one-global-model
+    # design, run at the reference's own scale.
+    t0 = time.monotonic()
+    from m5_competition_kaggle_spark.plans.method_select import (
+        routed_forecast_eval,
+    )
+
+    demand = (
+        feats.filter(F.col("units_sold") > 0)
+        .select(
+            "id",
+            F.datediff(
+                F.col("date"), F.lit("2011-01-29").cast("date")
+            )
+            .cast("long")
+            .alias("t"),
+            F.col("units_sold").cast("long").alias("q"),
+        )
+    )
+    ms = routed_forecast_eval(demand, "id", "t", "q", horizon=28)
+    ms_agg = (
+        ms.groupBy("sbc_class", "method")
+        .agg(
+            F.count(F.lit(1)).alias("series"),
+            F.expr(
+                "1000 * CAST(sum(beats_zero) AS BIGINT)"
+                " DIV count(*)"
+            ).alias("beat_zero_permille"),
+        )
+        .collect()
+    )
+    t["method_select"] = round(time.monotonic() - t0, 1)
+    method_select = {
+        f"{r['sbc_class']}/{r['method']}": {
+            "series": r["series"],
+            "beat_zero_permille": r["beat_zero_permille"],
+        }
+        for r in ms_agg
+    }
+
     n_sub = spark.read.parquet(f"{work}/submission.parquet").count()
     summary = {
         "grouping": grouping,
@@ -348,6 +393,7 @@ def main():
         "spl_scored": spl_agg["scored"],
         "mean_spl_ppm": spl_agg["mean_spl_ppm"],
         "intervals": intervals,
+        "method_select": method_select,
         "feature_rows": n_feat,
         "models": len(model_rows),
         "train_rows": int(sum(r["n_train"] for r in model_rows)),

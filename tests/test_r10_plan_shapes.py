@@ -56,7 +56,6 @@ def test_rbo_weight_ladder_is_jvm_case(spark):
     # certified exact baseline — never a row-at-a-time UDF
     assert "BatchEvalPython" not in ex
     assert "FlatMapCoGroupsInPandas" in ex  # brute_force_topk reuse
-    assert "CASE WHEN" in _optimized(df).upper() or True
 
 
 def test_adida_keyed_windows_jvm_fold(spark):
