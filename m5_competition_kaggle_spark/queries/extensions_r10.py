@@ -254,6 +254,19 @@ def x154_method_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.unionByName(users).orderBy("family", "k")
 
 
+def x155_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd rounds from the certified IVF seed codebook over the
+    embedding corpus (k=16) — trained-centroid cluster sizes, exact
+    int64 inertia and centroid L1 checksums, the codebook the
+    ivf_topk docstring promises a production build would train."""
+    from m5_competition_kaggle_spark.operators.kmeans import (
+        kmeans_lloyd,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=16, rounds=2).orderBy("cid")
+
+
 QUERIES = {
     "x148_isotonic_calibration": x148_isotonic_calibration,
     "x149_changepoint": x149_changepoint,
@@ -263,6 +276,7 @@ QUERIES = {
     "x152_forecastability": x152_forecastability,
     "x153_theil_sen": x153_theil_sen,
     "x154_method_select": x154_method_select,
+    "x155_kmeans_lloyd": x155_kmeans_lloyd,
 }
 
 ORACLES: dict[str, str] = {}
@@ -694,6 +708,105 @@ ORACLES["x154_method_select"] = (
     + _method_select_family_sql("user", _USER_DEMAND_SQL, 7)
     + "\nORDER BY family, k"
 )
+
+
+def _kmeans_oracle(k: int, rounds: int) -> str:
+    """Unrolled Lloyd rounds (the x41/x65 fixed-iteration precedent):
+    each round is an exact int64 distance argmin (tie → lowest cid)
+    and an integer-rounded per-dimension mean; empty clusters carry
+    the previous centroid forward."""
+    parts = [
+        f"""
+WITH q AS MATERIALIZED (
+    SELECT vec_id AS vid,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS v
+    FROM embeddings
+),
+cent0 AS MATERIALIZED (
+    SELECT vid AS cid, v AS cv FROM q WHERE vid < {k}
+)"""
+    ]
+    prev = "cent0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+    SELECT q.vid, c.cid,
+           CAST(sum((q.v[u.i] - c.cv[u.i])
+                    * (q.v[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+    FROM q CROSS JOIN {prev} c,
+         unnest(generate_series(1, len(q.v))) AS u(i)
+    GROUP BY 1, 2
+),
+a{r} AS MATERIALIZED (
+    SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM d{r}
+    ) WHERE rn = 1
+),
+s{r} AS MATERIALIZED (
+    SELECT a.cid, u.i,
+           CAST(sum(q.v[u.i]) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a{r} a JOIN q ON q.vid = a.vid,
+         unnest(generate_series(1, len(q.v))) AS u(i)
+    GROUP BY 1, 2
+),
+cent{r} AS MATERIALIZED (
+    SELECT cid, list(r ORDER BY i) AS cv FROM (
+        SELECT cid, i,
+               CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+                    ELSE -((2 * (-s) + n) // (2 * n)) END AS r
+        FROM s{r}
+    ) GROUP BY cid
+    UNION ALL
+    SELECT c.cid, c.cv FROM {prev} c
+    WHERE c.cid NOT IN (SELECT DISTINCT cid FROM s{r})
+)"""
+        )
+        prev = f"cent{r}"
+    parts.append(
+        f""",
+dfin AS MATERIALIZED (
+    SELECT q.vid, c.cid,
+           CAST(sum((q.v[u.i] - c.cv[u.i])
+                    * (q.v[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+    FROM q CROSS JOIN {prev} c,
+         unnest(generate_series(1, len(q.v))) AS u(i)
+    GROUP BY 1, 2
+),
+afin AS (
+    SELECT vid, cid, d2 FROM (
+        SELECT vid, cid, d2,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM dfin
+    ) WHERE rn = 1
+),
+per_cluster AS (
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(d2) AS BIGINT) AS inertia
+    FROM afin GROUP BY cid
+),
+checksum AS (
+    SELECT c.cid, CAST(sum(abs(u.x)) AS BIGINT) AS centroid_l1
+    FROM {prev} c, unnest(c.cv) AS u(x)
+    GROUP BY c.cid
+)
+SELECT p.cid AS cid, p.n_vectors AS n_vectors,
+       p.inertia AS inertia, s.centroid_l1 AS centroid_l1
+FROM per_cluster p JOIN checksum s ON s.cid = p.cid
+ORDER BY p.cid
+"""
+    )
+    return "".join(parts)
+
+
+ORACLES["x155_kmeans_lloyd"] = _kmeans_oracle(16, 2)
 
 
 def _rbo_oracle() -> str:

@@ -102,6 +102,15 @@ def test_method_select_keyed_no_python_no_cartesian(spark):
         assert m.group(1).split(",")[0].startswith("k#"), m.group(1)
 
 
+def test_kmeans_broadcasts_centroids_stays_jvm(spark):
+    df = extensions_r10.QUERIES["x155_kmeans_lloyd"](spark, SF)
+    ex = _executed(df)
+    assert "BroadcastNestedLoopJoin" in ex  # k-row centroid fan
+    for marker in ("BatchEvalPython", "ArrowEvalPython",
+                   "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in ex, marker
+
+
 def test_stream_ece_twin_is_aggregate_only(spark):
     df = extensions_r10.QUERIES["s22_stream_ece"](spark, SF)
     plan = _optimized(df)

@@ -276,6 +276,48 @@ def test_theil_sen_hand_example(spark):
     assert "solo" not in got
 
 
+def test_kmeans_hand_example(spark):
+    """Two obvious clusters in 1-D: Lloyd must move the seed
+    centroids onto the group means and drive inertia to the
+    within-group floor."""
+    from m5_competition_kaggle_spark.operators.kmeans import (
+        kmeans_lloyd,
+    )
+
+    # ids 0,1 seed the two centroids at 0.0 and 0.001 (quantized 0
+    # and 1); the data mass sits at ~0 and ~10 (quantized 0/10000)
+    rows = [
+        (0, [0.0]), (1, [0.001]),
+        (2, [0.002]), (3, [0.001]),
+        (4, [10.0]), (5, [10.002]), (6, [9.998]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = {r["cid"]: r for r in kmeans_lloyd(
+        df, k=2, rounds=2).collect()}
+    assert set(out) == {0, 1}
+    sizes = sorted(r["n_vectors"] for r in out.values())
+    assert sizes == [3, 4]
+    # the far cluster's trained centroid sits at the rounded mean of
+    # {10000, 10002, 9998} = 10000
+    far = max(out.values(), key=lambda r: r["centroid_l1"])
+    assert far["centroid_l1"] == 10000
+    assert far["inertia"] == 2 * 2 * 2  # (±2)² twice
+    # empty-cluster carry-forward: duplicate seeds — every vector
+    # ties to both centroids and the cid-asc tie-break sends ALL of
+    # them to cluster 0, so cluster 1 goes empty (keeps its seed) and
+    # the final summary only reports populated clusters
+    solo = spark.createDataFrame(
+        [(0, [0.0]), (1, [0.0]), (2, [0.0]), (3, [0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = kmeans_lloyd(solo, k=2, rounds=2).collect()
+    assert len(got) == 1
+    assert (got[0]["cid"], got[0]["n_vectors"], got[0]["inertia"]) \
+        == (0, 4, 0)
+
+
 def test_vacuity_sf001_audits(spark):
     """Round-7 lesson: every certificate must do real work at the
     certification SF."""
@@ -325,6 +367,17 @@ def test_vacuity_sf001_audits(spark):
     assert len(ts) == 5
     assert all(r["n_pairs"] == r["n"] * (r["n"] - 1) // 2 for r in ts)
     assert len({r["slope_ppm"] for r in ts}) > 1
+
+    from m5_competition_kaggle_spark.sources.catalog import (
+        load_table,
+    )
+
+    n_emb = load_table(spark, SF01, "embeddings").count()
+    km = extensions_r10.x155_kmeans_lloyd(spark, SF01).collect()
+    assert len(km) == 16
+    assert sum(r["n_vectors"] for r in km) == n_emb
+    assert len({r["centroid_l1"] for r in km}) > 1
+    assert all(r["inertia"] > 0 for r in km)
 
     ms = extensions_r10.x154_method_select(spark, SF01).collect()
     assert len(ms) > 100
