@@ -34,6 +34,13 @@ Spark-vs-DuckDB differential as ``scripts/check_oracle.py``.
   ~29%-breakdown median-of-pairwise-slopes estimator OLS lacks —
   calendar-bounded keyed pair join, lower-median pick emits the
   exact rational.
+- x154 SBC-routed method selection (``plans/method_select.py``):
+  classify → route (Croston / weekly-ADIDA SES) → held-out µ-unit
+  error vs the zero baseline, certified end-to-end over both demand
+  families — the whole classical forecasting loop in one hash.
+- x155 integer Lloyd k-means (``operators/kmeans.py``): the trained
+  IVF codebook — fixed unrolled rounds from the certified seed rule,
+  exact assignment/inertia/centroid checksums.
 """
 
 from __future__ import annotations
