@@ -85,6 +85,88 @@ def _update(assigned: DataFrame, cent: DataFrame) -> DataFrame:
     return fresh.unionByName(kept)
 
 
+def train_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained (cid, cv) codebook after ``rounds`` Lloyd
+    iterations from the IVF seed rule — the table ``kmeans_lloyd``
+    summarizes and ``ivf_topk_trained`` probes."""
+    if k < 1 or rounds < 0:
+        raise ValueError("need k >= 1 and rounds >= 0")
+    qz = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
+    )
+    cent = qz.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(int(rounds)):
+        cent = _update(_assign(qz, cent), cent)
+        # lineage doubles per round; rounds are few and the centroid
+        # table is k rows, so a local materialization keeps the plan
+        # flat without a cluster-wide barrier
+        cent = cent.localCheckpoint(eager=False)
+    return cent
+
+
+def ivf_topk_trained(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cent: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe under an EXPLICIT (cid, cv) codebook — the trained
+    twin of ``similarity.ivf_topk`` (which hard-wires the seed rule).
+    Assignment and probing use the k-means metric (exact int64
+    squared L2, ties on cid); candidate ranking uses the exact
+    quantized dot with (dot desc, id asc) ties, identical to the
+    certified seed-rule path, so recall under the trained codebook is
+    directly comparable to x116's."""
+    qz = vectors.select(
+        F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
+    )
+    assigned = _assign(qz, cent).select("vid", "v", "cid")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_expr(vec_col).alias("qv"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("__d2"), F.asc("cid")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cent))
+        .withColumn("__d2", _sq_dist("qv", "cv"))
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(v, qv, (x, y) -> x * y), 0L, "
+        "(acc, v2) -> acc + v2)"
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    return (
+        assigned.join(probes, "cid")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            dot.alias("dot"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dot", "rank")
+    )
+
+
 def kmeans_lloyd(
     vectors: DataFrame,
     k: int = 16,
@@ -97,21 +179,12 @@ def kmeans_lloyd(
     inertia (Σ dist² to the final centroid, exact int64), and
     centroid_l1 (Σ|component|, a compact certifiable checksum of the
     trained centroid itself)."""
-    if k < 1 or rounds < 0:
-        raise ValueError("need k >= 1 and rounds >= 0")
     qz = vectors.select(
         F.col(id_col).alias("vid"), quantize_expr(vec_col).alias("v")
     )
-    cent = qz.filter(F.col("vid") < k).select(
-        F.col("vid").alias("cid"), F.col("v").alias("cv")
+    cent = train_centroids(
+        vectors, k=k, rounds=rounds, id_col=id_col, vec_col=vec_col
     )
-    for _ in range(int(rounds)):
-        assigned = _assign(qz, cent)
-        cent = _update(assigned, cent)
-        # lineage doubles per round; rounds are few and the centroid
-        # table is k rows, so a local materialization keeps the plan
-        # flat without a cluster-wide barrier
-        cent = cent.localCheckpoint(eager=False)
     final = _assign(qz, cent)
     per_cluster = final.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),

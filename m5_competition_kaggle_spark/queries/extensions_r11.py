@@ -1,0 +1,295 @@
+"""Round-11 queue — staged BEHIND the staged r10 batch (neither is
+registered in ``queries/__init__``; the r10 window is already fully
+planned as 9 r10 promotions + 41 re-banks). Locally certified by
+``tests/test_r11_queue.py`` with the same Spark-vs-DuckDB
+differential as ``scripts/check_oracle.py``.
+
+- x156 trained-codebook recall (``operators/kmeans.py``): recall@10
+  of the IVF probe under the 2-round Lloyd-trained centroids vs the
+  exact baseline — directly comparable to x116's seed-rule recall
+  (same query set, k, nprobe), certifying that TRAINING the codebook
+  is an improvement, not a regression.
+- x157 vocabulary-growth deciles (``operators/heaps.py``): the
+  Heaps-law curve — cumulative types vs tokens at ten doc-ordered
+  checkpoints with exact type-token ratios; junk and duplication
+  bend this curve in opposite directions.
+- x158 pair-distance histogram (``operators/pairdist.py``): exact
+  squared-L2 distance mass over the deterministic id-modulus sample
+  — the threshold-picking diagnostic under every near-dup /
+  semantic-dedup radius.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+
+def x156_trained_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 under the trained codebook (x155's centroids, same
+    probe shape as x23/x116: nprobe=4, 16 lists) vs the exact top-10,
+    per query — one row per query with exact hit counts."""
+    from m5_competition_kaggle_spark.operators.kmeans import (
+        ivf_topk_trained,
+        train_centroids,
+    )
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    cent = train_centroids(emb, k=16, rounds=2)
+    approx = ivf_topk_trained(emb, qset, cent, k=10, nprobe=4)
+    exact = brute_force_topk(emb, qset, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        n_exact.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.expr(
+                "(1000 * coalesce(n_hit, 0)) DIV n_exact"
+            ).alias("recall_permille"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def x157_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps curve of the documents corpus at ten doc-id-ordered
+    checkpoints."""
+    from m5_competition_kaggle_spark.operators.heaps import (
+        vocab_growth_deciles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_growth_deciles(docs).orderBy("decile")
+
+
+def x158_pair_distances(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distance-mass histogram of the vec_id % 25 embedding sample,
+    fixed 10⁵ bucket width (the fixture's d² mass spans ~1.3–2.6
+    ·10⁶, so ~13–26 populated buckets at any SF)."""
+    from m5_competition_kaggle_spark.operators.pairdist import (
+        pair_distance_histogram,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pair_distance_histogram(
+        emb, modulus=25, bucket_width=100_000
+    ).orderBy("bucket")
+
+
+QUERIES = {
+    "x156_trained_recall": x156_trained_recall,
+    "x157_vocab_growth": x157_vocab_growth,
+    "x158_pair_distances": x158_pair_distances,
+}
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["x157_vocab_growth"] = """
+WITH base AS (
+    SELECT doc_id AS d,
+           list_filter(regexp_split_to_array(lower(text),
+                                             '[^a-z0-9]+'),
+                       x -> x <> '') AS arr
+    FROM documents
+),
+per_doc AS (
+    SELECT d, CAST(len(arr) AS BIGINT) AS nt FROM base
+),
+tri AS (
+    SELECT d, arr[u.i] || ' ' || arr[u.i + 1] || ' ' || arr[u.i + 2]
+               AS ty
+    FROM base, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+    WHERE len(arr) >= 3
+),
+first AS (
+    SELECT ty, min(d) AS fd FROM tri GROUP BY ty
+),
+new_types AS (
+    SELECT fd AS d, CAST(count(*) AS BIGINT) AS new_ty
+    FROM first GROUP BY fd
+),
+cum AS (
+    SELECT CAST(row_number() OVER (ORDER BY p.d) AS BIGINT) AS r,
+           CAST(sum(p.nt) OVER (ORDER BY p.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tokens_cum,
+           CAST(sum(coalesce(n.new_ty, 0)) OVER (ORDER BY p.d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS types_cum,
+           CAST(count(*) OVER () AS BIGINT) AS n_docs
+    FROM per_doc p LEFT JOIN new_types n ON n.d = p.d
+),
+cp AS (
+    SELECT *,
+           (10 * r + n_docs - 1) // n_docs AS decile,
+           row_number() OVER (
+               PARTITION BY (10 * r + n_docs - 1) // n_docs
+               ORDER BY r DESC
+           ) AS rn
+    FROM cum
+)
+SELECT decile, r AS docs, tokens_cum, types_cum,
+       1000000 * types_cum // tokens_cum AS ttr_ppm
+FROM cp WHERE rn = 1
+ORDER BY decile
+"""
+
+ORACLES["x158_pair_distances"] = """
+WITH s AS (
+    SELECT vec_id AS vid,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS v
+    FROM embeddings WHERE vec_id % 25 = 0
+),
+pairs AS (
+    SELECT a.vid, b.vid AS wid,
+           CAST(sum((a.v[u.i] - b.v[u.i]) * (a.v[u.i] - b.v[u.i]))
+                AS BIGINT) AS d2
+    FROM s a JOIN s b ON a.vid < b.vid,
+         unnest(generate_series(1, len(a.v))) AS u(i)
+    GROUP BY a.vid, b.vid
+)
+SELECT d2 // 100000 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(d2) AS BIGINT) AS min_d2,
+       CAST(max(d2) AS BIGINT) AS max_d2
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+def _trained_recall_oracle() -> str:
+    """Composes the x155 trained-centroid construction (rounds
+    unrolled, the _kmeans_oracle arithmetic) with the trained-probe
+    assignment and the exact brute-force baseline (x9's arithmetic,
+    restated on this oracle's own quantized CTE — x9's text defines
+    a clashing `q` alias, so it cannot nest verbatim)."""
+    from m5_competition_kaggle_spark.queries.extensions_r10 import (
+        _kmeans_oracle,
+    )
+
+    km = _kmeans_oracle(16, 2)
+    # reuse the trained-centroid CTE chain: everything up to cent2,
+    # then probe instead of summarize
+    head, _, _tail = km.partition(",\ndfin AS MATERIALIZED (")
+    return (
+        head
+        + f""",
+qset AS MATERIALIZED (
+    SELECT vid AS query_id, v AS qv FROM q WHERE vid % 50 = 0
+),
+vdist AS MATERIALIZED (
+    SELECT q.vid, c.cid,
+           CAST(sum((q.v[u.i] - c.cv[u.i])
+                    * (q.v[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+    FROM q CROSS JOIN cent2 c,
+         unnest(generate_series(1, len(q.v))) AS u(i)
+    GROUP BY 1, 2
+),
+vassign AS MATERIALIZED (
+    SELECT vid, cid FROM (
+        SELECT vid, cid,
+               row_number() OVER (PARTITION BY vid
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM vdist
+    ) WHERE rn = 1
+),
+qdist AS (
+    SELECT s.query_id, c.cid,
+           CAST(sum((s.qv[u.i] - c.cv[u.i])
+                    * (s.qv[u.i] - c.cv[u.i])) AS BIGINT) AS d2
+    FROM qset s CROSS JOIN cent2 c,
+         unnest(generate_series(1, len(s.qv))) AS u(i)
+    GROUP BY 1, 2
+),
+qprobe AS MATERIALIZED (
+    SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, cid ASC) AS rn
+        FROM qdist
+    ) WHERE rn <= 4
+),
+cand AS MATERIALIZED (
+    SELECT p.query_id, a.vid AS neighbor_id,
+           CAST(sum(q2.v[u.i] * s.qv[u.i]) AS BIGINT) AS dot
+    FROM qprobe p
+    JOIN vassign a ON a.cid = p.cid
+    JOIN qset s ON s.query_id = p.query_id
+    JOIN q q2 ON q2.vid = a.vid,
+         unnest(generate_series(1, len(s.qv))) AS u(i)
+    WHERE a.vid <> p.query_id
+    GROUP BY 1, 2
+),
+approx AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot DESC, neighbor_id ASC) AS rn
+        FROM cand
+    ) WHERE rn <= 10
+),
+edot AS MATERIALIZED (
+    SELECT s.query_id, v.vid AS neighbor_id,
+           CAST(sum(s.qv[u.i] * v.v[u.i]) AS BIGINT) AS dot
+    FROM qset s CROSS JOIN q v,
+         unnest(generate_series(1, len(s.qv))) AS u(i)
+    WHERE v.vid <> s.query_id
+    GROUP BY 1, 2
+),
+exact AS MATERIALIZED (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dot DESC,
+                                           neighbor_id ASC) AS rn
+        FROM edot
+    ) WHERE rn <= 10
+),
+n_exact AS (
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+    FROM exact GROUP BY query_id
+),
+hits AS (
+    SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+    FROM exact e
+    JOIN approx a ON a.query_id = e.query_id
+                 AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+)
+SELECT n.query_id AS query_id, n.n_exact AS n_exact,
+       coalesce(h.n_hit, 0) AS n_hit,
+       (1000 * coalesce(h.n_hit, 0)) // n.n_exact AS recall_permille
+FROM n_exact n
+LEFT JOIN hits h ON h.query_id = n.query_id
+ORDER BY n.query_id
+"""
+    )
+
+
+ORACLES["x156_trained_recall"] = _trained_recall_oracle()

@@ -130,13 +130,17 @@ def main() -> int:
     if only:
         # explicitly-named staged (unregistered) queue entries resolve
         # too; the default full run stays the driver's registered set
-        from m5_competition_kaggle_spark.queries import extensions_r10
+        from m5_competition_kaggle_spark.queries import (
+            extensions_r10,
+            extensions_r11,
+        )
 
         for k in only - set(qs):
-            if k in extensions_r10.QUERIES:
-                qs[k] = extensions_r10.QUERIES[k]
-                if k in extensions_r10.ORACLES:
-                    oracles[k] = extensions_r10.ORACLES[k]
+            for staged in (extensions_r10, extensions_r11):
+                if k in staged.QUERIES:
+                    qs[k] = staged.QUERIES[k]
+                    if k in staged.ORACLES:
+                        oracles[k] = staged.ORACLES[k]
     failures = []
     attempted = 0
     for name, fn in qs.items():

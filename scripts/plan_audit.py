@@ -93,9 +93,13 @@ def main() -> int:
     qs = dict(entry_mod.queries())
     # staged-but-unregistered queue modules audit too, marked: their
     # plans must be scale-clean BEFORE their registration round
-    from m5_competition_kaggle_spark.queries import extensions_r10
+    from m5_competition_kaggle_spark.queries import (
+        extensions_r10 as _st10,
+        extensions_r11 as _st11,
+    )
+    _staged_qs = {**_st10.QUERIES, **_st11.QUERIES}
 
-    for k, v in extensions_r10.QUERIES.items():
+    for k, v in _staged_qs.items():
         if k not in qs:
             qs[f"{k} (staged)"] = v
     rows = []
