@@ -100,10 +100,107 @@ def x158_pair_distances(
     ).orderBy("bucket")
 
 
+def x159_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard mass over the doc_id % 5 document sample — the
+    TEXT-side twin of x158's embedding histogram, and the diagnostic
+    that justifies any MinHash threshold choice: per 100-permille
+    bucket, how many pairs sit there? Same whitespace tokenization as
+    the certified x2 pipeline; the sample-side pair join broadcasts
+    (BNLJ, x142 precedent)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    s = docs.select(
+        F.col("doc_id").alias("d"),
+        F.array_distinct(
+            F.split(F.trim(F.col("text")), r"\s+")
+        ).alias("toks"),
+    ).withColumn("nt", F.size("toks").cast("long"))
+    b = s.select(
+        F.col("d").alias("d2"),
+        F.col("toks").alias("toks2"),
+        F.col("nt").alias("nt2"),
+    )
+    pairs = s.join(
+        F.broadcast(b), F.col("d") < F.col("d2"), "inner"
+    ).select(
+        (
+            F.lit(1000)
+            * F.size(F.array_intersect("toks", "toks2")).cast("long")
+        ).alias("__num"),
+        (
+            F.col("nt")
+            + F.col("nt2")
+            - F.size(F.array_intersect("toks", "toks2")).cast("long")
+        ).alias("__den"),
+    )
+    jac = pairs.select(
+        F.expr("__num DIV __den").alias("jac_permille")
+    )
+    return (
+        jac.groupBy(
+            F.expr("jac_permille DIV 100").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jac_permille").alias("min_jac"),
+            F.max("jac_permille").alias("max_jac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def x160_cross_source_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WHERE does duplication flow between sources? The certified
+    MinHash near-dup pairs (x2's exact machinery, threshold 0.8)
+    labeled by both docs' sources and rolled to an unordered
+    source-pair matrix — the contamination-direction view the flat
+    pair list (x2) and the per-source overlap sketch (x69) don't
+    give."""
+    from m5_competition_kaggle_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("src_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("src_b"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        labeled.groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
 QUERIES = {
     "x156_trained_recall": x156_trained_recall,
     "x157_vocab_growth": x157_vocab_growth,
     "x158_pair_distances": x158_pair_distances,
+    "x159_jaccard_sweep": x159_jaccard_sweep,
+    "x160_cross_source_dups": x160_cross_source_dups,
 }
 
 ORACLES: dict[str, str] = {}
@@ -180,6 +277,60 @@ SELECT d2 // 100000 AS bucket,
        CAST(max(d2) AS BIGINT) AS max_d2
 FROM pairs GROUP BY 1 ORDER BY 1
 """
+
+
+ORACLES["x159_jaccard_sweep"] = """
+WITH samp AS (
+    SELECT doc_id AS d,
+           list_distinct(str_split_regex(trim(text), '\\s+'))
+               AS toks
+    FROM documents WHERE doc_id % 5 = 0
+),
+samp2 AS (
+    SELECT d, toks, CAST(len(toks) AS BIGINT) AS nt FROM samp
+),
+pr AS (
+    SELECT CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+               AS inter,
+           a.nt + b.nt AS tot
+    FROM samp2 a JOIN samp2 b ON a.d < b.d
+),
+jac AS (
+    SELECT 1000 * inter // (tot - inter) AS jp FROM pr
+)
+SELECT jp // 100 AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(jp) AS BIGINT) AS min_jac,
+       CAST(max(jp) AS BIGINT) AS max_jac
+FROM jac GROUP BY 1 ORDER BY 1
+"""
+
+
+def _cross_source_oracle() -> str:
+    """Wraps the certified x2 MinHash-pair oracle (its CTE names are
+    docs/sh0/sh/sig/bands/pairs/sizes/common/vstats — the outer names
+    here deliberately avoid all of them, the x156 clash lesson) with
+    the unordered source-pair rollup."""
+    from m5_competition_kaggle_spark.queries import extensions
+
+    x2 = extensions.ORACLES["x2_dedup_minhash"]
+    return f"""
+WITH xsd_pairs AS MATERIALIZED (
+    SELECT id_a, id_b FROM ({x2}) t
+),
+xsd_src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_lo,
+       greatest(sa.source, sb.source) AS source_hi,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM xsd_pairs p
+JOIN xsd_src sa ON sa.doc_id = p.id_a
+JOIN xsd_src sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+ORACLES["x160_cross_source_dups"] = _cross_source_oracle()
 
 
 def _trained_recall_oracle() -> str:

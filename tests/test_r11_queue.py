@@ -117,6 +117,36 @@ def test_pair_distance_hand_example(spark):
     assert len(got) == 3
 
 
+def test_jaccard_sweep_hand_example(spark):
+    """Two identical docs → 1000 permille; disjoint → 0; half-overlap
+    arithmetic exact."""
+    from m5_competition_kaggle_spark.queries.extensions_r11 import (
+        x159_jaccard_sweep,
+    )
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c", "en", "s", 5),
+            (5, "a b c", "en", "s", 5),
+            (10, "x y z", "en", "s", 5),
+            (15, "a b x y", "en", "s", 7),
+            (3, "ignored not in sample", "en", "s", 21),
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {r["bucket"]: r for r in x159_jaccard_sweep(
+            spark, tmp).collect()}
+    # pairs among {0,5,10,15}: (0,5) jac 1000; (0,10)/(5,10) jac 0;
+    # (0,15)/(5,15) inter 2 of 5 → 400; (10,15) inter 2 of 5 → 400
+    assert got[10]["n_pairs"] == 1 and got[10]["min_jac"] == 1000
+    assert got[0]["n_pairs"] == 2
+    assert got[4]["n_pairs"] == 3 and got[4]["max_jac"] == 400
+
+
 def test_vacuity_sf001_audits(spark):
     """The r7 lesson applied to the r11 queue at sf0.01."""
     vg = extensions_r11.x157_vocab_growth(spark, SF01).collect()
@@ -147,3 +177,13 @@ def test_vacuity_sf001_audits(spark):
         .collect()[0][0]
     )
     assert mean_trained > seed
+
+    js = extensions_r11.x159_jaccard_sweep(spark, SF01).collect()
+    assert len(js) >= 5  # mass spreads across buckets
+    assert sum(r["n_pairs"] for r in js) == 100 * 99 // 2
+
+    cs = extensions_r11.x160_cross_source_dups(spark, SF01).collect()
+    assert len(cs) > 5
+    # cross-source duplication really exists (the matrix is the point)
+    assert any(r["source_lo"] != r["source_hi"] for r in cs)
+    assert any(r["source_lo"] == r["source_hi"] for r in cs)
