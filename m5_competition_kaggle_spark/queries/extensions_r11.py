@@ -17,6 +17,12 @@ differential as ``scripts/check_oracle.py``.
   squared-L2 distance mass over the deterministic id-modulus sample
   — the threshold-picking diagnostic under every near-dup /
   semantic-dedup radius.
+- x159 exact-Jaccard threshold sweep: the text-side twin of x158 —
+  per-bucket pair mass of exact Jaccard over the sampled corpus,
+  justifying any MinHash threshold choice.
+- x160 cross-source duplication matrix: the certified x2 MinHash
+  pairs rolled to an unordered source-pair matrix — where
+  duplication FLOWS between sources.
 """
 
 from __future__ import annotations
