@@ -133,6 +133,22 @@ def test_theil_sen_matches_brute_force_randomized(spark):
         assert r["slope_ppm"] == want_ppm, k
 
 
+def test_rbo_integer_weights_match_float_formula(spark):
+    """The exact-integer W_num ladder over D = 2520·10⁹ must agree
+    with the float RBO formula to float precision for every possible
+    (ra, rb) pair at d=10, p=9/10."""
+    from m5_competition_kaggle_spark.operators.rbo import (
+        _W_NUM,
+        RBO_DENOM,
+    )
+
+    p = 0.9
+    for m in range(1, 11):
+        want = sum(p ** (k - 1) / k for k in range(m, 11))
+        got = _W_NUM[m] / RBO_DENOM
+        assert abs(got - want) < 1e-12, m
+
+
 def test_adida_equals_ses_over_reconstructed_grid(spark):
     from m5_competition_kaggle_spark.operators.adida import (
         adida_forecast,
