@@ -23,6 +23,8 @@ differential as ``scripts/check_oracle.py``.
 - x160 cross-source duplication matrix: the certified x2 MinHash
   pairs rolled to an unordered source-pair matrix — where
   duplication FLOWS between sources.
+- x161 kNN radius profile: rank-1 vs rank-10 exact dot per query —
+  the local-density / hubness diagnostic that picks IVF probe radii.
 """
 
 from __future__ import annotations
@@ -201,12 +203,47 @@ def x160_cross_source_dups(
     )
 
 
+def x161_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query kNN radius profile from the exact top-10 (x9's
+    machinery): the rank-1 and rank-10 dot scores and their permille
+    contrast — the local-density diagnostic that picks IVF probe
+    radii and flags hubness (a query whose 10th neighbor is nearly
+    as close as its 1st sits in a dense, hard-to-index region)."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qset = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = brute_force_topk(emb, qset, k=10)
+    edges = topk.filter(F.col("rank").isin(1, 10)).groupBy(
+        "query_id"
+    ).agg(
+        F.max(
+            F.when(F.col("rank") == 1, F.col("dot"))
+        ).alias("dot_top1"),
+        F.max(
+            F.when(F.col("rank") == 10, F.col("dot"))
+        ).alias("dot_top10"),
+    )
+    return edges.select(
+        "query_id",
+        "dot_top1",
+        "dot_top10",
+        F.when(
+            F.col("dot_top1") != 0,
+            F.expr("1000 * dot_top10 DIV dot_top1"),
+        ).alias("contrast_permille"),
+    ).orderBy("query_id")
+
+
 QUERIES = {
     "x156_trained_recall": x156_trained_recall,
     "x157_vocab_growth": x157_vocab_growth,
     "x158_pair_distances": x158_pair_distances,
     "x159_jaccard_sweep": x159_jaccard_sweep,
     "x160_cross_source_dups": x160_cross_source_dups,
+    "x161_knn_radius": x161_knn_radius,
 }
 
 ORACLES: dict[str, str] = {}
@@ -309,6 +346,49 @@ SELECT jp // 100 AS bucket,
        CAST(min(jp) AS BIGINT) AS min_jac,
        CAST(max(jp) AS BIGINT) AS max_jac
 FROM jac GROUP BY 1 ORDER BY 1
+"""
+
+
+ORACLES["x161_knn_radius"] = """
+WITH qq AS MATERIALIZED (
+    SELECT vec_id AS query_id,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS qv
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+vv AS MATERIALIZED (
+    SELECT vec_id AS nid,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS v
+    FROM embeddings
+),
+edot AS MATERIALIZED (
+    SELECT s.query_id, v.nid,
+           CAST(sum(s.qv[u.i] * v.v[u.i]) AS BIGINT) AS dot
+    FROM qq s CROSS JOIN vv v,
+         unnest(generate_series(1, len(s.qv))) AS u(i)
+    WHERE v.nid <> s.query_id
+    GROUP BY 1, 2
+),
+rk AS (
+    SELECT query_id, dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, nid ASC) AS r
+    FROM edot
+)
+SELECT query_id,
+       CAST(max(CASE WHEN r = 1 THEN dot END) AS BIGINT)
+           AS dot_top1,
+       CAST(max(CASE WHEN r = 10 THEN dot END) AS BIGINT)
+           AS dot_top10,
+       CASE WHEN max(CASE WHEN r = 1 THEN dot END) <> 0 THEN
+           1000 * CAST(max(CASE WHEN r = 10 THEN dot END) AS BIGINT)
+               // CAST(max(CASE WHEN r = 1 THEN dot END) AS BIGINT)
+       END AS contrast_permille
+FROM rk WHERE r IN (1, 10)
+GROUP BY query_id ORDER BY query_id
 """
 
 

@@ -187,3 +187,8 @@ def test_vacuity_sf001_audits(spark):
     # cross-source duplication really exists (the matrix is the point)
     assert any(r["source_lo"] != r["source_hi"] for r in cs)
     assert any(r["source_lo"] == r["source_hi"] for r in cs)
+
+    kr = extensions_r11.x161_knn_radius(spark, SF01).collect()
+    assert len(kr) == 10
+    assert all(r["dot_top1"] >= r["dot_top10"] for r in kr)
+    assert len({r["contrast_permille"] for r in kr}) > 1
