@@ -31,6 +31,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r8f,
     extensions_r9,
     extensions_r9b,
+    extensions_r10,
     llm_curation,
     streaming_shaped,
 )
@@ -47,6 +48,7 @@ _MODULES = (
     extensions_r7, extensions_r7b, extensions_r7c, extensions_r8,
     extensions_r8b, extensions_r8c, extensions_r8d,
     extensions_r8e, extensions_r8f, extensions_r9, extensions_r9b,
+    extensions_r10,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -120,28 +122,38 @@ _MODULES = (
 # x88), then the oldest r7-built singles (s14–s15, x90–x98, x100).
 # 42 picks + 8 promotions = 50 exactly. Leftover r7 singles (x101,
 # s16, x102–x106) and the 50 r8 singles queue for r10 re-banks.
+#
+# Round-10 head composition (VERDICT r9 item 1): the 9 staged
+# extensions_r10 queries (x148–x155, s22 — locally certified at
+# sf0.001+sf0.01 in r9, 10×-probed, plan-audited, property-tested)
+# register this round and auto-promote via _promotions.py. The 41
+# deliberate picks are second-green re-banks for the oldest remaining
+# single-green rows: the 7 r7-built singles left over from r9 (x101,
+# s16, x102–x106), then the first 34 r8-built singles in registration
+# order (x107–x136, s17–s20). 41 picks + 9 promotions = 50 exactly.
+# Leftover singles for r11: x137–x140 (r8-built tail) + the 8 r9b
+# singles (x141–x147, s21) — which lines up with the 6 staged r11
+# registrations (x156–x161) leaving 44 re-bank slots next round.
 _HEAD = (
-    # r6-built, single r6 green (oldest valid rows in the ledger)
-    "x69_source_overlap_sketch", "x70_heavy_hitters",
-    "s12_stream_interval_join", "x71_entity_clusters",
-    "x72_sim_topk_pq", "s13_stream_ann_probe",
-    "x84_mad_outliers", "x85_window_anomaly", "x86_rrf_fusion",
-    "x87_centroid_classify", "x89_attribution",
-    # r5/r6-built, single r7 green
-    "x47_sim_topk_lsh_auto",
-    "x48_bloom_fast", "x49_fit_step", "x50_cms_freq",
-    "x51_semantic_dedup", "s9_stream_cms", "x52_hist_quantiles",
-    "x53_seeded_shuffle", "x54_exact_k_sample", "x55_audio_segments",
-    "x56_snapshot_diff", "x57_semantic_dedup_lsh",
-    "x58_triangle_counts", "x59_fuzzy_join", "x60_incremental_dedup",
-    "x61_chunk_dedup", "x62_oov_rate", "s10_windowed_cms",
-    "x88_salted_join",
-    # r7-built, single r7 green (oldest first)
-    "s14_stateful_anomaly", "s15_stream_attribution",
-    "x90_kneser_ney", "x91_eqfreq_binning", "x92_cross_corr",
-    "x93_linear_attribution", "x94_dedup_eval", "x95_bloom_join",
-    "x96_manifest_stats", "x97_hard_negatives",
-    "x98_leakage_free_split", "x100_rfm_segments",
+    # r7-built, single r7 green (oldest remaining singles)
+    "x101_cusum_drift", "s16_stream_cusum", "x102_merge_actions",
+    "x103_dq_report", "x104_systematic_sample",
+    "x105_label_propagation", "x106_vocab_drift",
+    # r8-built, single r8 green (registration order)
+    "x107_mutual_info", "x108_source_modularity",
+    "x109_zone_map_pruning", "x110_k_anonymity",
+    "x111_rater_agreement", "x112_calibration_bins",
+    "x113_clustering_coeff", "x114_psi_drift", "s17_stream_psi",
+    "x115_seasonal_index", "x116_ann_recall", "x117_ks_drift",
+    "x118_benford_digits", "x119_char_budget_mix", "s18_stream_ks",
+    "x120_ab_welch", "x121_target_encode", "x122_linear_interp",
+    "x123_quantile_norm", "x124_km_survival", "x125_mmr_diversify",
+    "s19_stream_welch", "x126_importance_ess",
+    "x127_conformal_threshold", "x128_split_balance",
+    "x129_bootstrap_ci", "x130_pca_power", "x131_ann_ndcg",
+    "x132_shard_source_mix", "x133_gains_lift",
+    "x134_weighted_quantiles", "x135_holt_trend",
+    "s20_stream_quantiles", "x136_funnel_conversion",
 )
 
 HEAD_CAP = 50

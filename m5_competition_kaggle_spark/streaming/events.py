@@ -9,9 +9,12 @@ agg in batch. Batch mode is what the DuckDB oracle checks; the streaming
 smoke test (tests/test_streaming.py) drives the identical plan through a
 file-source stream into a memory sink.
 
-Scale notes: watermarks bound state (late rows beyond the delay are
-dropped); session windows use Spark's native ``session_window`` state
-merging. At 100 TB/day the same plans run on a Kafka source with
+Scale notes: watermarks bound state — rows within the watermark WILL
+aggregate, but Spark's late-data guarantee is one-sided (measured —
+ARCHITECTURE.md erratum): rows beyond it are NOT guaranteed dropped, so
+a sink-side cutoff (``streaming/update_mode.py``) is required when
+exactness matters. Session windows use Spark's native
+``session_window`` state merging. At 100 TB/day the same plans run on a Kafka source with
 ``spark.sql.shuffle.partitions`` sized to the sink throughput.
 """
 
@@ -125,7 +128,10 @@ def streaming_tumbling_counts(
 ) -> DataFrame:
     """The same tumbling plan on a real file-source stream with a watermark
     bounding state. Returns the streaming DataFrame; callers attach a sink
-    (``writeStream``). Late rows beyond ``watermark`` are dropped."""
+    (``writeStream``). Rows within ``watermark`` WILL aggregate; rows
+    beyond it are NOT guaranteed dropped (one-sided guarantee, measured —
+    ARCHITECTURE.md erratum) — use the ``streaming/update_mode.py``
+    sink-side cutoff when exactness matters."""
     stream = read_events_stream(spark, source_dir)
     return tumbling_counts(stream.withWatermark("ts", watermark), duration)
 

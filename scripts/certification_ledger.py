@@ -13,6 +13,13 @@ that instead of asserting it:
 2. Each round's correctness rows were produced against the parent of
    the commit that added CORRECTNESS_r{N}.json; the file set is hashed
    at that commit (git blob SHAs) and in the current working tree.
+   Hashing is SEMANTIC (r10): each source is AST-normalized first —
+   docstrings blanked, comments/formatting dropped by unparse — so a
+   wording-only edit (the events.py watermark erratum class) does not
+   stale banked rows, while any change that can alter behavior still
+   does. Both sides of every comparison (round commit and worktree)
+   are normalized by the same function, recomputed on every run, so
+   the contract needs no stored-hash migration.
 3. A green row whose round-time hash differs from the current hash is
    marked STALE in the ledger, and every query left without a currently
    -valid green row is written to queries/_promotions.py, which
@@ -216,6 +223,38 @@ def _hash_fileset(
 
 CATALOG_PATH = f"{PKG}/sources/catalog.py"
 SHARED_KEY = ""  # section key for catalog code outside per-table schemas
+
+
+def _normalize_py(content: bytes) -> bytes:
+    """AST-normalize a source for semantic hashing.
+
+    Blanks every docstring (module/class/function first-statement string
+    constants) and re-emits via ``ast.unparse``, which also drops
+    comments and formatting. The staleness contract exists to catch
+    BEHAVIOR drift; hashing the normalized form makes wording-only
+    edits free while any change reachable by the interpreter still
+    perturbs the hash. Falls back to the raw bytes when the source
+    doesn't parse (conservative: unparseable files hash verbatim).
+    """
+    try:
+        tree = ast.parse(content.decode())
+    except (SyntaxError, UnicodeDecodeError, ValueError):
+        return content
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Module, ast.FunctionDef,
+                             ast.AsyncFunctionDef, ast.ClassDef)):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                body[0].value.value = ""
+    try:
+        return ast.unparse(tree).encode()
+    except Exception:  # pragma: no cover — unparse failure is theoretical
+        return content
 
 
 def _catalog_sections(src: str) -> dict[str, str] | None:
@@ -597,7 +636,7 @@ def _worktree_blobs() -> tuple[
     for path in glob.glob(os.path.join(REPO, PKG, "**", "*.py"),
                           recursive=True):
         rel = os.path.relpath(path, REPO)
-        content = open(path, "rb").read()
+        content = _normalize_py(open(path, "rb").read())
         out[rel] = hashlib.sha256(content).hexdigest()
         if rel == CATALOG_PATH:
             catalog = _catalog_sections(content.decode())
@@ -624,10 +663,10 @@ def _commit_blobs(
     for line in ls.splitlines():
         meta, path = line.split("\t", 1)
         blob_sha = meta.split()[2]
-        content = subprocess.run(
+        content = _normalize_py(subprocess.run(
             ["git", "cat-file", "blob", blob_sha],
             capture_output=True, cwd=REPO, check=True,
-        ).stdout
+        ).stdout)
         out[path] = hashlib.sha256(content).hexdigest()
         if path == CATALOG_PATH:
             try:
@@ -801,7 +840,9 @@ def main() -> int:
         " where no oracle exists). Certification accumulates across"
         " rounds via head-50 rotation. A banked green row counts ONLY"
         " while the query's transitive code hash (AST import closure"
-        " over package files, hashed at the round's certified commit)"
+        " over package files, AST-normalized — docstrings/comments"
+        " stripped, so wording-only edits never forge a stale — hashed"
+        " at the round's certified commit)"
         " still equals the current working tree — otherwise it shows as"
         " `green*stale` and the query is auto-promoted into remaining"
         " head slots via queries/_promotions.py. Generated by"

@@ -129,6 +129,36 @@ def test_catalog_sections_split_tables_from_shared():
     assert s3["alpha"] == s1["alpha"] and s3["beta"] == s1["beta"]
 
 
+def test_semantic_normalization_ignores_wording_only_edits():
+    """r10: the staleness hash is AST-normalized — docstring/comment/
+    formatting edits (the events.py watermark-erratum class) must not
+    stale banked rows, while any behavior-reachable change still must."""
+    from scripts.certification_ledger import _normalize_py
+
+    v1 = (
+        b'"""Module doc A."""\n\n'
+        b"def f(x):\n"
+        b'    """inner doc"""\n'
+        b"    # a comment\n"
+        b"    return x + 1\n"
+    )
+    v2 = (  # reworded docs, new comment, extra blank lines — same code
+        b'"""Module doc B, fully reworded."""\n\n\n'
+        b"def f(x):\n"
+        b'    """other words"""\n'
+        b"    return x + 1  # different comment\n"
+    )
+    v3 = b'"""Module doc A."""\n\ndef f(x):\n    return x + 2\n'
+    # a non-docstring string constant IS behavior (e.g. a column name)
+    v4 = v1.replace(b"return x + 1", b'return x + 1 or "col"')
+    assert _normalize_py(v1) == _normalize_py(v2)
+    assert _normalize_py(v1) != _normalize_py(v3)
+    assert _normalize_py(v1) != _normalize_py(v4)
+    # unparseable input: conservative verbatim fallback
+    junk = b"not python (((("
+    assert _normalize_py(junk) == junk
+
+
 def test_catalog_sections_conservative_fallbacks():
     assert _catalog_sections("not python ((((") is None
     assert _catalog_sections("X = 1") is None  # no SCHEMAS dict
