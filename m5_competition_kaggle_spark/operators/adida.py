@@ -43,8 +43,9 @@ def adida_forecast(
     (``value_col`` at period ``order_col``; zero periods may be absent
     — they are reconstructed bucket-wise here).
 
-    Output per key: n_buckets (full grid length), n_nonzero,
-    agg_level (SES level of the m-day totals), forecast_ppm =
+    Output per key: n_buckets (full grid length), n_nonzero (buckets
+    whose aggregated demand is nonzero — explicit q=0 input rows do
+    not count), agg_level (SES level of the m-day totals), forecast_ppm =
     1_000_000 · agg_level DIV bucket_days — expected demand per
     period in ppm of a demand unit."""
     if bucket_days < 1 or alpha_den < 1:
@@ -66,9 +67,17 @@ def adida_forecast(
         F.min("b").over(w).alias("__b0"),
         F.max("b").over(w).alias("__b1"),
     )
+    # n_nonzero = buckets whose aggregated demand is actually nonzero —
+    # NOT merely buckets with input rows present (a caller supplying
+    # explicit q=0 rows must not inflate it; ADVICE r9). Identical on
+    # inputs where zero periods are absent rather than explicit.
     grid = (
         spanned.groupBy("k", "__b0", "__b1")
-        .agg(F.count(F.lit(1)).alias("n_nonzero"))
+        .agg(
+            F.sum(
+                F.when(F.col("q") != 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_nonzero")
+        )
         .select(
             "k",
             "n_nonzero",

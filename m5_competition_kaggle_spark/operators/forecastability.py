@@ -96,8 +96,20 @@ def forecastability_features(
             F.col("S") > 0,
             F.expr("1000 * (n * Q - S * S) DIV (n * S)"),
         ).alias("vmr_permille"),
+        # Gate on BOTH forms of the denominator: the exact integer
+        # n*Q - S*S > 0 AND the double it is computed with — for huge
+        # magnitudes the double subtraction can round to 0.0 while the
+        # integer stays positive, and floor(Inf) diverges across
+        # engines (Spark saturates, DuckDB raises). ADVICE r9.
         F.when(
-            F.expr("n * Q - S * S") > 0,
+            (F.expr("n * Q - S * S") > 0)
+            & (
+                F.expr(
+                    "CAST(Q AS DOUBLE) - CAST(S AS DOUBLE) * "
+                    "CAST(S AS DOUBLE) / CAST(n AS DOUBLE)"
+                )
+                > F.lit(0.0)
+            ),
             F.floor(
                 F.lit(1_000_000.0)
                 * (

@@ -427,7 +427,8 @@ bsum AS (
 ),
 span AS (
     SELECT part, min(b) AS b0, max(b) AS b1,
-           CAST(count(*) AS BIGINT) AS n_nonzero
+           CAST(sum(CASE WHEN q <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero
     FROM bsum GROUP BY part
 ),
 grid AS (
@@ -496,7 +497,10 @@ SELECT event_type, n,
        CASE WHEN S > 0
             THEN 1000 * (n * Q - S * S) // (n * S)
        END AS vmr_permille,
-       CASE WHEN n * Q - S * S > 0 THEN CAST(floor(
+       CASE WHEN n * Q - S * S > 0
+                 AND (CAST(Q AS DOUBLE) - CAST(S AS DOUBLE)
+                      * CAST(S AS DOUBLE) / CAST(n AS DOUBLE)) > 0.0
+            THEN CAST(floor(
            1000000.0 * (({ssb})
                - CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
                  / CAST(n AS DOUBLE))

@@ -142,7 +142,12 @@ def x159_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.size(F.array_intersect("toks", "toks2")).cast("long")
         ).alias("__den"),
     )
-    jac = pairs.select(
+    # __den = 0 is possible only for degenerate token sets (e.g. both
+    # texts NULL → size() = -1 artifacts); Spark non-ANSI DIV would
+    # yield NULL while the DuckDB twin raises division-by-zero, so the
+    # guard keeps the differential well-defined on ANY input (ADVICE
+    # r9). No-op on the fixture (non-null text ⇒ __den ≥ 1).
+    jac = pairs.where(F.col("__den") > 0).select(
         F.expr("__num DIV __den").alias("jac_permille")
     )
     return (
@@ -340,6 +345,7 @@ pr AS (
 ),
 jac AS (
     SELECT 1000 * inter // (tot - inter) AS jp FROM pr
+    WHERE tot - inter > 0
 )
 SELECT jp // 100 AS bucket,
        CAST(count(*) AS BIGINT) AS n_pairs,

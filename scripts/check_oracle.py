@@ -135,12 +135,21 @@ def main() -> int:
             extensions_r11,
         )
 
+        staged_mods = (extensions_r10, extensions_r11)
+        # staged queues must be name-disjoint — without this, a name in
+        # two modules would silently resolve to the later one (ADVICE r9)
+        seen: set = set()
+        for m in staged_mods:
+            dup = seen & set(m.QUERIES)
+            assert not dup, f"staged query name collision: {sorted(dup)}"
+            seen |= set(m.QUERIES)
         for k in only - set(qs):
-            for staged in (extensions_r10, extensions_r11):
+            for staged in staged_mods:
                 if k in staged.QUERIES:
                     qs[k] = staged.QUERIES[k]
                     if k in staged.ORACLES:
                         oracles[k] = staged.ORACLES[k]
+                    break
     failures = []
     attempted = 0
     for name, fn in qs.items():
