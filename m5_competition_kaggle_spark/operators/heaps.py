@@ -122,8 +122,14 @@ def vocab_growth_deciles(
             F.col("r").alias("docs"),
             "tokens_cum",
             "types_cum",
-            F.expr("1000000 * types_cum DIV tokens_cum").alias(
-                "ttr_ppm"
-            ),
+            # tokens_cum = 0 is reachable on degenerate input (an
+            # all-empty-text first decile): Spark non-ANSI DIV would
+            # NULL while DuckDB `//` raises division-by-zero, so the
+            # guard keeps the differential well-defined on ANY input.
+            # No-op on real corpora (any token ⇒ tokens_cum ≥ 1).
+            F.expr(
+                "CASE WHEN tokens_cum > 0 "
+                "THEN 1000000 * types_cum DIV tokens_cum END"
+            ).alias("ttr_ppm"),
         )
     )

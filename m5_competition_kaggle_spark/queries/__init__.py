@@ -32,6 +32,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r9,
     extensions_r9b,
     extensions_r10,
+    extensions_r11,
     llm_curation,
     streaming_shaped,
 )
@@ -48,7 +49,7 @@ _MODULES = (
     extensions_r7, extensions_r7b, extensions_r7c, extensions_r8,
     extensions_r8b, extensions_r8c, extensions_r8d,
     extensions_r8e, extensions_r8f, extensions_r9, extensions_r9b,
-    extensions_r10,
+    extensions_r10, extensions_r11,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -134,26 +135,41 @@ _MODULES = (
 # Leftover singles for r11: x137–x140 (r8-built tail) + the 8 r9b
 # singles (x141–x147, s21) — which lines up with the 6 staged r11
 # registrations (x156–x161) leaving 44 re-bank slots next round.
+#
+# Round-11 head composition (VERDICT r10 items 1–3): the r10-flagged
+# prefix.py persist leak is fixed this round, and that edit stales the
+# 12 banked rows whose queries transitively CALL global_running_sum /
+# pack_into_shards (q15, q18, x26, x29, x52, x53, x100, x104, x109,
+# x123, x132, x133). Whole-file hashing would have staled 123 rows;
+# two ledger refinements held it to the true semantic consumers:
+# per-function sectioning of the prefix-scan family (prefix/shuffle/
+# quantiles/quantile_norm/layout/gains/encode/heaps), and def-level
+# fixpoint seeding for ALL closure files (a def body now seeds
+# attribution only when the def's name is reachable — before, any
+# query whose closure contained a sibling query module calling
+# pack_into_shards inherited that name from its full text). Those 12
+# auto-promote, as do the 6 extensions_r11 registrations (x156–x161,
+# locally certified at both SFs, re-certified after this round's
+# heaps.py ttr_ppm guard). The 32 deliberate picks: every remaining
+# single-green row — x137–x140, the 8 r9b rows (x141–x147, s21), and
+# the 9 r10 rows (x148–x155, s22 — VERDICT item 3's second-green
+# request) — plus the 11 oldest still-valid greens (q1–q11, banked r5,
+# unrefreshed since). 32 picks + 12 stales + 6 new = 50 exactly.
 _HEAD = (
-    # r7-built, single r7 green (oldest remaining singles)
-    "x101_cusum_drift", "s16_stream_cusum", "x102_merge_actions",
-    "x103_dq_report", "x104_systematic_sample",
-    "x105_label_propagation", "x106_vocab_drift",
-    # r8-built, single r8 green (registration order)
-    "x107_mutual_info", "x108_source_modularity",
-    "x109_zone_map_pruning", "x110_k_anonymity",
-    "x111_rater_agreement", "x112_calibration_bins",
-    "x113_clustering_coeff", "x114_psi_drift", "s17_stream_psi",
-    "x115_seasonal_index", "x116_ann_recall", "x117_ks_drift",
-    "x118_benford_digits", "x119_char_budget_mix", "s18_stream_ks",
-    "x120_ab_welch", "x121_target_encode", "x122_linear_interp",
-    "x123_quantile_norm", "x124_km_survival", "x125_mmr_diversify",
-    "s19_stream_welch", "x126_importance_ess",
-    "x127_conformal_threshold", "x128_split_balance",
-    "x129_bootstrap_ci", "x130_pca_power", "x131_ann_ndcg",
-    "x132_shard_source_mix", "x133_gains_lift",
-    "x134_weighted_quantiles", "x135_holt_trend",
-    "s20_stream_quantiles", "x136_funnel_conversion",
+    # r8-built tail + r9b batch: single green, oldest first
+    "x137_ivf_health", "x138_rmsse", "x139_croston", "x140_pinball",
+    "x141_sbc_classes", "x142_silhouette", "x143_interval_score",
+    "x144_day_auc", "s21_stream_auc", "x145_calibration_ece",
+    "x146_demand_gaps", "x147_tracking_signal",
+    # r10 batch: single green from its first driver exposure
+    "x148_isotonic_calibration", "x149_changepoint", "x150_rank_rbo",
+    "s22_stream_ece", "x151_adida", "x152_forecastability",
+    "x153_theil_sen", "x154_method_select", "x155_kmeans_lloyd",
+    # oldest still-valid greens (r5) — refresh the deepest bank
+    "q1_filter_project", "q2_range_null_filter",
+    "q3_broadcast_left_join", "q4_fact_left_join", "q5_unpivot",
+    "q6_pivot_avg", "q7_lag", "q8_trailing_mean", "q9_lead",
+    "q10_tail_distinct_min", "q11_union_all",
 )
 
 HEAD_CAP = 50

@@ -142,11 +142,14 @@ def x159_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.size(F.array_intersect("toks", "toks2")).cast("long")
         ).alias("__den"),
     )
-    # __den = 0 is possible only for degenerate token sets (e.g. both
-    # texts NULL → size() = -1 artifacts); Spark non-ANSI DIV would
-    # yield NULL while the DuckDB twin raises division-by-zero, so the
-    # guard keeps the differential well-defined on ANY input (ADVICE
-    # r9). No-op on the fixture (non-null text ⇒ __den ≥ 1).
+    # __den = 0 is possible only for degenerate token sets (two empty
+    # token arrays; NULL texts propagate NULL through __den and are
+    # dropped by the > 0 predicate in both engines — Spark's
+    # size(NULL) is NULL under default non-legacy conf, not -1);
+    # Spark non-ANSI DIV would yield NULL while the DuckDB twin
+    # raises division-by-zero, so the guard keeps the differential
+    # well-defined on ANY input (ADVICE r9). No-op on the fixture
+    # (non-null text ⇒ __den ≥ 1).
     jac = pairs.where(F.col("__den") > 0).select(
         F.expr("__num DIV __den").alias("jac_permille")
     )
@@ -298,7 +301,8 @@ cp AS (
     FROM cum
 )
 SELECT decile, r AS docs, tokens_cum, types_cum,
-       1000000 * types_cum // tokens_cum AS ttr_ppm
+       CASE WHEN tokens_cum > 0
+            THEN 1000000 * types_cum // tokens_cum END AS ttr_ppm
 FROM cp WHERE rn = 1
 ORDER BY decile
 """

@@ -235,12 +235,24 @@ def _normalize_py(content: bytes) -> bytes:
     edits free while any change reachable by the interpreter still
     perturbs the hash. Falls back to the raw bytes when the source
     doesn't parse (conservative: unparseable files hash verbatim).
+
+    Exception (r10 ADVICE): a module that references ``__doc__``
+    (pipeline.py feeds it to argparse, so its module docstring IS
+    runtime-visible CLI output) keeps its docstrings in the hash —
+    blanking would let a behavior-visible edit slip past the contract.
+    Detected per-file, so the carve-out never widens beyond modules
+    where docstrings genuinely reach the interpreter.
     """
     try:
         tree = ast.parse(content.decode())
     except (SyntaxError, UnicodeDecodeError, ValueError):
         return content
-    for node in ast.walk(tree):
+    doc_reachable = any(
+        (isinstance(n, ast.Name) and n.id == "__doc__")
+        or (isinstance(n, ast.Attribute) and n.attr == "__doc__")
+        for n in ast.walk(tree)
+    )
+    for node in [] if doc_reachable else ast.walk(tree):
         if isinstance(node, (ast.Module, ast.FunctionDef,
                              ast.AsyncFunctionDef, ast.ClassDef)):
             body = node.body
@@ -349,8 +361,17 @@ SECTIONED_MODULES = frozenset(
     f"{PKG}/operators/{m}.py" for m in (
         "similarity", "dedup", "skew", "stats_exact", "scd",
         "asof_ext", "rolling_distinct", "curation", "graph",
+        # r11: the prefix-scan family. operators/prefix.py sits in 123
+        # registered closures (module-level imports in shuffle/
+        # quantiles/quantile_norm/layout/gains/encode drag it into
+        # nearly everything); sectioning it — plus every non-sectioned
+        # module whose TEXT mentions its defs, which would otherwise
+        # re-seed the attribution — confines a global_running_sum edit
+        # to the queries that transitively CALL it.
+        "prefix", "shuffle", "quantile_norm", "quantiles",
+        "layout", "gains", "heaps",
     )
-)
+) | frozenset({f"{PKG}/functions/encode.py"})
 
 _REGISTRY_NAMES = {"QUERIES", "ORACLES"}  # registration metadata dicts
 
@@ -455,16 +476,23 @@ def _sect_attrib(
     query ``fn_name`` (a top-level def in ``defining_path``) transitively
     references — or None for the conservative all-sections fallback.
 
-    Seeds: the query's own def subtree; the defining module's executable
+    Seeds: the query's own def subtree; every closure file's executable
     top-level statements (module-level code runs at import and can feed
     any query) MINUS imports and the QUERIES/ORACLES registration dicts
     (which reference every sibling query and would re-couple the whole
-    module); the complete text of every other non-sectioned closure
-    file; and the shared statements of every sectioned closure file.
-    Then a fixpoint: every included section's body contributes its own
-    references, matched by name across ALL sectioned files and the
-    defining module's sibling defs (cross-file name collisions
-    over-include, never under-include).
+    module). Top-level DEF BODIES — in every closure file, sectioned or
+    not — join only through the fixpoint: when a def's name is in the
+    reference set, its body contributes its own references, matched by
+    name across ALL closure files (cross-file name collisions
+    over-include, never under-include). r11 refinement: before this,
+    non-sectioned files seeded their COMPLETE text, so a query whose
+    closure happened to contain a sibling query module calling
+    pack_into_shards inherited that name and staled with prefix.py
+    despite never reaching it; soundness is unchanged — a def body is
+    reachable at runtime only via a name reference somewhere in the
+    already-reachable set (computed-name access is grep-excluded for
+    the package, see the module comment above), which is exactly the
+    fixpoint edge.
     """
     trees: dict[str, ast.Module] = {}
     for p in sorted(files):
@@ -535,25 +563,17 @@ def _sect_attrib(
 
     refs: set[str] = set()
     refs |= _node_refs(topdefs[defining_path][fn_name])
-    for n in trees[defining_path].body:
-        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
-                          ast.ClassDef)):
-            continue
-        refs |= _stmt_refs(n)
     for p, tree in trees.items():
-        if p == defining_path:
-            continue
         for n in tree.body:
-            if p in SECTIONED_MODULES and isinstance(
-                n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
-            ):
-                continue  # sectioned defs join via the fixpoint
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef)):
+                continue  # def bodies join via the fixpoint, per file
             refs |= _stmt_refs(n)
 
     included: dict[str, set[str]] = {
         p: set() for p in trees if p in SECTIONED_MODULES
     }
-    own_done: set[str] = {fn_name}
+    done: set[tuple[str, str]] = {(defining_path, fn_name)}
     changed = True
     while changed:
         changed = False
@@ -561,17 +581,14 @@ def _sect_attrib(
             if a in refs and not reals <= refs:
                 refs |= reals
                 changed = True
-        for p, sec in included.items():
-            for name, node in topdefs[p].items():
-                if name in refs and name not in sec:
-                    sec.add(name)
+        for p, defs in topdefs.items():
+            for name, node in defs.items():
+                if name in refs and (p, name) not in done:
+                    done.add((p, name))
+                    if p in included:
+                        included[p].add(name)
                     refs |= _node_refs(node)
                     changed = True
-        for name, node in topdefs[defining_path].items():
-            if name in refs and name not in own_done:
-                own_done.add(name)
-                refs |= _node_refs(node)
-                changed = True
     return included
 
 

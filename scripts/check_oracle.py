@@ -137,11 +137,16 @@ def main() -> int:
 
         staged_mods = (extensions_r10, extensions_r11)
         # staged queues must be name-disjoint — without this, a name in
-        # two modules would silently resolve to the later one (ADVICE r9)
+        # two modules would silently resolve to the later one (ADVICE
+        # r9). A hard raise, not assert: `python -O` strips asserts,
+        # which would silently re-enable the shadowing (ADVICE r10).
         seen: set = set()
         for m in staged_mods:
             dup = seen & set(m.QUERIES)
-            assert not dup, f"staged query name collision: {sorted(dup)}"
+            if dup:
+                raise RuntimeError(
+                    f"staged query name collision: {sorted(dup)}"
+                )
             seen |= set(m.QUERIES)
         for k in only - set(qs):
             for staged in staged_mods:

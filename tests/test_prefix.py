@@ -45,6 +45,66 @@ def test_pack_into_shards_boundary_rule(spark):
     assert got == {1: 0, 2: 0, 3: 1}
 
 
+def test_global_running_sum_leaves_no_cache_entries(spark):
+    """r10 VERDICT defect 1: the operator used to .persist() its ranged
+    intermediate and never unpersist — one CacheManager entry leaked per
+    CALL (CacheManager entries are plan-keyed and invisible to GC, so a
+    long-lived session accumulated them without bound; heaps.py chains
+    THREE calls per invocation). The localCheckpoint rework must leave
+    the CacheManager empty after every call while still producing the
+    same sums; the checkpoint blocks themselves are ContextCleaner-
+    managed (dropped on GC), not plan-keyed."""
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    # other suites may have leaked entries into the shared session
+    # (the dedup/curation persist sites are r12 cleanup work) — start
+    # from a clean slate so the assertion isolates THIS operator
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+    rows = [(i, (i * 3) % 7 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(8)
+    expected = None
+    for _ in range(3):
+        got = {
+            r["k"]: r["running_sum"]
+            for r in global_running_sum(df, "v", ("k",)).collect()
+        }
+        expected = expected or got
+        assert got == expected
+        assert cm.isEmpty(), "global_running_sum leaked a cache entry"
+
+
+def test_vocab_growth_chain_leaves_no_cache_entries(spark):
+    """The three-scan composition that surfaced the leak (heaps.py) —
+    plus the ttr_ppm zero-guard: an all-empty-text corpus must yield
+    NULL ratios, not a Spark/DuckDB divergence (NULL vs div-by-zero)."""
+    from m5_competition_kaggle_spark.operators.heaps import (
+        vocab_growth_deciles,
+    )
+
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta token{i % 4} zz{i % 3}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = vocab_growth_deciles(docs).orderBy("decile").collect()
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    assert all(r["ttr_ppm"] is not None for r in out)
+    # cumulative columns are nondecreasing along deciles
+    toks = [r["tokens_cum"] for r in out]
+    tys = [r["types_cum"] for r in out]
+    assert toks == sorted(toks) and tys == sorted(tys)
+    assert cm.isEmpty(), "vocab_growth_deciles leaked cache entries"
+
+    empty = spark.createDataFrame(
+        [(i, "") for i in range(20)], "doc_id long, text string"
+    )
+    out2 = vocab_growth_deciles(empty).orderBy("decile").collect()
+    assert all(r["ttr_ppm"] is None for r in out2)
+    assert all(r["tokens_cum"] == 0 for r in out2)
+
+
 # ---------------------------------------------------------------- properties
 
 from hypothesis import HealthCheck, given, settings  # noqa: E402
