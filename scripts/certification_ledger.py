@@ -370,13 +370,47 @@ SECTIONED_MODULES = frozenset(
         # to the queries that transitively CALL it.
         "prefix", "shuffle", "quantile_norm", "quantiles",
         "layout", "gains", "heaps",
+        # r11: sectioned ahead of the r12 persist-leak fixes (their
+        # leaking defs' consumers are the only rows that should stale)
+        "semantic_dedup", "dedup_incremental",
     )
-) | frozenset({f"{PKG}/functions/encode.py"})
+) | frozenset({
+    f"{PKG}/functions/encode.py",
+    # r11: sectioned ahead of the r12 persist-leak fix — llm_curation
+    # sits in 70 closures (extensions_r6/r8b compose its oracles), so
+    # editing x29_corpus_to_shards under whole-file hashing would
+    # stale all 70; sectioned, it stales x29's actual consumers. Its
+    # ORACLES literal references pkg helpers — admissible under the
+    # _def_sections registry carve-out: names from NON-sectioned
+    # modules (H64, _shingle_cte in extensions.py) are covered by
+    # whole-file closure hashes, and names from sectioned modules
+    # (curation.py's BLOOM_K/BLOOM_M) are admitted only when the
+    # sectioned_defs pre-pass proves they are shared-section
+    # CONSTANTS, which every consumer hashes unconditionally.
+    f"{PKG}/queries/llm_curation.py",
+})
 
 _REGISTRY_NAMES = {"QUERIES", "ORACLES"}  # registration metadata dicts
 
 
-def _def_sections(src: str) -> dict[str, str] | None:
+def _top_def_names(src: str) -> set[str]:
+    """Top-level def/class names of a source text ('' on parse failure
+    — callers treat missing knowledge conservatively)."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return set()
+    return {
+        n.name for n in tree.body
+        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                          ast.ClassDef))
+    }
+
+
+def _def_sections(
+    src: str,
+    sectioned_defs: dict[str, set[str]] | None = None,
+) -> dict[str, str] | None:
     """Per-top-level-def section digests of a module source text.
 
     One section per plain top-level FunctionDef/AsyncFunctionDef/
@@ -388,6 +422,19 @@ def _def_sections(src: str) -> dict[str, str] | None:
     can't be attributed); or executable shared code references a name
     imported from inside the package (a module-level cross-module call
     could hide a dependency attribution can't see).
+
+    r11 carve-out (enables sectioning QUERY modules, whose ORACLES
+    dicts bake imported oracle-helper text into their values at
+    import): a QUERIES/ORACLES literal assignment may reference pkg
+    imports PROVIDED every such name resolves to a NON-sectioned,
+    absolutely-imported module. Attribution deliberately skips
+    registry values (seeding them would re-couple every sibling
+    query), so the covering argument is the closure itself: the
+    helper's defining file is transitively in every consumer's
+    closure and hashed WHOLE-FILE there, so editing the helper still
+    stales them. A name that might originate in a sectioned module
+    (where only attributed sections are hashed) or behind a relative
+    import (unresolvable here) forces the conservative fallback.
     """
     try:
         tree = ast.parse(src)
@@ -403,17 +450,35 @@ def _def_sections(src: str) -> dict[str, str] | None:
         return None
     # Guard: module-level executable statements must not reach package
     # imports (e.g. `CONST = other_module.helper()`), or an edit to that
-    # helper would not stale consumers of CONST.
+    # helper would not stale consumers of CONST. Exception: registry
+    # literals referencing only non-sectioned absolute imports (see
+    # docstring carve-out).
     pkg_names: set[str] = set()
+    # bound name -> (member-module path, submodule path, original name)
+    pkg_src: dict[str, tuple[str, str, str] | None] = {}
     for n in tree.body:
         if isinstance(n, ast.ImportFrom) and (
             n.level or (n.module or "").startswith(PKG)
         ):
-            pkg_names.update(a.asname or a.name for a in n.names)
+            for a in n.names:
+                bound = a.asname or a.name
+                pkg_names.add(bound)
+                if n.level:
+                    pkg_src[bound] = None  # relative: unresolvable here
+                else:
+                    base = (n.module or "").replace(".", "/")
+                    # `from A.B import x`: x is a member of A/B.py OR
+                    # the submodule A/B/x.py — an edit to either must
+                    # be covered, so both candidates are checked
+                    pkg_src[bound] = (
+                        f"{base}.py", f"{base}/{a.name}.py", a.name
+                    )
         elif isinstance(n, ast.Import):
             for a in n.names:
                 if a.name.startswith(PKG):
-                    pkg_names.add((a.asname or a.name).split(".")[0])
+                    bound = (a.asname or a.name).split(".")[0]
+                    pkg_names.add(bound)
+                    pkg_src[bound] = None  # module object: any member
     for n in tree.body:
         if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
                           ast.ClassDef, ast.Import, ast.ImportFrom)):
@@ -421,8 +486,37 @@ def _def_sections(src: str) -> dict[str, str] | None:
         refs = {
             x.id for x in ast.walk(n) if isinstance(x, ast.Name)
         }
-        if refs & pkg_names:
+        bad = refs & pkg_names
+        if not bad:
+            continue
+        if isinstance(n, ast.Assign):
+            targets = [
+                t.id for t in n.targets if isinstance(t, ast.Name)
+            ]
+        elif isinstance(n, ast.AnnAssign) and isinstance(
+            n.target, ast.Name
+        ):
+            targets = [n.target.id]
+        else:
+            targets = []
+        if not (targets and set(targets) <= _REGISTRY_NAMES):
             return None
+        for b in sorted(bad):
+            entry = pkg_src.get(b)
+            if entry is None:
+                return None
+            member_path, submod_path, orig = entry
+            # a whole SUBMODULE from a sectioned path: any member
+            # could be a def — fallback
+            if submod_path in SECTIONED_MODULES:
+                return None
+            if member_path in SECTIONED_MODULES:
+                # admissible only when provably a shared-section
+                # member (constant), never a per-def section
+                if sectioned_defs is None or orig in sectioned_defs.get(
+                    member_path, {orig}
+                ):
+                    return None
 
     line_start = [0]
     for line in src.splitlines(keepends=True):
@@ -502,7 +596,7 @@ def _sect_attrib(
             trees[p] = ast.parse(read_file(p))
         except (OSError, SyntaxError):
             return None
-    if defining_path not in trees or defining_path in SECTIONED_MODULES:
+    if defining_path not in trees:
         return None
     topdefs: dict[str, dict[str, ast.AST]] = {}
     for p, tree in trees.items():
@@ -573,6 +667,10 @@ def _sect_attrib(
     included: dict[str, set[str]] = {
         p: set() for p in trees if p in SECTIONED_MODULES
     }
+    # A sectioned DEFINING module (r11: query modules like
+    # llm_curation) always hashes the query's own def section.
+    if defining_path in included:
+        included[defining_path].add(fn_name)
     done: set[tuple[str, str]] = {(defining_path, fn_name)}
     changed = True
     while changed:
@@ -647,18 +745,36 @@ def _worktree_blobs() -> tuple[
 ]:
     """(path -> content sha256, catalog section digests, per-function
     section digests for SECTIONED_MODULES that parse) for the tree."""
-    out = {}
-    catalog = None
-    modsec: dict[str, dict[str, str]] = {}
+    contents: dict[str, bytes] = {}
     for path in glob.glob(os.path.join(REPO, PKG, "**", "*.py"),
                           recursive=True):
         rel = os.path.relpath(path, REPO)
-        content = _normalize_py(open(path, "rb").read())
+        contents[rel] = _normalize_py(open(path, "rb").read())
+    return _blobs_from_contents(contents)
+
+
+def _blobs_from_contents(
+    contents: dict[str, bytes],
+) -> tuple[
+    dict[str, str], dict[str, str] | None, dict[str, dict[str, str]]
+]:
+    """Shared digest/section pass over normalized contents. A pre-pass
+    collects top-level def names of every sectioned module so the
+    _def_sections registry carve-out can prove a cross-module constant
+    reference safe (see its docstring)."""
+    sectioned_defs = {
+        rel: _top_def_names(c.decode())
+        for rel, c in contents.items() if rel in SECTIONED_MODULES
+    }
+    out = {}
+    catalog = None
+    modsec: dict[str, dict[str, str]] = {}
+    for rel, content in contents.items():
         out[rel] = hashlib.sha256(content).hexdigest()
         if rel == CATALOG_PATH:
             catalog = _catalog_sections(content.decode())
         elif rel in SECTIONED_MODULES:
-            secs = _def_sections(content.decode())
+            secs = _def_sections(content.decode(), sectioned_defs)
             if secs is not None:
                 modsec[rel] = secs
     return out, catalog, modsec
@@ -674,29 +790,30 @@ def _commit_blobs(
         ["git", "ls-tree", "-r", commit, "--", PKG],
         capture_output=True, text=True, cwd=REPO, check=True,
     ).stdout
-    out = {}
-    catalog = None
-    modsec: dict[str, dict[str, str]] = {}
+    contents: dict[str, bytes] = {}
     for line in ls.splitlines():
         meta, path = line.split("\t", 1)
         blob_sha = meta.split()[2]
-        content = _normalize_py(subprocess.run(
+        contents[path] = _normalize_py(subprocess.run(
             ["git", "cat-file", "blob", blob_sha],
             capture_output=True, cwd=REPO, check=True,
         ).stdout)
-        out[path] = hashlib.sha256(content).hexdigest()
-        if path == CATALOG_PATH:
-            try:
-                catalog = _catalog_sections(content.decode())
-            except UnicodeDecodeError:
-                catalog = None
-        elif path in SECTIONED_MODULES:
-            try:
-                secs = _def_sections(content.decode())
-            except UnicodeDecodeError:
-                secs = None
-            if secs is not None:
-                modsec[path] = secs
+    # undecodable files must not abort the whole commit pass — drop
+    # them from section analysis (digests still computed from bytes)
+    safe = {}
+    for path, c in contents.items():
+        try:
+            c.decode()
+        except UnicodeDecodeError:
+            safe[path] = None
+        else:
+            safe[path] = c
+    out = {
+        p: hashlib.sha256(c).hexdigest() for p, c in contents.items()
+    }
+    blobs, catalog, modsec = _blobs_from_contents(
+        {p: c for p, c in safe.items() if c is not None}
+    )
     return out, catalog, modsec
 
 

@@ -438,8 +438,21 @@ def test_real_repo_sectioned_modules_parse_and_localize():
     attributed by NO registered query (so guarding it stales nobody)."""
     import json
     import os
-    for rel in SECTIONED_MODULES:
-        assert _def_sections(open(rel).read()) is not None, rel
+    from scripts.certification_ledger import (
+        _normalize_py,
+        _top_def_names,
+    )
+
+    # mirror the real pipeline: normalized sources + the sectioned-defs
+    # pre-pass (llm_curation's registry carve-out needs both to prove
+    # curation.py's BLOOM constants are shared-section members)
+    norm = {
+        rel: _normalize_py(open(rel, "rb").read()).decode()
+        for rel in SECTIONED_MODULES
+    }
+    sectioned_defs = {rel: _top_def_names(s) for rel, s in norm.items()}
+    for rel, s in norm.items():
+        assert _def_sections(s, sectioned_defs) is not None, rel
     bank = json.load(open("CERTIFICATION_hashes.json"))
     for q, info in bank.items():
         secs = info["sections"]
@@ -448,6 +461,54 @@ def test_real_repo_sectioned_modules_parse_and_localize():
     # spot positives: consumers DO attribute what they call
     assert "brute_force_topk" in bank["x9_sim_topk"]["sections"]["similarity.py"]
     assert "winsorized_sum" in bank["x83_winsorized_mean"]["sections"]["stats_exact.py"]
+
+
+def test_registry_carveout_admits_constants_rejects_defs():
+    """r11: a QUERIES/ORACLES literal may reference pkg imports only
+    when every name is provably covered elsewhere — a constant from a
+    sectioned module (shared section, hashed by all consumers) is
+    admissible; a DEF from a sectioned module, an unresolvable
+    relative import, or missing knowledge all force whole-file
+    fallback (under-staling would forge certification)."""
+    from scripts.certification_ledger import _def_sections
+
+    cur = "m5_competition_kaggle_spark/operators/curation.py"
+    src = (
+        "from m5_competition_kaggle_spark.operators.curation import"
+        " BLOOM_K\n"
+        'ORACLES = {"q": f"{BLOOM_K}"}\n'
+        "def f():\n    return 1\n"
+    )
+    assert _def_sections(src, {cur: {"some_def"}}) is not None
+    assert _def_sections(src, {cur: {"BLOOM_K"}}) is None  # a def
+    assert _def_sections(src) is None  # no knowledge
+    # non-registry module-level exec referencing a pkg import still
+    # falls back, knowledge or not
+    src2 = (
+        "from m5_competition_kaggle_spark.operators.curation import"
+        " BLOOM_K\n"
+        "X = BLOOM_K\n"
+        "def f():\n    return 1\n"
+    )
+    assert _def_sections(src2, {cur: {"some_def"}}) is None
+
+
+def test_sectioned_defining_module_attributes_own_def():
+    """r11: llm_curation is sectioned — each of its queries must hash
+    its OWN def section (plus whatever siblings it references), and a
+    consumer in another module that only uses llm_curation CONSTANTS
+    attributes none of its defs."""
+    import json
+
+    bank = json.load(open("CERTIFICATION_hashes.json"))
+    x29 = bank["x29_corpus_to_shards"]["sections"]["llm_curation.py"]
+    assert "x29_corpus_to_shards" in x29
+    x30 = bank["x30_vocab_topk"]["sections"]["llm_curation.py"]
+    assert "x30_vocab_topk" in x30
+    # x66 (extensions_r6) imports only HLL constants from llm_curation
+    assert bank["x66_source_jaccard"]["sections"].get(
+        "llm_curation.py"
+    ) == []
 
 
 def test_round_commit_falls_back_to_head_for_untracked(tmp_path):
