@@ -155,6 +155,24 @@ _MODULES = (
 # the 9 r10 rows (x148–x155, s22 — VERDICT item 3's second-green
 # request) — plus the 11 oldest still-valid greens (q1–q11, banked r5,
 # unrefreshed since). 32 picks + 12 stales + 6 new = 50 exactly.
+#
+# r12 window plan (stage THE EDITS FIRST, at round start): (1) apply
+# the remaining persist-leak fixes — dedup.py minhash_lsh_pairs /
+# ngram_jaccard_pairs / containment_pairs, semantic_dedup.py
+# semantic_dedup, dedup_incremental.py incremental_near_dups,
+# llm_curation.py x29_corpus_to_shards — same localCheckpoint rework
+# as this round's prefix.py. All six sites are now under per-function
+# sectioned hashing (llm_curation sectioned via the registry
+# carve-out), so the measured stale set is 22 unique rows (18 via
+# minhash_lsh_pairs incl. the six r11 queries + x29, plus x3, x37,
+# x51, x60) — re-verify with the ledger after the edit. (2) register
+# the staged extensions_r12 (7 queries: x162–x166, s23–s24 — locally
+# certified at both SFs, tests/test_r12_queue.py, 10×-probed,
+# plan-audited). (3) fill the remaining ~21 slots with the oldest
+# singles: q12–q14, q16, q17, q19–q23 (r5 greens not refreshed in
+# r11), then x33/x44/x45/x46 and the oldest r5-built singles.
+# 22 stales + 7 new + 21 picks = 50. Nothing else may stale
+# mid-round.
 _HEAD = (
     # r8-built tail + r9b batch: single green, oldest first
     "x137_ivf_health", "x138_rmsse", "x139_croston", "x140_pinball",

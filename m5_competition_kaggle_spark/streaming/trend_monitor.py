@@ -1,0 +1,152 @@
+"""Streaming trend monitors — daily per-key cells feeding the batch
+changepoint (x149) and Theil–Sen (x153) kernels. The monitor family
+pattern (psi/ks/welch/quantile/auc/ece precedents): the STREAM only
+maintains per-(day, key) sufficient statistics — a tumbling-day
+aggregate whose state is |days| × |event types|, independent of event
+volume — and the trend assembly runs on those bounded cells, where
+stream == batch is an arithmetic identity because the cells are exact
+integer aggregates.
+
+Two assemblies share one kernel:
+
+- ``changepoint_from_cells`` — WHERE did each key's daily VOLUME
+  regime shift? ``operators/changepoint.best_mean_shift`` over the
+  per-day counts (x149's statistic at the same day granularity).
+- ``theil_sen_from_cells`` — the robust daily trend of each key's
+  permille value sum (x153's estimator), breakdown-resistant against
+  the corrupted days a drift monitor exists to catch.
+
+The update-mode deployment merges changed (day, key) cells into a
+``ClosingDayStore`` under the sink-enforced lateness rule
+(``streaming/update_mode.py`` — Spark's watermark drop guarantee is
+one-sided, so eviction is enforced at the sink, never assumed).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.streaming.events import (
+    read_events_stream,
+)
+from m5_competition_kaggle_spark.streaming.update_mode import (
+    ClosingDayStore,
+)
+
+
+def day_key_cells(
+    events: DataFrame,
+    key_col: str = "event_type",
+    since_nanos: int | None = None,
+) -> DataFrame:
+    """(day, key, n, y_sum) tumbling-day cells — batch or stream (the
+    identical plan runs incrementally). ``n`` is the event count,
+    ``y_sum`` the exact permille value sum; both assemblies read from
+    this one kernel."""
+    if since_nanos is not None:
+        events = events.filter(
+            F.col("ts_nanos") >= F.lit(int(since_nanos))
+        )
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("__w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.expr("CAST(round(value * 1000) AS BIGINT)")
+            ).alias("y_sum"),
+        )
+        .select(
+            F.col("__w.start").cast("date").alias("day"),
+            "key",
+            "n",
+            "y_sum",
+        )
+    )
+
+
+def changepoint_from_cells(cells: DataFrame) -> DataFrame:
+    """Best single mean-shift split of each key's daily-count series
+    over the bounded cells (x149's exact statistic; cp_t is the DATE
+    of the last left-segment day)."""
+    from m5_competition_kaggle_spark.operators.changepoint import (
+        best_mean_shift,
+    )
+
+    series = cells.select("key", "day", "n")
+    return best_mean_shift(series, "key", "day", "n")
+
+
+def theil_sen_from_cells(cells: DataFrame) -> DataFrame:
+    """Theil–Sen robust slope of each key's daily permille-sum series
+    over the bounded cells (x153's exact lower-median pair pick); time
+    is integer epoch-days so slope_ppm is permille-units per day."""
+    from m5_competition_kaggle_spark.operators.theil_sen import (
+        theil_sen_slope,
+    )
+
+    series = cells.select(
+        "key",
+        F.datediff(F.col("day"), F.lit("1970-01-01")).alias("t_day"),
+        "y_sum",
+    )
+    return theil_sen_slope(series, "key", "t_day", "y_sum")
+
+
+def store_day_cells(
+    spark: SparkSession, store: ClosingDayStore
+) -> DataFrame:
+    """Lift the merged store back into (day, key, n, y_sum) cells so
+    either assembly runs on the update-mode deployment's data
+    unchanged — the store is tiny (|days| × |keys|)."""
+    rows = [
+        (datetime.date.fromisoformat(d), k, int(n), int(ys))
+        for (d, k), (n, ys) in store.data.items()
+    ]
+    return spark.createDataFrame(
+        rows, "day date, key string, n bigint, y_sum bigint"
+    )
+
+
+def streaming_day_cells_update_mode(
+    spark: SparkSession,
+    source_dir: str,
+    store: ClosingDayStore,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    since_nanos: int | None = None,
+    watermark: str = "2 days",
+    **source_options,
+):
+    """Run the day-cell aggregate in update mode, merging each
+    trigger's changed cells into ``store`` keyed (day, key) with the
+    (n, y_sum) pair as the opaque value. Returns the started query
+    (caller stops it)."""
+    stream = read_events_stream(
+        spark, source_dir, **source_options
+    ).withWatermark("ts", watermark)
+    cells = day_key_cells(
+        stream, key_col=key_col, since_nanos=since_nanos
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        store.apply_batch(
+            (
+                (r["day"], r["key"], (r["n"], r["y_sum"]))
+                for r in batch_df.collect()
+            ),
+            batch_id=batch_id,
+            run_key=checkpoint_dir,
+        )
+
+    return (
+        cells.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge)
+        .start()
+    )

@@ -115,10 +115,9 @@ def main() -> int:
     # staged-but-unregistered queue modules probe too (they need their
     # BASELINE.md scale rows ready before their registration round)
     from m5_competition_kaggle_spark.queries import (
-        extensions_r10 as _st10,
-        extensions_r11 as _st11,
+        extensions_r12 as _st12,
     )
-    _staged_qs = {**_st10.QUERIES, **_st11.QUERIES}
+    _staged_qs = {**_st12.QUERIES}
 
     for k, v in _staged_qs.items():
         qs.setdefault(k, v)
