@@ -132,9 +132,10 @@ def main() -> int:
         # too; the default full run stays the driver's registered set
         from m5_competition_kaggle_spark.queries import (
             extensions_r12,
+            extensions_r13,
         )
 
-        staged_mods = (extensions_r12,)
+        staged_mods = (extensions_r12, extensions_r13)
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE
         # r9). A hard raise, not assert: `python -O` strips asserts,

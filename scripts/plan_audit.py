@@ -95,8 +95,9 @@ def main() -> int:
     # plans must be scale-clean BEFORE their registration round
     from m5_competition_kaggle_spark.queries import (
         extensions_r12 as _st12,
+        extensions_r13 as _st13,
     )
-    _staged_qs = {**_st12.QUERIES}
+    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES}
 
     for k, v in _staged_qs.items():
         if k not in qs:

@@ -1,0 +1,178 @@
+"""Staged certification for the round-13 queue
+(queries/extensions_r13.py — x167 Heaps slope, x168 MASE, x169
+hierarchical reconciliation, x170 autocovariance profile). Staged two
+rounds ahead; same local gate as the r10–r12 queues: the check_oracle
+differential at sf0.001 AND sf0.01, hand pins, vacuity audits."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import extensions_r13
+from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "check_oracle.py"),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and check_oracle)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r13.QUERIES))
+def test_differential_vs_duckdb(spark, name):
+    sdf = extensions_r13.QUERIES[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF)
+    tbl = con.sql(extensions_r13.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    d_types = {f.name: check_oracle.arrow_type_class(f.type)
+               for f in tbl.schema}
+    s_types = {f.name: check_oracle.spark_type_class(f.dataType)
+               for f in sdf.schema.fields}
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert sorted(s_cols) == sorted(d_cols)
+    assert s_types == d_types
+    assert check_oracle.value_hash(s_rows, s_cols) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r13.QUERIES))
+def test_differential_vs_duckdb_sf001(spark, name):
+    sdf = extensions_r13.QUERIES[name](spark, SF01)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF01)
+    tbl = con.sql(extensions_r13.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert check_oracle.value_hash(s_rows, sdf.columns) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+# ------------------------------------------------------------ hand pins
+
+
+def test_heaps_slope_is_sublinear(spark):
+    """Vacuity + semantics: the synthetic corpus grows trigram types
+    sublinearly but non-trivially — β strictly between 0.3 and 1.0,
+    from all 45 decile pairs."""
+    for sf in (SF, SF01):
+        row = extensions_r13.x167_heaps_slope(spark, sf).collect()[0]
+        assert row["n"] == 10 and row["n_pairs"] == 45, sf
+        assert 300_000 < row["slope_ppm"] < 1_000_000, (
+            sf, row["slope_ppm"]
+        )
+
+
+def test_heaps_slope_exact_linear_series(spark):
+    """A hand-planted exactly-linear log-log series pins the kernel:
+    ly = 2·lt ⇒ slope_ppm = 2,000,000 with the exact pair rational."""
+    from m5_competition_kaggle_spark.operators.theil_sen import (
+        theil_sen_slope,
+    )
+
+    pts = spark.createDataFrame(
+        [("c", i * 10, i * 20) for i in range(1, 6)],
+        "corpus string, lt long, ly long",
+    )
+    row = theil_sen_slope(pts, "corpus", "lt", "ly").collect()[0]
+    assert row["slope_ppm"] == 2_000_000
+    assert row["slope_num"] * 1 == 2 * row["slope_den"]
+
+
+def test_mase_hand_series(spark):
+    """Hand-checkable MASE: a noisy-weekly planted series where the
+    lag-7 errors are constants — numerator and denominator sums are
+    exact by construction."""
+    # y_t = 100·(t mod 7) + t  for t in 0..29: y_t − y_{t−7} = 7
+    # everywhere, so every |e| = 7; MASE = 1 exactly.
+    rows = [("a", t, 100 * (t % 7) + t) for t in range(30)]
+    series = spark.createDataFrame(
+        rows, "event_type string, t long, y long"
+    )
+    # rebuild the query's aggregation on the planted series
+    lagged = series.alias("a").join(
+        series.select(
+            "event_type",
+            (F.col("t") + 7).alias("t"),
+            F.col("y").alias("ylag"),
+        ).alias("b"),
+        ["event_type", "t"],
+    )
+    tmax = series.groupBy("event_type").agg(F.max("t").alias("tmax"))
+    marked = lagged.join(tmax, "event_type").select(
+        "event_type",
+        F.abs(F.col("y") - F.col("ylag")).alias("ae"),
+        (F.col("t") > F.col("tmax") - 7).alias("is_test"),
+    )
+    agg = marked.groupBy("event_type").agg(
+        F.sum(F.when(~F.col("is_test"), F.col("ae"))).alias("tr"),
+        F.sum(F.when(F.col("is_test"), F.col("ae"))).alias("te"),
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).alias("nd"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("nt"),
+    ).collect()[0]
+    assert agg["nt"] == 7 and agg["nd"] == 16
+    assert agg["te"] * agg["nd"] == agg["tr"] * agg["nt"]  # MASE == 1
+
+
+def test_mase_outputs_nondegenerate(spark):
+    out = extensions_r13.x168_mase(spark, SF01).collect()
+    assert len(out) == 5
+    assert all(r["mase_ppm"] is not None for r in out)
+    assert len({r["mase_ppm"] for r in out}) > 1
+
+
+def test_hierarchy_reconcile_shares_sum_to_root(spark):
+    """Structural identities: historical shares partition the total
+    (Σ hist_leaf = hist_total implies Σ alloc within n_lists units of
+    the root forecast — truncation only), and the root-vs-bottom-up
+    gap is consistent across rows."""
+    out = extensions_r13.x169_hierarchy_reconcile(
+        spark, SF01
+    ).collect()
+    assert len(out) == 5
+    root = {r["root_forecast"] for r in out}
+    assert len(root) == 1
+    root_f = root.pop()
+    alloc_sum = sum(r["alloc_topdown"] for r in out)
+    assert 0 <= root_f - alloc_sum < len(out)  # floor residue only
+    gaps = {r["root_minus_bottom_up"] for r in out}
+    assert len(gaps) == 1
+    assert any(r["gap"] != 0 for r in out)  # levels genuinely differ
+
+
+def test_acf_profile_lag0_is_unit(spark):
+    """Lag 0 is the variance itself — ratio exactly 1000 — and the
+    profile is nondegenerate across lags."""
+    out = extensions_r13.x170_acf_profile(spark, SF01).collect()
+    assert len(out) == 40  # 5 types × lags 0..7
+    for r in out:
+        if r["k"] == 0:
+            assert r["ratio_permille"] == 1000
+    non0 = [r["ratio_permille"] for r in out if r["k"] > 0]
+    assert len(set(non0)) > 3
+    # paired-subsample covariances are not Cauchy–Schwarz-bounded by
+    # the full-series variance, but anything past 2x signals a bug
+    assert all(abs(v) < 2000 for v in non0 if v is not None)
