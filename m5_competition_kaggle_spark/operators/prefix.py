@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _ranged_local_sums(
+    df: DataFrame, value_col: str, order_cols: tuple[str, ...]
+) -> DataFrame:
+    """Phase 1+2 of the scan, LAZY: range-partition on the order keys
+    and take per-partition cumulative sums keyed by the physical
+    partition id. Exposed separately so plan-shape tests can assert
+    the range exchange / keyed window on the REAL computation —
+    ``global_running_sum`` materializes this via localCheckpoint,
+    which truncates the visible lineage of everything downstream."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ranged.withColumn("__local", F.sum(value_col).over(w))
+
+
 def global_running_sum(
     df: DataFrame,
     value_col: str,
@@ -35,15 +55,7 @@ def global_running_sum(
     without a single-partition exchange. ``order_cols`` must be a unique
     key (ties would make "the" global order ambiguous).
     """
-    n = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-    ranged = ranged.withColumn("__pid", F.spark_partition_id())
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranged = ranged.withColumn("__local", F.sum(value_col).over(w))
+    ranged = _ranged_local_sums(df, value_col, order_cols)
     # The __pid -> offset mapping is only valid against the EXACT
     # partition assignment it was computed on, and repartitionByRange
     # samples its boundaries per-plan (the sample seed derives from the

@@ -526,21 +526,27 @@ def _def_sections(
         return line_start[lineno - 1] + col
 
     sections: dict[str, str] = {}
-    spans: list[tuple[int, int]] = []
     for n in def_nodes:
         first = min([n, *n.decorator_list], key=lambda x: x.lineno)
         a = offset(first.lineno, 0)
         b = offset(n.end_lineno, n.end_col_offset)
         sections[n.name] = hashlib.sha256(src[a:b].encode()).hexdigest()
-        spans.append((a, b))
-    shared = []
-    pos = 0
-    for a, b in sorted(spans):
-        shared.append(src[pos:a])
-        pos = b
-    shared.append(src[pos:])
+    # The shared section hashes the UNPARSED top-level non-def
+    # statements, not the raw text gaps between def spans: gap-based
+    # hashing made the shared digest depend on the NUMBER of blank
+    # lines between defs, so merely ADDING a def to a sectioned module
+    # staled every consumer (observed r11: a prefix.py helper
+    # extraction flipped 107 rows before this fix). Statement-level
+    # unparse is whitespace-canonical and structure-aware — an
+    # indentation change that moves a statement into/out of a block
+    # changes the unparse text, so no under-staling escape.
+    shared_stmts = [
+        ast.unparse(n) for n in tree.body
+        if not isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef))
+    ]
     sections[SHARED_KEY] = hashlib.sha256(
-        "".join(shared).encode()
+        "\n".join(shared_stmts).encode()
     ).hexdigest()
     return sections
 

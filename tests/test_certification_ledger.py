@@ -493,6 +493,45 @@ def test_registry_carveout_admits_constants_rejects_defs():
     assert _def_sections(src2, {cur: {"some_def"}}) is None
 
 
+def test_adding_a_def_leaves_shared_section_stable():
+    """r11 regression: gap-based shared hashing made the SHARED
+    digest depend on blank lines between def spans, so extracting a
+    helper into a sectioned module staled every consumer (107 rows).
+    Adding a def must leave the shared digest unchanged; editing a
+    real shared statement must still change it; moving a statement
+    into a block (indentation semantics) must still change it."""
+    from scripts.certification_ledger import (
+        SHARED_KEY,
+        _def_sections,
+    )
+
+    base = (
+        "import os\n"
+        "X = 1\n"
+        "def f():\n    return 1\n"
+    )
+    with_def = (
+        "import os\n"
+        "X = 1\n"
+        "def g():\n    return 2\n"
+        "def f():\n    return 1\n"
+    )
+    edited = base.replace("X = 1", "X = 2")
+    s0 = _def_sections(base, {})
+    s1 = _def_sections(with_def, {})
+    s2 = _def_sections(edited, {})
+    assert s0[SHARED_KEY] == s1[SHARED_KEY]
+    assert s0["f"] == s1["f"]
+    assert s0[SHARED_KEY] != s2[SHARED_KEY]
+    blocked = (
+        "import os\n"
+        "if os.sep:\n    X = 1\n"
+        "def f():\n    return 1\n"
+    )
+    s3 = _def_sections(blocked, {})
+    assert s3[SHARED_KEY] != s0[SHARED_KEY]
+
+
 def test_sectioned_defining_module_attributes_own_def():
     """r11: llm_curation is sectioned — each of its queries must hash
     its OWN def section (plus whatever siblings it references), and a

@@ -28,9 +28,20 @@ def test_global_running_sum_matches_single_partition(spark):
 
 
 def test_global_running_sum_no_single_partition_exchange(spark):
+    from m5_competition_kaggle_spark.operators.prefix import (
+        _ranged_local_sums,
+    )
+
     df = spark.createDataFrame([(i, 1) for i in range(100)], "k long, v long")
     plan = global_running_sum(df, "v", ("k",))._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+    # the REAL computation (lineage-truncated by the localCheckpoint)
+    # range-partitions and windows per physical partition
+    phase1 = _ranged_local_sums(
+        df, "v", ("k",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in phase1.lower()
+    assert "SinglePartition" not in phase1
 
 
 def test_pack_into_shards_boundary_rule(spark):

@@ -110,13 +110,24 @@ def test_zone_maps_reject_bad_block_size(spark):
 
 
 def test_zone_map_rank_is_global_not_single_partition(spark):
-    """The block ids must come from the distributed prefix scan — the
-    plan must contain a RANGE partitioning, not a single-partition
-    window over the whole table."""
+    """The block ids must come from the distributed prefix scan — no
+    single-partition window over the whole table. Since the r11
+    persist-leak fix, global_running_sum materializes its ranged
+    intermediate via localCheckpoint (truncating the visible lineage),
+    so the range exchange is asserted on the scan's exposed lazy
+    phase-1 frame instead of the downstream plan."""
+    from m5_competition_kaggle_spark.operators.prefix import (
+        _ranged_local_sums,
+    )
+
     df = spark.range(1000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("v")
     )
     plan = zone_map_blocks(
         df, ["k"], ["v"], block_size=50
     )._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+    phase1 = _ranged_local_sums(
+        df.withColumn("__one", F.lit(1).cast("long")), "__one", ("k",)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in phase1.lower()
