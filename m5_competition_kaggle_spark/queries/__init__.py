@@ -172,7 +172,14 @@ _MODULES = (
 # singles: q12–q14, q16, q17, q19–q23 (r5 greens not refreshed in
 # r11), then x33/x44/x45/x46 and the oldest r5-built singles.
 # 22 stales + 7 new + 21 picks = 50. Nothing else may stale
-# mid-round.
+# mid-round. Ride-along policy for those edits: each touched module
+# also converts its bare parameter-validation asserts to raises in
+# the SAME edit (python -O strips asserts — the ADVICE r10 class;
+# the sites: curation.py:47, similarity.py:29, similarity_pq.py:67,
+# interval*.py overlap guards, phash.py:91, audio.py:100,
+# catalog.py:256 — each deferred until its module stales
+# legitimately, because the edit itself would stale every banked
+# consumer).
 _HEAD = (
     # r8-built tail + r9b batch: single green, oldest first
     "x137_ivf_health", "x138_rmsse", "x139_croston", "x140_pinball",
@@ -222,13 +229,20 @@ def _reorder(merged: dict, require_all: bool = False) -> dict:
     # require_all only for the query dict: oracle-less (rows-only) queries
     # legitimately have no ORACLES entry.
     head_names = _effective_head()
+    # hard raises, not asserts: these run inside the driver and a
+    # python -O deployment must not silently misregister (ADVICE r10
+    # class)
     if require_all:
         missing = [k for k in head_names if k not in merged]
-        assert not missing, f"head names not registered: {missing}"
-    assert len(_HEAD) <= HEAD_CAP, (
-        f"_HEAD has {len(_HEAD)} entries; driver certifies only the first "
-        f"{HEAD_CAP} — drop a fill entry"
-    )
+        if missing:
+            raise RuntimeError(
+                f"head names not registered: {missing}"
+            )
+    if len(_HEAD) > HEAD_CAP:
+        raise RuntimeError(
+            f"_HEAD has {len(_HEAD)} entries; driver certifies only "
+            f"the first {HEAD_CAP} — drop a fill entry"
+        )
     head = {k: merged[k] for k in head_names if k in merged}
     tail = {k: v for k, v in merged.items() if k not in head}
     return {**head, **tail}

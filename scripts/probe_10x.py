@@ -109,7 +109,8 @@ def main() -> int:
     from m5_competition_kaggle_spark.session import get_spark
 
     names = sys.argv[1:]
-    assert names, "usage: probe_10x.py <query> [query ...]"
+    if not names:  # a raise, not assert: python -O strips asserts
+        raise SystemExit("usage: probe_10x.py <query> [query ...]")
     spark = get_spark("probe10x")
     qs = entry_mod.queries()
     # staged-but-unregistered queue modules probe too (they need their
