@@ -42,7 +42,12 @@ def x167_heaps_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs exact integers (ln of a BIGINT is bit-identical in both
     engines on this platform — the x32/x63 raw-double precedent), so
     the x153 kernel's median-pair pick certifies exactly;
-    slope_ppm ≈ β·10⁶."""
+    slope_ppm ≈ β·10⁶. Plan note: the kernel runs under a CONSTANT
+    series key (one corpus = one series), which Catalyst folds — the
+    pair self-join plans as a cartesian of two 10-row sides and the
+    rank window as a single partition holding 45 pairs; both are
+    bounded BY CONSTRUCTION at any corpus size (x157 emits exactly
+    one row per decile) and carry justified PLAN_AUDIT allowances."""
     from m5_competition_kaggle_spark.operators.heaps import (
         vocab_growth_deciles,
     )
