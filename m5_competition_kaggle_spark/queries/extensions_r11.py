@@ -141,16 +141,24 @@ def x159_jaccard_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("nt2")
             - F.size(F.array_intersect("toks", "toks2")).cast("long")
         ).alias("__den"),
+        ((F.col("nt") + F.col("nt2")) > 0).alias("__cheap_nonempty"),
     )
     # __den = 0 is possible only for degenerate token sets (two empty
-    # token arrays; NULL texts propagate NULL through __den and are
-    # dropped by the > 0 predicate in both engines — Spark's
-    # size(NULL) is NULL under default non-legacy conf, not -1);
-    # Spark non-ANSI DIV would yield NULL while the DuckDB twin
-    # raises division-by-zero, so the guard keeps the differential
-    # well-defined on ANY input (ADVICE r9). No-op on the fixture
-    # (non-null text ⇒ __den ≥ 1).
-    jac = pairs.where(F.col("__den") > 0).select(
+    # token arrays; NULL texts propagate NULL and are dropped by the
+    # guard in both engines — Spark's size(NULL) is NULL under
+    # default non-legacy conf, not -1); Spark non-ANSI DIV would
+    # yield NULL while the DuckDB twin raises division-by-zero, so
+    # the guard keeps the differential well-defined on ANY input
+    # (ADVICE r9). No-op on the fixture (non-null text ⇒ __den ≥ 1).
+    # The guard tests nt + nt2, not __den: inter ≤ min(nt, nt2) gives
+    # __den = nt + nt2 − inter ≥ max(nt, nt2), so the two predicates
+    # select identical rows — but __den references array_intersect,
+    # and Catalyst pushes the filter into the BNLJ condition, which
+    # would evaluate the intersect per pair BEFORE the projection
+    # (measured: 3 intersect evaluations per pair instead of 1 —
+    # codegen subexpression elimination works within the Project but
+    # never across the join-condition boundary).
+    jac = pairs.where(F.col("__cheap_nonempty")).select(
         F.expr("__num DIV __den").alias("jac_permille")
     )
     return (

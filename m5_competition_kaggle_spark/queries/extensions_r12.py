@@ -81,9 +81,23 @@ def x162_lsh_band_power(
             + F.col("nt2")
             - F.size(F.array_intersect("toks", "toks2")).cast("long")
         ).alias("__den"),
+        # guard on nt + nt2, not __den: equivalent rows (inter <=
+        # min(nt, nt2) => __den >= max(nt, nt2)) and the cheap form
+        # keeps the pushed-down BNLJ condition free of the intersect
+        # (the x159 lesson: 3 evaluations per pair instead of 1)
+        ((F.col("nt") + F.col("nt2")) > 0).alias("__cheap_nonempty"),
     )
-    jac = pairs.where(F.col("__den") > 0).select(
+    jac = pairs.where(F.col("__cheap_nonempty")).select(
         F.expr("__num DIV __den").alias("jac_permille")
+    )
+    # collapse the pair mass to the <=1001 DISTINCT permille values
+    # BEFORE the 4-config fan-out: capture is a pure function of
+    # jac_permille, so per-bucket sum/min/max over count-weighted
+    # distinct values equals the per-pair computation exactly — the
+    # capture arithmetic runs ~1001x4 times instead of |pairs|x4
+    # (measured 43.5x -> pair-join-bound at 10x)
+    hist = jac.groupBy("jac_permille").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     cfg = F.array(
         *[
@@ -97,15 +111,20 @@ def x162_lsh_band_power(
             for bands, rows in ((2, 8), (4, 4), (8, 2), (16, 1))
         ]
     )
-    stacked = jac.select(
+    stacked = hist.select(
         F.expr("jac_permille DIV 100").alias("bucket"),
+        "cnt",
         F.explode(cfg).alias("c"),
-    ).select("c.bands", "c.rows_per_band", "bucket", "c.cap_ppm")
+    ).select(
+        "c.bands", "c.rows_per_band", "bucket", "cnt", "c.cap_ppm"
+    )
     return (
         stacked.groupBy("bands", "rows_per_band", "bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("cap_ppm").cast("long").alias("sum_capture_ppm"),
+            F.sum("cnt").cast("long").alias("n_pairs"),
+            F.sum(F.col("cnt") * F.col("cap_ppm"))
+            .cast("long")
+            .alias("sum_capture_ppm"),
             F.min("cap_ppm").alias("min_capture_ppm"),
             F.max("cap_ppm").alias("max_capture_ppm"),
         )
