@@ -230,13 +230,19 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk with its shard assignment.
 
     Tokenization (the dominant per-row CPU in this composition) runs ONCE:
-    the survivors' token arrays are computed in the persisted projection
-    and flow into the 4-shingle decontamination, the 3-shingle minhash,
-    AND the final chunking via ``tokens_col`` — instead of re-splitting
-    the corpus text in each stage. The post-decontamination corpus is
-    ALSO persisted: both the minhash branch and the final chunking
-    branch consume it, and without the persist the whole decon shingle
-    join re-executes per consumer (measured ~2s at sf0.1)."""
+    the survivors' token arrays are computed in a materialized
+    projection and flow into the 4-shingle decontamination, the
+    3-shingle minhash, AND the final chunking via ``tokens_col`` —
+    instead of re-splitting the corpus text in each stage. The
+    post-decontamination corpus is ALSO materialized: both the
+    minhash branch and the final chunking branch consume it, and
+    without it the whole decon shingle join re-executes per consumer
+    (measured ~2s at sf0.1). Both reuse points are
+    localCheckpoint(eager=True), not .persist(): a persisted plan is
+    a CacheManager entry nothing ever frees (the r10 prefix.py leak
+    class — one leaked dataset per invocation on a long-lived
+    session), while checkpoint blocks drop when the result goes
+    unreachable (ARCHITECTURE.md "Caching policy")."""
     from m5_competition_kaggle_spark.functions.text import (
         quality_features,
         tokens,
@@ -255,7 +261,7 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .repartition(sc.defaultParallelism, "doc_id")
         .select("doc_id", tokens("text").alias("__toks"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     bench_pred = (F.col("doc_id") % 97) == 0
     hits = contamination_hits(
@@ -265,7 +271,7 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = (
         surv.filter(~bench_pred)
         .join(hits, "doc_id", "left_anti")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     pairs = minhash_lsh_pairs(
         corpus, "doc_id", None, num_hashes=16, bands=4,
