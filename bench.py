@@ -104,7 +104,11 @@ def main() -> int:
         "full_results": "BENCH.local.json",
     }
     line = json.dumps(compact)
-    assert len(line) < 1500, len(line)
+    if len(line) >= 1500:  # raise, not assert: -O must not skip this
+        raise RuntimeError(
+            f"compact bench line {len(line)} chars — would overflow "
+            "the driver's 2000-char tail capture"
+        )
     print(line, flush=True)
     return 0
 
