@@ -21,6 +21,10 @@ same Spark-vs-DuckDB differential as ``scripts/check_oracle.py``.
   ratios of each daily series — the seasonality/persistence
   diagnostic under x152's forecastability screen and x115's seasonal
   index (a lag-7 spike certifies weekly structure).
+- s25 streaming MASE: the x168 metric as the THIRD assembly on the
+  trend monitor's bounded (day, key) cells (changepoint = where it
+  broke, Theil–Sen = where it's going, MASE = is the forecaster
+  still adequate) — one streaming kernel, three certified readouts.
 """
 
 from __future__ import annotations
@@ -518,11 +522,69 @@ ORDER BY c.event_type, c.k
 """
 
 
+# ---------------------------------------------------------------- s25
+
+
+def s25_stream_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming MASE monitor: the same tumbling
+    (day, event_type) cells s23/s24 maintain, through the x168
+    seasonal-naive-scaled kernel — stream == batch is an arithmetic
+    identity because the cells are exact integer day aggregates."""
+    from m5_competition_kaggle_spark.streaming.trend_monitor import (
+        day_key_cells,
+        mase_from_cells,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return mase_from_cells(day_key_cells(ev)).orderBy("key")
+
+
+ORACLE_S25 = """
+WITH cells AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type AS key,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT a.key, a.day, abs(a.y - b.y) AS ae
+    FROM cells a
+    JOIN cells b ON b.key = a.key
+                AND b.day = a.day - INTERVAL 7 DAY
+),
+tm AS (SELECT key, max(day) AS dmax FROM cells GROUP BY 1),
+marked AS (
+    SELECT l.key, l.ae,
+           l.day > m.dmax - INTERVAL 7 DAY AS is_test
+    FROM lagged l JOIN tm m ON m.key = l.key
+),
+agg AS (
+    SELECT key,
+           CAST(sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_den,
+           CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN NOT is_test THEN ae ELSE 0 END)
+                AS BIGINT) AS san_train,
+           CAST(sum(CASE WHEN is_test THEN ae ELSE 0 END)
+                AS BIGINT) AS sae_test
+    FROM marked GROUP BY key
+)
+SELECT key, n_den, n_test, san_train, sae_test,
+       CASE WHEN san_train > 0 AND n_test > 0 THEN
+           (1000000 * sae_test * n_den) // (n_test * san_train)
+       END AS mase_ppm
+FROM agg ORDER BY key
+"""
+
+
 QUERIES = {
     "x167_heaps_slope": x167_heaps_slope,
     "x168_mase": x168_mase,
     "x169_hierarchy_reconcile": x169_hierarchy_reconcile,
     "x170_acf_profile": x170_acf_profile,
+    "s25_stream_mase": s25_stream_mase,
 }
 
 ORACLES = {
@@ -530,4 +592,5 @@ ORACLES = {
     "x168_mase": ORACLE_X168,
     "x169_hierarchy_reconcile": ORACLE_X169,
     "x170_acf_profile": ORACLE_X170,
+    "s25_stream_mase": ORACLE_S25,
 }

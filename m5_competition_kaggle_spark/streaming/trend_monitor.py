@@ -98,6 +98,66 @@ def theil_sen_from_cells(cells: DataFrame) -> DataFrame:
     return theil_sen_slope(series, "key", "t_day", "y_sum")
 
 
+def mase_from_cells(cells: DataFrame) -> DataFrame:
+    """MASE with the seasonal-naive (m=7) benchmark over the bounded
+    cells (x168's exact integer arithmetic on the monitor's day
+    grid): numerator the held-out last week under the lag-7
+    forecaster, denominator the in-sample seasonal-naive error —
+    the live is-the-forecaster-still-adequate readout next to the
+    changepoint (where did it break) and trend (where is it going)
+    assemblies."""
+    series = cells.select("key", "day", F.col("y_sum").alias("y"))
+    lagged = series.alias("a").join(
+        series.select(
+            "key",
+            F.date_add(F.col("day"), 7).alias("day"),
+            F.col("y").alias("ylag"),
+        ).alias("b"),
+        ["key", "day"],
+    )
+    tmax = series.groupBy("key").agg(F.max("day").alias("dmax"))
+    marked = lagged.join(F.broadcast(tmax), "key").select(
+        "key",
+        F.abs(F.col("y") - F.col("ylag")).alias("ae"),
+        (F.col("day") > F.date_sub(F.col("dmax"), 7)).alias(
+            "is_test"
+        ),
+    )
+    return (
+        marked.groupBy("key")
+        .agg(
+            F.sum(F.when(~F.col("is_test"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_den"),
+            F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+            F.sum(
+                F.when(~F.col("is_test"), F.col("ae")).otherwise(0)
+            )
+            .cast("long")
+            .alias("san_train"),
+            F.sum(
+                F.when(F.col("is_test"), F.col("ae")).otherwise(0)
+            )
+            .cast("long")
+            .alias("sae_test"),
+        )
+        .select(
+            "key",
+            "n_den",
+            "n_test",
+            "san_train",
+            "sae_test",
+            F.expr(
+                "CASE WHEN san_train > 0 AND n_test > 0 THEN "
+                "(1000000 * sae_test * n_den) "
+                "DIV (n_test * san_train) END"
+            ).alias("mase_ppm"),
+        )
+    )
+
+
 def store_day_cells(
     spark: SparkSession, store: ClosingDayStore
 ) -> DataFrame:

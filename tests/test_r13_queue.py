@@ -163,6 +163,84 @@ def test_hierarchy_reconcile_shares_sum_to_root(spark):
     assert any(r["gap"] != 0 for r in out)  # levels genuinely differ
 
 
+def test_stream_mase_equals_batch_x168(spark):
+    """The streaming twin's day grid (UTC dates) and x168's epoch-day
+    grid cut the same boundaries, so per-key MASE outputs must be
+    IDENTICAL integers — the twin relationship as a cross-pin."""
+    a = {
+        r["key"]: (r["n_den"], r["n_test"], r["san_train"],
+                   r["sae_test"], r["mase_ppm"])
+        for r in extensions_r13.s25_stream_mase(spark, SF01).collect()
+    }
+    b = {
+        r["event_type"]: (r["n_den"], r["n_test"], r["san_train"],
+                          r["sae_test"], r["mase_ppm"])
+        for r in extensions_r13.x168_mase(spark, SF01).collect()
+    }
+    assert a == b
+
+
+def test_stream_mase_store_deployment_matches_batch(spark):
+    """The ClosingDayStore deployment re-assembles through
+    mase_from_cells to exactly the batch twin (the third assembly on
+    the one kernel)."""
+    import shutil
+    import tempfile
+
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+    from m5_competition_kaggle_spark.streaming.trend_monitor import (
+        day_key_cells,
+        mase_from_cells,
+        store_day_cells,
+        streaming_day_cells_update_mode,
+    )
+    from m5_competition_kaggle_spark.streaming.update_mode import (
+        ClosingDayStore,
+    )
+
+    NS_PER_DAY = 86_400_000_000_000
+    ev = load_table(spark, SF, "events")
+    expected = sorted(
+        tuple(r) for r in mase_from_cells(day_key_cells(ev)).collect()
+    )
+    assert expected
+    src = tempfile.mkdtemp(prefix="masemon_src_")
+    ckpt = tempfile.mkdtemp(prefix="masemon_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+
+    def _stage(df, name):
+        import os
+        tmp = f"{src}/__{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/part-{name}.parquet")
+        shutil.rmtree(tmp)
+
+    store = ClosingDayStore(allowed_lateness_days=2)
+    try:
+        _stage(ev.filter(F.col("ts_nanos") < mid), "a")
+        _stage(ev.filter(F.col("ts_nanos") >= mid), "b")
+        q = streaming_day_cells_update_mode(
+            spark, src, store, ckpt, maxFilesPerTrigger=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            tuple(r)
+            for r in mase_from_cells(
+                store_day_cells(spark, store)
+            ).collect()
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_acf_profile_lag0_is_unit(spark):
     """Lag 0 is the variance itself — ratio exactly 1000 — and the
     profile is nondegenerate across lags."""
