@@ -241,6 +241,95 @@ def test_stream_mase_store_deployment_matches_batch(spark):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_trend_monitor_state_survives_restart(spark):
+    """Checkpoint recovery for the trend monitor (the s17–s20
+    standard): run on half the corpus with a MID-day split, stop,
+    stage the rest, restart from the SAME checkpoint into the SAME
+    store — the recovered per-day cells must merge with the new rows
+    (the split day's cell is updated, not duplicated), and all three
+    assemblies re-derive the batch twins exactly."""
+    import shutil
+    import tempfile
+
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+    from m5_competition_kaggle_spark.streaming.trend_monitor import (
+        changepoint_from_cells,
+        day_key_cells,
+        mase_from_cells,
+        store_day_cells,
+        streaming_day_cells_update_mode,
+        theil_sen_from_cells,
+    )
+    from m5_competition_kaggle_spark.streaming.update_mode import (
+        ClosingDayStore,
+    )
+
+    NS_PER_DAY = 86_400_000_000_000
+    ev = load_table(spark, SF, "events")
+    cells = day_key_cells(ev)
+    exp = {
+        "cp": sorted(
+            tuple(r) for r in changepoint_from_cells(cells).collect()
+        ),
+        "ts": sorted(
+            tuple(r) for r in theil_sen_from_cells(cells).collect()
+        ),
+        "mase": sorted(
+            tuple(r) for r in mase_from_cells(cells).collect()
+        ),
+    }
+    src = tempfile.mkdtemp(prefix="trendrec_src_")
+    ckpt = tempfile.mkdtemp(prefix="trendrec_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2  # MID-day split
+
+    def _stage(df, name):
+        import os
+        tmp = f"{src}/__{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                shutil.move(f"{tmp}/{f}", f"{src}/part-{name}.parquet")
+        shutil.rmtree(tmp)
+
+    store = ClosingDayStore(allowed_lateness_days=2)
+    try:
+        _stage(ev.filter(F.col("ts_nanos") < mid), "a")
+        q = streaming_day_cells_update_mode(
+            spark, src, store, ckpt, maxFilesPerTrigger=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        half = dict(store.data)
+        assert half  # non-empty half-corpus state
+        _stage(ev.filter(F.col("ts_nanos") >= mid), "b")
+        q2 = streaming_day_cells_update_mode(
+            spark, src, store, ckpt, maxFilesPerTrigger=1
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        # the split-day cells were UPDATED in place, not duplicated
+        assert len(store.data) >= len(half)
+        lifted = store_day_cells(spark, store)
+        assert sorted(
+            tuple(r) for r in changepoint_from_cells(lifted).collect()
+        ) == exp["cp"]
+        assert sorted(
+            tuple(r) for r in theil_sen_from_cells(lifted).collect()
+        ) == exp["ts"]
+        assert sorted(
+            tuple(r) for r in mase_from_cells(lifted).collect()
+        ) == exp["mase"]
+        assert store.rejected == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_acf_profile_lag0_is_unit(spark):
     """Lag 0 is the variance itself — ratio exactly 1000 — and the
     profile is nondegenerate across lags."""
