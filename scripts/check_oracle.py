@@ -133,9 +133,10 @@ def main() -> int:
         from m5_competition_kaggle_spark.queries import (
             extensions_r12,
             extensions_r13,
+            extensions_r14,
         )
 
-        staged_mods = (extensions_r12, extensions_r13)
+        staged_mods = (extensions_r12, extensions_r13, extensions_r14)
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE
         # r9). A hard raise, not assert: `python -O` strips asserts,

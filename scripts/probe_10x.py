@@ -118,8 +118,9 @@ def main() -> int:
     from m5_competition_kaggle_spark.queries import (
         extensions_r12 as _st12,
         extensions_r13 as _st13,
+        extensions_r14 as _st14,
     )
-    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES}
+    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES, **_st14.QUERIES}
 
     for k, v in _staged_qs.items():
         qs.setdefault(k, v)

@@ -1,0 +1,423 @@
+"""Staged certification for the round-14 queue
+(queries/extensions_r14.py — x171 Markov surprisal, x172 sales Gini,
+x173 cross-covariance lead-lag, x174 doc KL novelty, x175 CvM drift,
+s26 streaming CvM). Staged two rounds ahead; same local gate as the
+r10-r13 queues: the check_oracle differential at sf0.001 AND sf0.01,
+hand pins, vacuity audits, and the stream==batch identity for s26."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import extensions_r14
+from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "check_oracle.py"),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and check_oracle)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r14.QUERIES))
+def test_differential_vs_duckdb(spark, name):
+    sdf = extensions_r14.QUERIES[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF)
+    tbl = con.sql(extensions_r14.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    d_types = {f.name: check_oracle.arrow_type_class(f.type)
+               for f in tbl.schema}
+    s_types = {f.name: check_oracle.spark_type_class(f.dataType)
+               for f in sdf.schema.fields}
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert sorted(s_cols) == sorted(d_cols)
+    assert s_types == d_types
+    assert check_oracle.value_hash(s_rows, s_cols) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r14.QUERIES))
+def test_differential_vs_duckdb_sf001(spark, name):
+    sdf = extensions_r14.QUERIES[name](spark, SF01)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF01)
+    tbl = con.sql(extensions_r14.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert check_oracle.value_hash(s_rows, sdf.columns) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+# ------------------------------------------------------- gini pins
+
+
+def test_gini_uniform_is_zero(spark):
+    """Equal values => perfect equality => gini_ppm == 0 exactly."""
+    from m5_competition_kaggle_spark.operators.gini import (
+        gini_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 7)] * 10, "grp string, v long"
+    )
+    row = gini_by_group(df, ["grp"], "v").collect()[0]
+    assert row["gini_ppm"] == 0
+    assert row["n_members"] == 10 and row["total"] == 70
+    assert row["top_share_ppm"] == 100_000
+
+
+def test_gini_max_concentration_closed_form(spark):
+    """One member owns everything among n => G = (n-1)/n exactly."""
+    from m5_competition_kaggle_spark.operators.gini import (
+        gini_by_group,
+    )
+
+    n = 8
+    rows = [("g", 0)] * (n - 1) + [("g", 1000)]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    row = gini_by_group(df, ["grp"], "v").collect()[0]
+    assert row["gini_ppm"] == (1_000_000 * (n - 1)) // n
+    assert row["top_share_ppm"] == 1_000_000
+
+
+def test_gini_tie_order_invariance(spark):
+    """The cell closed form is tie-order invariant: permuting input
+    rows (ties included) cannot move any output integer."""
+    from m5_competition_kaggle_spark.operators.gini import (
+        gini_by_group,
+    )
+
+    rows = [("g", v) for v in (5, 0, 5, 9, 0, 2, 5, 9)]
+    a = gini_by_group(
+        spark.createDataFrame(rows, "grp string, v long"),
+        ["grp"], "v",
+    ).collect()
+    b = gini_by_group(
+        spark.createDataFrame(rows[::-1], "grp string, v long"),
+        ["grp"], "v",
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_gini_all_zero_group_is_null(spark):
+    from m5_competition_kaggle_spark.operators.gini import (
+        gini_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("z", 0), ("z", 0)], "grp string, v long"
+    )
+    row = gini_by_group(df, ["grp"], "v").collect()[0]
+    assert row["gini_ppm"] is None and row["top_share_ppm"] is None
+
+
+def test_gini_brute_force_reference(spark):
+    """Randomized pin: the cell closed form equals the textbook
+    sorted-rank formula computed in plain Python."""
+    import random
+
+    from m5_competition_kaggle_spark.operators.gini import (
+        gini_by_group,
+    )
+
+    rng = random.Random(414)
+    vals = [rng.randrange(0, 50) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, v long"
+    )
+    row = gini_by_group(df, ["grp"], "v").collect()[0]
+    s = sorted(vals)
+    n, tot = len(s), sum(s)
+    rank_mass = sum((i + 1) * q for i, q in enumerate(s))
+    assert row["rank_mass"] == rank_mass
+    assert row["gini_ppm"] == (
+        1_000_000 * (2 * rank_mass - (n + 1) * tot)
+    ) // (n * tot)
+
+
+# ----------------------------------------------------- markov pins
+
+
+def test_surprisal_deterministic_chain_is_zero(spark):
+    """A corpus whose grammar is a deterministic cycle has P = 1 on
+    every observed transition => surprisal exactly 0."""
+    from m5_competition_kaggle_spark.operators.markov import (
+        transition_surprisal,
+    )
+
+    rows = [("u", i, "ABC"[i % 3]) for i in range(9)]
+    df = spark.createDataFrame(rows, "k string, t long, s string")
+    out = transition_surprisal(df, "k", "s", ("t",)).collect()
+    assert len(out) == 1
+    assert out[0]["n_trans"] == 8
+    assert out[0]["sum_surprisal_unat"] == 0
+    assert out[0]["mean_surprisal_unat"] == 0
+
+
+def test_surprisal_rare_transition_scores_higher(spark):
+    """A user taking a 1-in-many transition must out-score users on
+    the majority path, and the rare pair's exact micro-nat surprisal
+    is L(c_a) - L(c_ab)."""
+    import math
+
+    from m5_competition_kaggle_spark.operators.markov import (
+        transition_surprisal,
+    )
+
+    rows = []
+    for u in range(9):  # nine conformers: A -> B
+        rows += [(f"c{u}", 0, "A"), (f"c{u}", 1, "B")]
+    rows += [("odd", 0, "A"), ("odd", 1, "Z")]  # one deviant: A -> Z
+    df = spark.createDataFrame(rows, "k string, t long, s string")
+    got = {
+        r["key"]: r["mean_surprisal_unat"]
+        for r in transition_surprisal(df, "k", "s", ("t",)).collect()
+    }
+    expected_rare = round(math.log(10) * 1e6) - round(
+        math.log(1) * 1e6
+    )
+    expected_common = round(math.log(10) * 1e6) - round(
+        math.log(9) * 1e6
+    )
+    assert got["odd"] == expected_rare
+    assert got["c0"] == expected_common
+    assert got["odd"] > got["c0"]
+
+
+def test_surprisal_single_event_timelines_drop(spark):
+    from m5_competition_kaggle_spark.operators.markov import (
+        transition_surprisal,
+    )
+
+    rows = [("a", 0, "X"), ("a", 1, "Y"), ("lone", 0, "X")]
+    df = spark.createDataFrame(rows, "k string, t long, s string")
+    keys = {
+        r["key"]
+        for r in transition_surprisal(df, "k", "s", ("t",)).collect()
+    }
+    assert keys == {"a"}
+
+
+# -------------------------------------------------------- cvm pins
+
+
+def test_cvm_identical_sides_zero_energy(spark):
+    from m5_competition_kaggle_spark.operators.cvm import (
+        cvm_statistic,
+    )
+
+    side = spark.createDataFrame(
+        [("g", v) for v in (1, 2, 2, 3, 5, 8)], "grp string, q long"
+    )
+    row = cvm_statistic(side, side, "grp", "q").collect()[0]
+    assert row["gap_energy"] == 0 and row["omega2_micro"] == 0
+
+
+def test_cvm_disjoint_supports_closed_form(spark):
+    """ref all at q=0, cmp all at q=1, n == m: the only nonzero gap
+    cell is q=0 with gap_pm = 1000, carrying c = n pooled mass =>
+    gap_energy = n * 10^6 and omega2_micro = 500000 exactly."""
+    from m5_competition_kaggle_spark.operators.cvm import (
+        cvm_statistic,
+    )
+
+    n = 6
+    ref = spark.createDataFrame(
+        [("g", 0)] * n, "grp string, q long"
+    )
+    cmp_w = spark.createDataFrame(
+        [("g", 1)] * n, "grp string, q long"
+    )
+    row = cvm_statistic(ref, cmp_w, "grp", "q").collect()[0]
+    assert row["n_cells"] == 2
+    assert row["gap_energy"] == n * 1_000_000
+    assert row["omega2_micro"] == 500_000
+
+
+def test_cvm_sees_broad_drift_ks_underweights(spark):
+    """The motivating separation: a constant shift of a wide uniform
+    support keeps the KS max gap small but spreads it across every
+    cell — CvM's energy integrates it. Both statistics are computed
+    from the same cells; assert CvM's normalized effect exceeds the
+    squared KS permille's share, i.e. the energy is NOT concentrated
+    at the argmax cell."""
+    from m5_competition_kaggle_spark.operators.cvm import (
+        cvm_statistic,
+    )
+    from m5_competition_kaggle_spark.operators.ksdist import (
+        ks_statistic,
+    )
+
+    ref = spark.createDataFrame(
+        [("g", v) for v in range(100)], "grp string, q long"
+    )
+    cmp_w = spark.createDataFrame(
+        [("g", v + 5) for v in range(100)], "grp string, q long"
+    )
+    ks = ks_statistic(ref, cmp_w, "grp", "q").collect()[0]
+    cvm = cvm_statistic(ref, cmp_w, "grp", "q").collect()[0]
+    assert ks["ks_permille"] == 50  # 5/100 point shift
+    # energy if ONLY the argmax cell gapped: pooled mass there (2) x
+    # gap_pm^2; actual energy is two orders larger because ~all 105
+    # cells carry the 50-permille gap.
+    assert cvm["gap_energy"] > 50 * (2 * ks["ks_permille"] ** 2)
+    assert cvm["omega2_micro"] > 0
+
+
+# ---------------------------------------------- s26 stream == batch
+
+
+def test_stream_cvm_equals_batch_trajectory(spark):
+    """The file-source streaming CvM monitor must emit the identical
+    per-day table as the certified batch twin (s26), including when
+    the files arrive as separate triggers (state merged, not
+    double-counted)."""
+    from m5_competition_kaggle_spark.queries.extensions_r14 import (
+        SPLIT_NS,
+        s26_stream_cvm,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import (
+        load_table,
+    )
+    from m5_competition_kaggle_spark.streaming.cvm_monitor import (
+        streaming_cvm_trajectory,
+    )
+
+    ev = load_table(spark, SF, "events")
+    ref_counts = (
+        ev.filter(F.col("ts_nanos") < F.lit(SPLIT_NS))
+        .groupBy(F.expr("CAST(round(value) AS BIGINT)").alias("q"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+    )
+    expected = sorted(
+        (str(r.day), r.n_ref, r.n_cmp, r.n_cells, r.gap_energy,
+         r.omega2_micro)
+        for r in s26_stream_cvm(spark, SF).collect()
+    )
+    assert expected, "batch twin produced no rows"
+
+    d = tempfile.mkdtemp(prefix="events_cvm_stream_")
+    ckpt = tempfile.mkdtemp(prefix="cvm_ckpt_")
+    sink: list = []
+    try:
+        # stage as TWO files so days straddle trigger batches
+        mid = ev.approxQuantile("ts_nanos", [0.5], 0.0)[0]
+        for name, part in (
+            ("a", ev.filter(F.col("ts_nanos") < mid)),
+            ("b", ev.filter(F.col("ts_nanos") >= mid)),
+        ):
+            tmp = os.path.join(d, f"__{name}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, f),
+                        os.path.join(d, f"part-{name}.parquet"),
+                    )
+            shutil.rmtree(tmp)
+        q = streaming_cvm_trajectory(
+            spark, d, ref_counts, SPLIT_NS, sink, ckpt,
+            maxFilesPerTrigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (str(r.day), r.n_ref, r.n_cmp, r.n_cells, r.gap_energy,
+             r.omega2_micro)
+            for r in sink
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# -------------------------------------------------- fixture vacuity
+
+
+def test_xcov_peaks_and_bounds(spark):
+    """Every pair's peak rows carry ratio exactly +/-1000; every
+    ratio is inside [-1000, 1000]; the profile is nondegenerate."""
+    out = extensions_r14.x173_xcov_leadlag(spark, SF01).collect()
+    assert len(out) == 150  # C(5,2) pairs x 15 lags
+    by_pair: dict = {}
+    for r in out:
+        by_pair.setdefault((r["type_a"], r["type_b"]), []).append(r)
+    assert len(by_pair) == 10
+    for rows in by_pair.values():
+        peaks = [r for r in rows if r["is_peak"]]
+        assert peaks, "every pair attains its own max"
+        for p in peaks:
+            assert abs(p["ratio_permille"]) == 1000
+        assert all(
+            abs(r["ratio_permille"]) <= 1000
+            for r in rows
+            if r["ratio_permille"] is not None
+        )
+    ratios = {r["ratio_permille"] for r in out}
+    assert len(ratios) > 10
+
+
+def test_kl_novelty_output_shape(spark):
+    """Top-15 is strictly ordered, all above the corpus-typical
+    level (positive micro-nats), all past the token floor."""
+    out = extensions_r14.x174_doc_kl_novelty(spark, SF01).collect()
+    assert len(out) == 15
+    assert all(r["n_tokens"] >= 20 for r in out)
+    assert all(r["kl_unat"] > 0 for r in out)
+    keys = [(r["kl_unat"], -r["doc_id"]) for r in out]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_markov_surprisal_nondegenerate(spark):
+    out = extensions_r14.x171_markov_surprisal(spark, SF01).collect()
+    assert len(out) == 15
+    assert all(r["n_trans"] >= 5 for r in out)
+    assert all(r["mean_surprisal_unat"] > 0 for r in out)
+    assert len({r["mean_surprisal_unat"] for r in out}) > 5
+
+
+def test_sales_gini_nondegenerate(spark):
+    """All 25 brands present, every Gini strictly inside (0, 1) —
+    the fixture has both zero-sales parts and heavy sellers — and the
+    exact identity rank_mass vs total/n implied bounds hold."""
+    out = extensions_r14.x172_sales_gini(spark, SF01).collect()
+    assert len(out) == 25
+    for r in out:
+        assert 0 < r["gini_ppm"] < 1_000_000
+        assert 0 < r["top_share_ppm"] <= 1_000_000
+        # floor-div identity: gini reconstructs from the integers
+        g = (
+            1_000_000
+            * (2 * r["rank_mass"] - (r["n_members"] + 1) * r["total"])
+        ) // (r["n_members"] * r["total"])
+        assert r["gini_ppm"] == g
+    assert len({r["gini_ppm"] for r in out}) > 10
