@@ -6,7 +6,9 @@ of squared shares (dominated by the few largest members), the Gini
 coefficient reads the WHOLE inequality profile — a catalog where half
 the parts never sell moves Gini long before it moves HHI. Classic uses
 on a training-data pipeline: sales concentration per brand/category,
-token-mass concentration per source, shard-size imbalance per writer.
+token-mass concentration per source, shard-size imbalance per writer,
+and (via `gini_from_cells` on the streaming monitor's day buckets) the
+daily value-concentration trajectory.
 
 Exactness: with members sorted by value ascending and ranked 1..n,
 
@@ -40,24 +42,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def gini_by_group(
-    df: DataFrame,
-    group_cols: Sequence[str],
-    value_col: str,
+def gini_from_cells(
+    cells: DataFrame, part_cols: Sequence[str]
 ) -> DataFrame:
-    """Exact Gini concentration of BIGINT ``value_col`` (>= 0) over
-    the members of each group — one input row per member.
+    """Exact Gini from pre-aggregated value cells — the shared kernel
+    (the `ksdist.ks_from_cells` relationship): one row per
+    (*part_cols, q) with BIGINT member count ``c`` (q >= 0, unique
+    within a partition). The streaming monitor's bounded day-bucket
+    aggregate IS this shape, so batch and stream assemble the
+    identical statistic.
 
-    Output one row per group: *group_cols, n_members, total,
-    max_value, top_share_ppm, rank_mass (= sum_i i*q_i), gini_ppm
-    (NULL when total == 0). gini_ppm uses floor division, so it is in
-    [0, 10^6) exactly."""
-    gcols = list(group_cols)
-    cells = df.groupBy(
-        *gcols, F.col(value_col).alias("q")
-    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    NULL q cells are dropped (a NULL value has no place on the value
+    axis — the ksdist ECDF convention). Output one row per partition:
+    *part_cols, n_members, total, max_value, top_share_ppm (the
+    largest single VALUE's share — on cells the largest member value),
+    rank_mass (= sum_i i*q_i), gini_ppm (NULL when total == 0;
+    floor division, so in [0, 10^6) exactly)."""
+    pcols = list(part_cols)
+    cells = cells.filter(F.col("q").isNotNull())
     w_cum = (
-        Window.partitionBy(*gcols)
+        Window.partitionBy(*pcols)
         .orderBy("q")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
@@ -72,7 +76,7 @@ def gini_by_group(
         ),
     )
     return (
-        scored.groupBy(*gcols)
+        scored.groupBy(*pcols)
         .agg(
             F.sum("c").alias("n_members"),
             F.sum(F.col("q") * F.col("c")).alias("total"),
@@ -80,7 +84,7 @@ def gini_by_group(
             F.sum("rank_mass_cell").alias("rank_mass"),
         )
         .select(
-            *gcols,
+            *pcols,
             "n_members",
             "total",
             "max_value",
@@ -97,3 +101,21 @@ def gini_by_group(
             ).alias("gini_ppm"),
         )
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact Gini concentration of BIGINT ``value_col`` (>= 0) over
+    the members of each group — one input row per member; the
+    row-level wrapper over ``gini_from_cells``.
+
+    Output one row per group: *group_cols, n_members, total,
+    max_value, top_share_ppm, rank_mass, gini_ppm."""
+    gcols = list(group_cols)
+    cells = df.groupBy(
+        *gcols, F.col(value_col).alias("q")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return gini_from_cells(cells, gcols)

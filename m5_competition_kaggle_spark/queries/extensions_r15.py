@@ -1,0 +1,525 @@
+"""Round-15 queue — STAGED UNREGISTERED, three rounds ahead (the r12
+window plan is fixed; r13/r14 queues are staged; see
+queries/__init__.py). Locally certified by ``tests/test_r15_queue.py``
+with the same Spark-vs-DuckDB differential as
+``scripts/check_oracle.py``.
+
+- x176 inter-arrival burstiness: exact-integer CV² of the
+  minute-floored gaps between consecutive events per type — the
+  temporal-regularity diagnostic (Poisson arrivals → CV² ≈ 1, bursts
+  → CV² >> 1, a scheduler's heartbeat → CV² ≈ 0) beside the
+  mass-seasonality readouts (x115/x170) which see WHEN volume moves,
+  not how clumpy arrivals are.
+- x177 duplication profile: cluster-SIZE histogram of the LSH
+  near-dup graph (x2 pairs → x24 components) with the Theil–Sen
+  log-log tail slope (the x167 kernel) — one number saying whether
+  duplication is a few huge template families (slope shallow /
+  head-heavy) or broad pairwise noise, the planning readout for how
+  much a dedup pass will shrink the corpus.
+- x178 centroid drift: per-label quantized-centroid displacement
+  between the even- and odd-id halves of the embedding corpus —
+  permille-floored centroids (quantize-BEFORE-square, the x175
+  trick, so int64 holds at any corpus size), squared displacement
+  against the even half's squared norm. The label-stability audit
+  under the x39 centroids and x142 silhouette.
+- x179 top-k churn: day-over-day Jaccard of the top-20 users by
+  event count — rank-set stability (leaderboard churn), the
+  set-level companion to x150's graded RBO which compares two
+  rankings of ONE day, not the trajectory.
+- s27 streaming Gini trajectory (``streaming/gini_monitor.py``):
+  per-day value-concentration Gini assembled from the s18 KS
+  monitor's EXISTING calendar-bounded cells — the third readout on
+  the one distribution-monitor kernel (KS: worst-point drift, CvM:
+  broad drift, Gini: reference-free concentration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+NANOS_PER_DAY = 86_400_000_000_000
+NANOS_PER_MIN = 60_000_000_000
+LOG_Q = 1_000_000
+TOP_K = 20  # x179 daily leaderboard depth
+
+# --------------------------------------------------------------- x176
+
+
+def x176_interarrival_cv2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact inter-arrival burstiness per event type: gaps between
+    consecutive events (timeline order (ts_nanos, event_id) — unique,
+    so lag() is deterministic), floored to whole minutes so every
+    moment below is int64-exact: var_num = n·Σg² − (Σg)² and
+    cv2_ppm = 10⁶·var_num DIV (Σg)² — the dimensionless CV² (var/mean²).
+    Overflow contract: 10⁶·n·Σg² < 2^63; Σg telescopes to the
+    calendar span so Σg² is span-bounded, leaving n ≲ 10⁷ gaps per
+    series per month at minute floor — coarsen the floor or cut to
+    day cells beyond."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        "ts_nanos", "event_id"
+    )
+    gaps = ev.select(
+        "event_type",
+        (
+            (F.col("ts_nanos") - F.lag("ts_nanos").over(w))
+            / F.lit(1)
+        ).cast("long").alias("__d"),
+    ).filter(F.col("__d").isNotNull()).select(
+        "event_type",
+        F.expr(f"__d DIV {NANOS_PER_MIN}").alias("g"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("g").alias("sum_gap_min"),
+            F.sum(F.col("g") * F.col("g")).alias("sum_gap2"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            "sum_gap_min",
+            (
+                F.col("n_gaps") * F.col("sum_gap2")
+                - F.col("sum_gap_min") * F.col("sum_gap_min")
+            ).alias("var_num"),
+            F.expr("sum_gap_min DIV n_gaps").alias("mean_gap_min"),
+            F.expr(
+                "CASE WHEN sum_gap_min > 0 THEN"
+                " (1000000 * (n_gaps * sum_gap2"
+                "   - sum_gap_min * sum_gap_min))"
+                " DIV (sum_gap_min * sum_gap_min) END"
+            ).alias("cv2_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_X176 = f"""
+WITH ordered AS (
+    SELECT event_type,
+           epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+           ) AS d
+    FROM events
+),
+gaps AS (
+    SELECT event_type, d // {NANOS_PER_MIN} AS g
+    FROM ordered WHERE d IS NOT NULL
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(g) AS BIGINT) AS sum_gap_min,
+           CAST(sum(g * g) AS BIGINT) AS sum_gap2
+    FROM gaps GROUP BY event_type
+)
+SELECT event_type, n_gaps, sum_gap_min,
+       n_gaps * sum_gap2 - sum_gap_min * sum_gap_min AS var_num,
+       sum_gap_min // n_gaps AS mean_gap_min,
+       CASE WHEN sum_gap_min > 0 THEN
+           (1000000 * (n_gaps * sum_gap2
+             - sum_gap_min * sum_gap_min))
+           // (sum_gap_min * sum_gap_min) END AS cv2_ppm
+FROM agg ORDER BY event_type
+"""
+
+# --------------------------------------------------------------- x177
+
+
+def x177_dup_cluster_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup cluster-size histogram with the heavy-tail slope:
+    LSH-verified pairs (x2's operator at the certified 16/4/0.8
+    config) → connected components (x24's kernel) → one row per
+    cluster size s >= 2 with its cluster count, plus the x167-style
+    Theil–Sen slope of L(n_clusters) vs L(size) replicated onto every
+    row (NULL when fewer than two distinct sizes — the left join
+    keeps the histogram either way). A slope near -2..-3 is the
+    power-law tail natural template duplication shows; a single giant
+    size bin is one template family."""
+    from m5_competition_kaggle_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from m5_competition_kaggle_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from m5_competition_kaggle_spark.operators.theil_sen import (
+        theil_sen_slope,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    hist = (
+        clusters.filter(F.col("is_canonical"))
+        .groupBy(F.col("cluster_size").alias("size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    )
+    pts = hist.select(
+        F.lit("corpus").alias("corpus"),
+        F.expr(
+            f"CAST(round(ln(size) * {LOG_Q}) AS BIGINT)"
+        ).alias("lt"),
+        F.expr(
+            f"CAST(round(ln(n_clusters) * {LOG_Q}) AS BIGINT)"
+        ).alias("ly"),
+    )
+    slope = theil_sen_slope(pts, "corpus", "lt", "ly").select(
+        F.col("n").alias("n_sizes"),
+        F.col("slope_ppm").alias("tail_slope_ppm"),
+    )
+    return (
+        hist.join(F.broadcast(slope), F.lit(True), "left")
+        .select("size", "n_clusters", "n_sizes", "tail_slope_ppm")
+        .orderBy("size")
+    )
+
+
+def _dup_profile_oracle() -> str:
+    from m5_competition_kaggle_spark.queries.extensions import (
+        _minhash_verified_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_minhash_verified_ctes(16, 4)},
+vpairs AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, reached) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached
+),
+comp AS (SELECT node, min(reached) AS cluster_id
+         FROM reach GROUP BY node),
+csizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+           FROM comp GROUP BY cluster_id),
+hist AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM csizes GROUP BY size),
+pts AS (
+    SELECT CAST(round(ln(size) * {LOG_Q}) AS BIGINT) AS lt,
+           CAST(round(ln(n_clusters) * {LOG_Q}) AS BIGINT) AS ly
+    FROM hist
+),
+tpairs AS (
+    SELECT a.lt AS ti, b.lt AS tj,
+           b.ly - a.ly AS dy, b.lt - a.lt AS dx
+    FROM pts a JOIN pts b ON a.lt < b.lt
+),
+ranked AS (
+    SELECT dy, dx,
+           row_number() OVER (
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+                        ti ASC, tj ASC
+           ) AS r,
+           CAST(count(*) OVER () AS BIGINT) AS n_pairs
+    FROM tpairs
+),
+n_pts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+slope AS (
+    SELECT p.n AS n_sizes,
+           CASE WHEN r.dy >= 0 THEN 1000000 * r.dy // r.dx
+                ELSE -((1000000 * (-r.dy)) // r.dx)
+           END AS tail_slope_ppm
+    FROM n_pts p CROSS JOIN ranked r
+    WHERE r.r = (r.n_pairs + 1) // 2
+)
+SELECT h.size, h.n_clusters, s.n_sizes, s.tail_slope_ppm
+FROM hist h LEFT JOIN slope s ON TRUE
+ORDER BY h.size
+"""
+
+
+# --------------------------------------------------------------- x178
+
+
+def x178_centroid_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid displacement between the even- and odd-id
+    halves of the embedding corpus. Centroids are floored to integer
+    permille per dimension BEFORE squaring (sign-handled truncating
+    division, so both engines agree on negatives): c_i = trunc(1000 ·
+    sum_q_i / n) — magnitudes bounded by the value domain, never the
+    corpus, so the squared displacement Σ(ce_i − co_i)² and squared
+    norm stay int64 at any scale (the x175 quantize-before-square
+    trick). ratio_ppm = 10⁶·shift_sq DIV norm_sq_even. Labels missing
+    a half drop (no drift is defined for them)."""
+    from m5_competition_kaggle_spark.operators.centroid import (
+        centroid_sums,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sign_div = (
+        "CASE WHEN {s} >= 0 THEN (1000 * {s}) DIV {n}"
+        " ELSE -(((-{s}) * 1000) DIV {n}) END"
+    )
+    even = centroid_sums(
+        emb.filter(F.col("vec_id") % 2 == 0)
+    ).select(
+        "label",
+        "pos",
+        F.expr(
+            sign_div.format(s="sum_q", n="n_vectors")
+        ).alias("ce"),
+        F.col("n_vectors").alias("n_even"),
+    )
+    odd = centroid_sums(
+        emb.filter(F.col("vec_id") % 2 == 1)
+    ).select(
+        "label",
+        "pos",
+        F.expr(
+            sign_div.format(s="sum_q", n="n_vectors")
+        ).alias("co"),
+        F.col("n_vectors").alias("n_odd"),
+    )
+    return (
+        even.join(odd, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.max("n_even").alias("n_even"),
+            F.max("n_odd").alias("n_odd"),
+            F.sum(
+                (F.col("ce") - F.col("co"))
+                * (F.col("ce") - F.col("co"))
+            ).alias("shift_sq"),
+            F.sum(F.col("ce") * F.col("ce")).alias("norm_sq_even"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_even",
+            "n_odd",
+            "shift_sq",
+            "norm_sq_even",
+            F.expr(
+                "CASE WHEN norm_sq_even > 0 THEN"
+                " (1000000 * shift_sq) DIV norm_sq_even END"
+            ).alias("ratio_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_X178 = """
+WITH comp AS (
+    SELECT label, vec_id % 2 AS half, i,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * 1000)
+                AS BIGINT) AS q
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS t(i)
+),
+cs AS (
+    SELECT label, half, i,
+           CAST(sum(q) AS BIGINT) AS s,
+           CAST(count(*) AS BIGINT) AS n
+    FROM comp GROUP BY label, half, i
+),
+flo AS (
+    SELECT label, half, i, n,
+           CASE WHEN s >= 0 THEN (1000 * s) // n
+                ELSE -(((-s) * 1000) // n) END AS c
+    FROM cs
+),
+joined AS (
+    SELECT e.label, e.c AS ce, o.c AS co,
+           e.n AS n_even, o.n AS n_odd
+    FROM flo e JOIN flo o
+      ON o.label = e.label AND o.i = e.i
+     AND e.half = 0 AND o.half = 1
+),
+agg AS (
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(max(n_even) AS BIGINT) AS n_even,
+           CAST(max(n_odd) AS BIGINT) AS n_odd,
+           CAST(sum((ce - co) * (ce - co)) AS BIGINT) AS shift_sq,
+           CAST(sum(ce * ce) AS BIGINT) AS norm_sq_even
+    FROM joined GROUP BY label
+)
+SELECT label, n_even, n_odd, shift_sq, norm_sq_even,
+       CASE WHEN norm_sq_even > 0 THEN
+           (1000000 * shift_sq) // norm_sq_even END AS ratio_ppm
+FROM agg ORDER BY label
+"""
+
+# --------------------------------------------------------------- x179
+
+
+def x179_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day stability of the top-20 users by event count:
+    for each consecutive day pair, the exact Jaccard (permille) of
+    the two leaderboards. Rank ties break on user_id, so both
+    leaderboards are deterministic sets; days at the leaderboard
+    floor (< 20 active users) compare whatever they have. The per-day
+    window is keyed by day — never a global sort — and the
+    consecutive-day join is a keyed equi join on the shifted day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("day"),
+        "user_id",
+    )
+    counts = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("day").orderBy(
+        F.col("c").desc(), F.col("user_id").asc()
+    )
+    tops = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("day", "user_id")
+    )
+    sizes = tops.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    base = (
+        sizes.select(
+            (F.col("day") + 1).alias("day"),
+            F.col("n").alias("n_prev"),
+        )
+        .join(sizes, "day")
+        .select("day", "n_prev", F.col("n").alias("n_cur"))
+    )
+    inter = (
+        tops.select(
+            (F.col("day") + 1).alias("day"), "user_id"
+        )
+        .join(tops, ["day", "user_id"], "leftsemi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        base.join(inter, "day", "left")
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .select(
+            "day",
+            "n_prev",
+            "n_cur",
+            "n_common",
+            F.expr(
+                "(1000 * n_common)"
+                " DIV (n_prev + n_cur - n_common)"
+            ).alias("jaccard_permille"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_X179 = f"""
+WITH counts AS (
+    SELECT epoch_ns(ts) // {NANOS_PER_DAY} AS day, user_id,
+           count(*) AS c
+    FROM events GROUP BY 1, 2
+),
+tops AS (
+    SELECT day, user_id
+    FROM (SELECT day, user_id,
+                 row_number() OVER (PARTITION BY day
+                     ORDER BY c DESC, user_id ASC) AS rn
+          FROM counts)
+    WHERE rn <= {TOP_K}
+),
+sizes AS (
+    SELECT day, CAST(count(*) AS BIGINT) AS n
+    FROM tops GROUP BY day
+),
+base AS (
+    SELECT p.day + 1 AS day, p.n AS n_prev, c.n AS n_cur
+    FROM sizes p JOIN sizes c ON c.day = p.day + 1
+),
+inter AS (
+    SELECT p.day + 1 AS day, CAST(count(*) AS BIGINT) AS n_common
+    FROM tops p JOIN tops c
+      ON c.day = p.day + 1 AND c.user_id = p.user_id
+    GROUP BY p.day + 1
+)
+SELECT b.day, b.n_prev, b.n_cur,
+       coalesce(i.n_common, 0) AS n_common,
+       (1000 * coalesce(i.n_common, 0))
+           // (b.n_prev + b.n_cur - coalesce(i.n_common, 0))
+           AS jaccard_permille
+FROM base b LEFT JOIN inter i ON i.day = b.day
+ORDER BY b.day
+"""
+
+# ---------------------------------------------------------------- s27
+
+
+def s27_stream_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming Gini trajectory
+    (``streaming/gini_monitor.py``): per-event-time-day exact Gini of
+    that day's integer-quantized value distribution — assembled from
+    the SAME calendar-bounded (day, bucket) cells the s18/s26
+    monitors maintain (one streaming kernel, three readouts; stream
+    == batch proven in tests/test_r15_queue.py through the shared
+    ``gini_day_table`` assembly)."""
+    from m5_competition_kaggle_spark.streaming.gini_monitor import (
+        gini_day_table,
+    )
+    from m5_competition_kaggle_spark.streaming.ks_monitor import (
+        day_bucket_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return gini_day_table(day_bucket_counts(ev)).orderBy("day")
+
+
+ORACLE_S27 = """
+WITH cells AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(round(value) AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+scored AS (
+    SELECT day, q, c,
+           CAST(sum(c) OVER (PARTITION BY day ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - c AS a_prev
+    FROM cells
+),
+agg AS (
+    SELECT day,
+           CAST(sum(c) AS BIGINT) AS n_members,
+           CAST(sum(q * c) AS BIGINT) AS total,
+           CAST(max(q) AS BIGINT) AS max_value,
+           CAST(sum(q * (c * a_prev + (c * (c + 1)) // 2))
+                AS BIGINT) AS rank_mass
+    FROM scored GROUP BY day
+)
+SELECT day, n_members, total, max_value,
+       CASE WHEN total > 0 THEN
+           (1000000 * max_value) // total END AS top_share_ppm,
+       rank_mass,
+       CASE WHEN total > 0 THEN
+           (1000000 * (2 * rank_mass - (n_members + 1) * total))
+           // (n_members * total) END AS gini_ppm
+FROM agg ORDER BY day
+"""
+
+
+QUERIES = {
+    "x176_interarrival_cv2": x176_interarrival_cv2,
+    "x177_dup_cluster_profile": x177_dup_cluster_profile,
+    "x178_centroid_drift": x178_centroid_drift,
+    "x179_topk_churn": x179_topk_churn,
+    "s27_stream_gini": s27_stream_gini,
+}
+
+ORACLES = {
+    "x176_interarrival_cv2": ORACLE_X176,
+    "x177_dup_cluster_profile": _dup_profile_oracle(),
+    "x178_centroid_drift": ORACLE_X178,
+    "x179_topk_churn": ORACLE_X179,
+    "s27_stream_gini": ORACLE_S27,
+}

@@ -134,9 +134,15 @@ def main() -> int:
             extensions_r12,
             extensions_r13,
             extensions_r14,
+            extensions_r15,
         )
 
-        staged_mods = (extensions_r12, extensions_r13, extensions_r14)
+        staged_mods = (
+            extensions_r12,
+            extensions_r13,
+            extensions_r14,
+            extensions_r15,
+        )
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE
         # r9). A hard raise, not assert: `python -O` strips asserts,

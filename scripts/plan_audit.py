@@ -82,6 +82,14 @@ ALLOWED_SINGLE_PARTITION = {
         " row per decile), so the single partition holds 45 pairs,"
         " never corpus rows"
     ),
+    "x177_dup_cluster_profile": (
+        "the x167 Theil–Sen shape on the cluster-size HISTOGRAM —"
+        " one row per DISTINCT cluster size (a log-scale handful at"
+        " any corpus size), never per document or cluster; the"
+        " corpus reduces through LSH pairs -> connected components"
+        " -> per-cluster sizes -> the size histogram before the"
+        " constant-key slope kernel sees a row"
+    ),
 }
 
 # Queries allowed a CartesianProduct, same auditable-justification
@@ -117,8 +125,10 @@ def main() -> int:
         extensions_r12 as _st12,
         extensions_r13 as _st13,
         extensions_r14 as _st14,
+        extensions_r15 as _st15,
     )
-    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES, **_st14.QUERIES}
+    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
+                  **_st14.QUERIES, **_st15.QUERIES}
 
     for k, v in _staged_qs.items():
         if k not in qs:

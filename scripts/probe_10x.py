@@ -119,8 +119,10 @@ def main() -> int:
         extensions_r12 as _st12,
         extensions_r13 as _st13,
         extensions_r14 as _st14,
+        extensions_r15 as _st15,
     )
-    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES, **_st14.QUERIES}
+    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
+                  **_st14.QUERIES, **_st15.QUERIES}
 
     for k, v in _staged_qs.items():
         qs.setdefault(k, v)
