@@ -67,10 +67,9 @@ def x176_interarrival_cv2(
     )
     gaps = ev.select(
         "event_type",
-        (
-            (F.col("ts_nanos") - F.lag("ts_nanos").over(w))
-            / F.lit(1)
-        ).cast("long").alias("__d"),
+        # long - long stays long: no double round-trip, so the gap is
+        # exact past 2^53 ns where a float detour would quietly round
+        (F.col("ts_nanos") - F.lag("ts_nanos").over(w)).alias("__d"),
     ).filter(F.col("__d").isNotNull()).select(
         "event_type",
         F.expr(f"__d DIV {NANOS_PER_MIN}").alias("g"),
