@@ -135,6 +135,7 @@ def main() -> int:
             extensions_r13,
             extensions_r14,
             extensions_r15,
+            extensions_r16,
         )
 
         staged_mods = (
@@ -142,6 +143,7 @@ def main() -> int:
             extensions_r13,
             extensions_r14,
             extensions_r15,
+            extensions_r16,
         )
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE

@@ -126,9 +126,11 @@ def main() -> int:
         extensions_r13 as _st13,
         extensions_r14 as _st14,
         extensions_r15 as _st15,
+        extensions_r16 as _st16,
     )
     _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
-                  **_st14.QUERIES, **_st15.QUERIES}
+                  **_st14.QUERIES, **_st15.QUERIES,
+                  **_st16.QUERIES}
 
     for k, v in _staged_qs.items():
         if k not in qs:
