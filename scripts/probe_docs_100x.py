@@ -88,9 +88,27 @@ def main() -> int:
     from m5_competition_kaggle_spark.session import get_spark
 
     names = sys.argv[1:]
-    assert names, "usage: probe_docs_100x.py <query> [query ...]"
+    if not names:  # a raise, not assert: python -O strips asserts
+        raise SystemExit(
+            "usage: probe_docs_100x.py <query> [query ...]"
+        )
     spark = get_spark("probe100x")
     qs = entry_mod.queries()
+    # staged-but-unregistered queue modules probe too (the 10x
+    # probe's convention)
+    from m5_competition_kaggle_spark.queries import (
+        extensions_r12 as _st12,
+        extensions_r13 as _st13,
+        extensions_r14 as _st14,
+        extensions_r15 as _st15,
+        extensions_r16 as _st16,
+    )
+
+    _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
+                  **_st14.QUERIES, **_st15.QUERIES,
+                  **_st16.QUERIES}
+    for k, v in _staged_qs.items():
+        qs.setdefault(k, v)
     build_x100(spark)
     for name in names:
         base = time_query(spark, qs[name], SF_DIR)
