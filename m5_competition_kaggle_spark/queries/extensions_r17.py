@@ -1,0 +1,423 @@
+"""Round-17 queue — STAGED UNREGISTERED, five rounds ahead (the r12
+window plan is fixed; r13–r16 queues are staged; see
+queries/__init__.py). Locally certified by ``tests/test_r17_queue.py``
+with the same Spark-vs-DuckDB differential as
+``scripts/check_oracle.py``.
+
+The journey-analytics batch: what users DO in order, at the query
+surface a product/ops team actually asks —
+
+- x184 phrase search: exact ADJACENT-bigram retrieval — the corpus's
+  top bigram (data-driven, ties lexicographic) matched back against
+  every document, per-source doc and occurrence counts. The boolean/
+  phrase IR primitive beside x63's ranked BM25 (which bags words and
+  cannot distinguish "new york" from "york new").
+- x185 followed-by: the CEP counter — purchases followed by an error
+  from the SAME user within 30 minutes, per day. The
+  temporal-implication readout that x13's as-of join (nearest before)
+  and x67's interval join (containment) don't aggregate.
+- x186 path signatures: per g17-session the '>'-joined order of
+  first occurrences of each event type — top-10 journey shapes by
+  session count. Journey mining; g18's transition matrix is its
+  one-step marginal.
+- x187 conversion-lag quantiles: exact value-at-rank p10/p50/p90 of
+  the x183 view→purchase lag minutes — the tail a mean hides (the
+  p90 is what an SLA cares about). Grouped-cells rank math on the
+  calendar-minute-bounded lag domain (the x124 allowance class).
+
+No new streaming entry: this family's streaming counterparts already
+exist (s3 native sessions, s12 interval join, s28 stateful
+transitions); the queue is deliberately batch-analytic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+NANOS_PER_DAY = 86_400_000_000_000
+NANOS_PER_MIN = 60_000_000_000
+FOLLOW_NS = 30 * 60 * 1_000_000_000  # x185: 30-minute implication
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # the g17 rule
+TOP_PATHS = 10
+
+# --------------------------------------------------------------- x184
+
+
+def x184_phrase_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact adjacent-bigram phrase retrieval: find the corpus's most
+    frequent bigram (x30 token rule; ties break lexicographic — a
+    total order, so TakeOrdered is deterministic), then count per
+    source the documents containing it and the total occurrences.
+    Plan: tokenize once, slice/zip adjacency (the ngram_lm idiom —
+    no self-join), one keyed bigram aggregate, a 1-row broadcast of
+    the winning phrase, one keyed source aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')"
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)").alias("w1"),
+                F.expr("slice(ws, 2, size(ws) - 1)").alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        F.col("bg.w1").alias("w1"),
+        F.col("bg.w2").alias("w2"),
+    )
+    top = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    return (
+        bigrams.join(F.broadcast(top), ["w1", "w2"])
+        .groupBy("source", "w1", "w2")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .select(
+            "source",
+            F.col("w1").alias("phrase_w1"),
+            F.col("w2").alias("phrase_w2"),
+            "n_docs",
+            "n_occurrences",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_X184 = """
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(regexp_split_to_array(lower(text),
+                                             '[^a-z0-9]+'),
+                       x -> x <> '') AS ws
+    FROM documents
+),
+big AS (
+    SELECT doc_id, source, ws[u.i] AS w1, ws[u.i + 1] AS w2
+    FROM toks, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+    WHERE len(ws) >= 2
+),
+ranked AS (
+    SELECT w1, w2,
+           row_number() OVER (
+               ORDER BY count(*) DESC, w1 ASC, w2 ASC
+           ) AS rn
+    FROM big GROUP BY w1, w2
+),
+top AS (SELECT w1, w2 FROM ranked WHERE rn = 1)
+SELECT b.source, t.w1 AS phrase_w1, t.w2 AS phrase_w2,
+       CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM big b JOIN top t ON t.w1 = b.w1 AND t.w2 = b.w2
+GROUP BY b.source, t.w1, t.w2
+ORDER BY b.source
+"""
+
+# --------------------------------------------------------------- x185
+
+
+def x185_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP implication counter: per event-time day, how many
+    'purchase' events were followed by an 'error' from the SAME user
+    within 30 minutes (strictly after, inclusive at the window edge),
+    and the floor-ppm rate. Plan: both sides filter to their type
+    first (corpus shrinks before any join), the join is EQUI on
+    user_id with the time band as a residual condition, and the
+    per-purchase EXISTS collapses through one keyed aggregate — the
+    scalable "A then B within Δ" shape."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts_nanos").alias("pt"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts_nanos").alias("et"),
+    )
+    joined = p.join(
+        e,
+        (F.col("user_id") == F.col("e_user"))
+        & (F.col("et") > F.col("pt"))
+        & (F.col("et") <= F.col("pt") + F.lit(FOLLOW_NS)),
+        "left",
+    )
+    per_p = joined.groupBy("pid", "pt").agg(
+        F.max(F.col("et").isNotNull().cast("long")).alias(
+            "followed"
+        )
+    )
+    return (
+        per_p.groupBy(
+            F.expr(f"pt DIV {NANOS_PER_DAY}").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("followed").alias("n_followed"),
+        )
+        .select(
+            "day",
+            "n_purchases",
+            "n_followed",
+            F.expr(
+                "(1000000 * n_followed) DIV n_purchases"
+            ).alias("followed_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_X185 = f"""
+WITH p AS (
+    SELECT user_id, event_id AS pid, epoch_ns(ts) AS pt
+    FROM events WHERE event_type = 'purchase'
+),
+e AS (
+    SELECT user_id, epoch_ns(ts) AS et
+    FROM events WHERE event_type = 'error'
+),
+per_p AS (
+    SELECT p.pid, p.pt,
+           CAST(max(CASE WHEN e.et IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS followed
+    FROM p LEFT JOIN e
+      ON e.user_id = p.user_id
+     AND e.et > p.pt AND e.et <= p.pt + {FOLLOW_NS}
+    GROUP BY p.pid, p.pt
+)
+SELECT pt // {NANOS_PER_DAY} AS day,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(followed) AS BIGINT) AS n_followed,
+       (1000000 * CAST(sum(followed) AS BIGINT))
+           // CAST(count(*) AS BIGINT) AS followed_ppm
+FROM per_p GROUP BY day ORDER BY day
+"""
+
+# --------------------------------------------------------------- x186
+
+
+def x186_path_signatures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-10 session journey shapes: g17's 30-minute-gap sessions,
+    each reduced to the '>'-joined order of FIRST occurrences of its
+    event types (ties on the first-occurrence instant break on the
+    type name — a total order both engines share), counted across
+    sessions. g18's transition matrix is this table's one-step
+    marginal; this is the whole journey."""
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts_nanos"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    is_new = (
+        F.col("ts_nanos") - F.lag("ts_nanos").over(w)
+        > F.lit(SESSION_GAP_NS)
+    ).cast("long")
+    sess = ev.withColumn(
+        "__new", F.coalesce(is_new, F.lit(1))
+    ).withColumn("session_id", F.sum("__new").over(run))
+    firsts = sess.groupBy(
+        "user_id", "session_id", "event_type"
+    ).agg(F.min("ts_nanos").alias("t0"))
+    sigs = (
+        firsts.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(t0, event_type))), x -> x.event_type)"
+                ),
+            ).alias("signature")
+        )
+        .groupBy("signature")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    return sigs.orderBy(
+        F.col("n_sessions").desc(), F.col("signature").asc()
+    ).limit(TOP_PATHS)
+
+
+ORACLE_X186 = f"""
+WITH marked AS (
+    SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id,
+           CASE WHEN epoch_ns(ts)
+                     - lag(epoch_ns(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id)
+                     > {SESSION_GAP_NS}
+                  OR lag(epoch_ns(ts)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+),
+sess AS (
+    SELECT user_id, event_type, tsn,
+           sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY tsn, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+),
+firsts AS (
+    SELECT user_id, session_id, event_type,
+           min(tsn) AS t0
+    FROM sess GROUP BY user_id, session_id, event_type
+),
+sigs AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>'
+                      ORDER BY t0, event_type) AS signature
+    FROM firsts GROUP BY user_id, session_id
+),
+counts AS (
+    SELECT signature,
+           CAST(count(*) AS BIGINT) AS n_sessions
+    FROM sigs GROUP BY signature
+)
+SELECT signature, n_sessions FROM counts
+ORDER BY n_sessions DESC, signature ASC
+LIMIT {TOP_PATHS}
+"""
+
+# --------------------------------------------------------------- x187
+
+
+def x187_conversion_lag_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact value-at-rank p10/p50/p90 of the x183 conversion lag
+    (first view → first purchase, minute-floored): the tail the mean
+    hides. Grouped-cells rank math — one keyed user aggregate, cells
+    on the DISTINCT lag-minute domain (calendar-bounded: a 31-day
+    window has <= 44,641 minute values at any corpus size — the x124
+    allowance class for the cumulative window), value-at-rank k =
+    min lag with cum >= ceil(n*k/100)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_nanos"))
+        ).alias("v0"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts_nanos")
+            )
+        ).alias("p0"),
+    )
+    lags = firsts.select(
+        F.expr(
+            "CASE WHEN v0 IS NOT NULL AND p0 IS NOT NULL"
+            " AND p0 >= v0 THEN"
+            f" (p0 - v0) DIV {NANOS_PER_MIN} END"
+        ).alias("lag_min")
+    ).filter(F.col("lag_min").isNotNull())
+    cells = lags.groupBy("lag_min").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = Window.orderBy("lag_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = cells.withColumn(
+        "cum", F.sum("c").over(w_cum)
+    ).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    return scored.agg(
+        F.max("n").alias("n_converted"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 10 + 99) DIV 100"),
+                F.col("lag_min"),
+            )
+        ).alias("p10_min"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 50 + 99) DIV 100"),
+                F.col("lag_min"),
+            )
+        ).alias("p50_min"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 90 + 99) DIV 100"),
+                F.col("lag_min"),
+            )
+        ).alias("p90_min"),
+    )
+
+
+ORACLE_X187 = f"""
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view'
+                    THEN epoch_ns(ts) END) AS v0,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_ns(ts) END) AS p0
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+),
+lags AS (
+    SELECT (p0 - v0) // {NANOS_PER_MIN} AS lag_min
+    FROM firsts
+    WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0
+),
+cells AS (
+    SELECT lag_min, CAST(count(*) AS BIGINT) AS c
+    FROM lags GROUP BY lag_min
+),
+scored AS (
+    SELECT lag_min,
+           CAST(sum(c) OVER (ORDER BY lag_min
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(c) OVER () AS BIGINT) AS n
+    FROM cells
+)
+SELECT max(n) AS n_converted,
+       min(CASE WHEN cum >= (n * 10 + 99) // 100
+                THEN lag_min END) AS p10_min,
+       min(CASE WHEN cum >= (n * 50 + 99) // 100
+                THEN lag_min END) AS p50_min,
+       min(CASE WHEN cum >= (n * 90 + 99) // 100
+                THEN lag_min END) AS p90_min
+FROM scored
+"""
+
+
+QUERIES = {
+    "x184_phrase_search": x184_phrase_search,
+    "x185_followed_by": x185_followed_by,
+    "x186_path_signatures": x186_path_signatures,
+    "x187_conversion_lag_quantiles": x187_conversion_lag_quantiles,
+}
+
+ORACLES = {
+    "x184_phrase_search": ORACLE_X184,
+    "x185_followed_by": ORACLE_X185,
+    "x186_path_signatures": ORACLE_X186,
+    "x187_conversion_lag_quantiles": ORACLE_X187,
+}

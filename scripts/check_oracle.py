@@ -136,6 +136,7 @@ def main() -> int:
             extensions_r14,
             extensions_r15,
             extensions_r16,
+            extensions_r17,
         )
 
         staged_mods = (
@@ -144,6 +145,7 @@ def main() -> int:
             extensions_r14,
             extensions_r15,
             extensions_r16,
+            extensions_r17,
         )
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE

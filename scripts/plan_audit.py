@@ -90,6 +90,13 @@ ALLOWED_SINGLE_PARTITION = {
         " -> per-cluster sizes -> the size histogram before the"
         " constant-key slope kernel sees a row"
     ),
+    "x187_conversion_lag_quantiles": (
+        "the value-at-rank cumulative window walks the DISTINCT"
+        " lag-minute cells — bounded by the CALENDAR (a 31-day"
+        " window has <= 44,641 minute values at any corpus size;"
+        " the x124 distinct-durations class); the corpus reduces"
+        " through the keyed per-user aggregate first"
+    ),
 }
 
 # Queries allowed a CartesianProduct, same auditable-justification
@@ -127,10 +134,11 @@ def main() -> int:
         extensions_r14 as _st14,
         extensions_r15 as _st15,
         extensions_r16 as _st16,
+        extensions_r17 as _st17,
     )
     _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
                   **_st14.QUERIES, **_st15.QUERIES,
-                  **_st16.QUERIES}
+                  **_st16.QUERIES, **_st17.QUERIES}
 
     for k, v in _staged_qs.items():
         if k not in qs:

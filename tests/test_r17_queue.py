@@ -1,0 +1,220 @@
+"""Staged certification for the round-17 queue
+(queries/extensions_r17.py — x184 phrase search, x185 followed-by,
+x186 path signatures, x187 conversion-lag quantiles). Staged five
+rounds ahead; same local gate as the r10-r16 queues: the check_oracle
+differential at sf0.001 AND sf0.01, hand pins, vacuity audits."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import extensions_r17
+from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "check_oracle.py"),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and check_oracle)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r17.QUERIES))
+def test_differential_vs_duckdb(spark, name):
+    sdf = extensions_r17.QUERIES[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF)
+    tbl = con.sql(extensions_r17.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    d_types = {f.name: check_oracle.arrow_type_class(f.type)
+               for f in tbl.schema}
+    s_types = {f.name: check_oracle.spark_type_class(f.dataType)
+               for f in sdf.schema.fields}
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert sorted(s_cols) == sorted(d_cols)
+    assert s_types == d_types
+    assert check_oracle.value_hash(s_rows, s_cols) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r17.QUERIES))
+def test_differential_vs_duckdb_sf001(spark, name):
+    sdf = extensions_r17.QUERIES[name](spark, SF01)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF01)
+    tbl = con.sql(extensions_r17.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert check_oracle.value_hash(s_rows, sdf.columns) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+# ------------------------------------------------------- x184 pins
+
+
+def test_phrase_search_counts_are_adjacency_counts(spark):
+    """The winning phrase's total occurrences must equal the direct
+    count of adjacent positions over the corpus — and every matched
+    doc really contains the two tokens adjacently."""
+    out = extensions_r17.x184_phrase_search(spark, SF).collect()
+    assert out
+    w1, w2 = out[0]["phrase_w1"], out[0]["phrase_w2"]
+    assert len({(r["phrase_w1"], r["phrase_w2"]) for r in out}) == 1
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')"
+        ).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    direct = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(ws, 1, size(ws) - 1)").alias("a"),
+                F.expr("slice(ws, 2, size(ws) - 1)").alias("b"),
+            )
+        ).alias("bg")
+    ).filter(
+        (F.col("bg.a") == w1) & (F.col("bg.b") == w2)
+    ).count()
+    assert sum(r["n_occurrences"] for r in out) == direct
+    assert all(
+        0 < r["n_docs"] <= r["n_occurrences"] for r in out
+    )
+
+
+# ------------------------------------------------------- x185 pins
+
+
+def test_followed_by_planted_timeline(spark):
+    """Hand-checkable implication: replicate the join arithmetic on a
+    planted frame — in-window error counts, at-edge counts, and the
+    strictly-after rule (an error AT the purchase instant does not
+    count)."""
+    W = extensions_r17.FOLLOW_NS
+    p = spark.createDataFrame(
+        [(1, 10, 1000), (1, 11, 5000), (2, 12, 1000)],
+        "user_id long, pid long, pt long",
+    )
+    e = spark.createDataFrame(
+        [(1, 1000), (1, 1000 + W), (2, 1000 + W + 1)],
+        "e_user long, et long",
+    )
+    per_p = (
+        p.join(
+            e,
+            (F.col("user_id") == F.col("e_user"))
+            & (F.col("et") > F.col("pt"))
+            & (F.col("et") <= F.col("pt") + F.lit(W)),
+            "left",
+        )
+        .groupBy("pid")
+        .agg(
+            F.max(F.col("et").isNotNull().cast("long")).alias("f")
+        )
+        .collect()
+    )
+    got = {r["pid"]: r["f"] for r in per_p}
+    # pid 10: error at pt exactly -> excluded (strictly after); the
+    # one at pt+W is AT the edge -> included. pid 11: the pt+W error
+    # precedes it? et=1000+W > 5000 and <= 5000+W -> included.
+    # pid 12: user 2's error is 1 ns past user-2's window start+W?
+    # et = 1000+W+1 > 1000 and <= 1000+W? No -> not followed.
+    assert got == {10: 1, 11: 1, 12: 0}
+
+
+def test_followed_by_fixture_bounds(spark):
+    out = extensions_r17.x185_followed_by(spark, SF01).collect()
+    assert len(out) >= 28
+    for r in out:
+        assert 0 <= r["n_followed"] <= r["n_purchases"]
+        assert 0 <= r["followed_ppm"] <= 1_000_000
+    assert any(r["n_followed"] > 0 for r in out)
+
+
+# ------------------------------------------------------- x186 pins
+
+
+def test_path_signatures_shape(spark):
+    out = extensions_r17.x186_path_signatures(spark, SF01).collect()
+    assert 0 < len(out) <= 10
+    counts = [r["n_sessions"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in out:
+        parts = r["signature"].split(">")
+        assert len(parts) == len(set(parts))  # first occurrences
+        assert set(parts) <= types
+    # single-event sessions exist: some signature has no '>'
+    assert any(">" not in r["signature"] for r in out)
+
+
+# ------------------------------------------------------- x187 pins
+
+
+def test_conversion_quantiles_brute_force(spark):
+    """The grouped-cells value-at-rank must equal the sorted-list
+    definition computed from the same per-user lags."""
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF01, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_nanos"))
+        ).alias("v0"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts_nanos")
+            )
+        ).alias("p0"),
+    )
+    lags = sorted(
+        r["lag"]
+        for r in firsts.select(
+            F.expr(
+                "CASE WHEN v0 IS NOT NULL AND p0 IS NOT NULL"
+                " AND p0 >= v0 THEN"
+                " (p0 - v0) DIV 60000000000 END"
+            ).alias("lag")
+        ).collect()
+        if r["lag"] is not None
+    )
+    n = len(lags)
+    expect = {
+        k: lags[max(0, (n * k + 99) // 100 - 1)]
+        for k in (10, 50, 90)
+    }
+    row = extensions_r17.x187_conversion_lag_quantiles(
+        spark, SF01
+    ).collect()[0]
+    assert row["n_converted"] == n
+    assert row["p10_min"] == expect[10]
+    assert row["p50_min"] == expect[50]
+    assert row["p90_min"] == expect[90]
+    assert row["p10_min"] <= row["p50_min"] <= row["p90_min"]
