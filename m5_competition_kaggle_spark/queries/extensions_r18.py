@@ -1,0 +1,470 @@
+"""Round-18 queue — STAGED UNREGISTERED, six rounds ahead (r13–r17
+queues are staged; see queries/__init__.py). Locally certified by
+``tests/test_r18_queue.py`` with the same Spark-vs-DuckDB differential
+as ``scripts/check_oracle.py``.
+
+- x188 dedup-weighted corpus stats: what a dedup pass actually SAVES —
+  per source the raw vs post-dedup (canonical-survivor) doc and token
+  counts with keep-ppm, composing the certified LSH pairs → CC →
+  canonical machinery (x2/x24/x77). The capacity-planning readout a
+  training-data pipeline runs before committing a dedup config.
+- x189 source KS matrix: pairwise exact Kolmogorov–Smirnov distance
+  of the document-length distribution between the five largest
+  sources — the ksdist cell kernel in MATRIX form (pair-keyed, so
+  every window stays partitioned). Which sources are
+  length-profile-compatible for mixing, where x114/x117 compare one
+  reference against one current.
+- x190 diurnal profile: hour-of-day load concentration per event
+  type over the FULL 24-hour grid (empty hours count — an 8-hour
+  business-day stream should read concentrated) — peak hour + the
+  grouped-cells Gini (`operators/gini.py`) over the 24 hour bins.
+- s29 stateful conversions (``streaming/conversion_state.py``): the
+  per-user first-view/first-purchase minima as a GroupState stream —
+  the second stateful kernel (after s28), with a stronger property:
+  min is commutative, so the state converges under ARBITRARY batch
+  shuffling (no ordering contract), proven in the queue tests. The
+  registered batch twin runs the same kernel per user, certified
+  against pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+NANOS_PER_HOUR = 3_600_000_000_000
+TOP_SOURCES = 5
+
+# --------------------------------------------------------------- x188
+
+
+def x188_dedup_weighted_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source raw vs canonical-survivor corpus mass under the
+    certified LSH near-dup config (16/4, 3-shingles, 0.8): dropped
+    docs are the non-canonical members of x24's components (min-id
+    survivor, x77's rule). Token counts use the x30 rule. keep_ppm
+    floors, so 10⁶ means nothing dropped."""
+    from m5_competition_kaggle_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from m5_competition_kaggle_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "CAST(size(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> '')) AS BIGINT)"
+        ).alias("n_tok"),
+    )
+    raw_docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        raw_docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    dropped = (
+        dedup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    marked = docs.join(
+        dropped.withColumn("__drop", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__drop").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_docs_kept"),
+            F.sum(
+                F.when(F.col("__drop").isNull(), F.col("n_tok"))
+                .otherwise(0)
+            ).alias("n_tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.expr(
+                "(1000000 * n_docs_kept) DIV n_docs"
+            ).alias("doc_keep_ppm"),
+            F.expr(
+                "CASE WHEN n_tokens > 0 THEN"
+                " (1000000 * n_tokens_kept) DIV n_tokens END"
+            ).alias("token_keep_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_weighted_oracle() -> str:
+    from m5_competition_kaggle_spark.queries.extensions import (
+        _minhash_verified_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_minhash_verified_ctes(16, 4)},
+vpairs AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, reached) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached
+),
+comp AS (SELECT node, min(reached) AS cluster_id
+         FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp
+            WHERE node <> cluster_id),
+dt AS (
+    SELECT d.doc_id, d.source,
+           CAST(len(list_filter(regexp_split_to_array(
+                lower(d.text), '[^a-z0-9]+'), x -> x <> ''))
+                AS BIGINT) AS n_tok,
+           CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+),
+agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(kept) AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)
+                AS BIGINT) AS n_tokens_kept
+    FROM dt GROUP BY source
+)
+SELECT source, n_docs, n_tokens, n_docs_kept, n_tokens_kept,
+       (1000000 * n_docs_kept) // n_docs AS doc_keep_ppm,
+       CASE WHEN n_tokens > 0 THEN
+           (1000000 * n_tokens_kept) // n_tokens
+       END AS token_keep_ppm
+FROM agg ORDER BY source
+"""
+
+
+# --------------------------------------------------------------- x189
+
+
+def x189_source_ks_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise exact KS distance of the n_chars distribution between
+    the 5 largest sources (by doc count; ties break on the name).
+    The ksdist cell kernel with a PAIR partition key: per-source
+    length cells build once (one keyed aggregate), the bounded
+    10-row pair grid broadcasts onto them, and every running-CDF
+    window partitions by (src_a, src_b) — the matrix form of the
+    x117 one-vs-one drift test."""
+    from m5_competition_kaggle_spark.operators.ksdist import (
+        ks_from_cells,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").alias("q")
+    )
+    top = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "source")
+        .limit(TOP_SOURCES)
+        .select("source")
+    )
+    cells = (
+        docs.join(F.broadcast(top), "source")
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    a = top.select(F.col("source").alias("src_a"))
+    b = top.select(F.col("source").alias("src_b"))
+    grid = a.crossJoin(b).filter(F.col("src_a") < F.col("src_b"))
+    side_a = grid.join(
+        cells.select(
+            F.col("source").alias("src_a"),
+            "q",
+            F.col("c").alias("c_ref"),
+        ),
+        "src_a",
+    ).select(
+        "src_a", "src_b", "q", "c_ref", F.lit(0).alias("c_cmp")
+    )
+    side_b = grid.join(
+        cells.select(
+            F.col("source").alias("src_b"),
+            "q",
+            F.col("c").alias("c_cmp"),
+        ),
+        "src_b",
+    ).select(
+        "src_a", "src_b", "q", F.lit(0).alias("c_ref"), "c_cmp"
+    )
+    paired = (
+        side_a.unionAll(side_b)
+        .groupBy("src_a", "src_b", "q")
+        .agg(
+            F.sum("c_ref").alias("c_ref"),
+            F.sum("c_cmp").alias("c_cmp"),
+        )
+    )
+    return ks_from_cells(paired, ["src_a", "src_b"]).orderBy(
+        "src_a", "src_b"
+    )
+
+
+ORACLE_X189 = f"""
+WITH ranked AS (
+    SELECT source,
+           row_number() OVER (
+               ORDER BY count(*) DESC, source ASC) AS rn
+    FROM documents GROUP BY source
+),
+top AS (SELECT source FROM ranked WHERE rn <= {TOP_SOURCES}),
+cells AS (
+    SELECT d.source, d.n_chars AS q,
+           CAST(count(*) AS BIGINT) AS c
+    FROM documents d JOIN top t ON t.source = d.source
+    GROUP BY d.source, d.n_chars
+),
+grid AS (
+    SELECT a.source AS src_a, b.source AS src_b
+    FROM top a JOIN top b ON a.source < b.source
+),
+sides AS (
+    SELECT g.src_a, g.src_b, c.q, c.c AS c_ref,
+           CAST(0 AS BIGINT) AS c_cmp
+    FROM grid g JOIN cells c ON c.source = g.src_a
+    UNION ALL
+    SELECT g.src_a, g.src_b, c.q, CAST(0 AS BIGINT), c.c
+    FROM grid g JOIN cells c ON c.source = g.src_b
+),
+pcells AS (
+    SELECT src_a, src_b, q,
+           CAST(sum(c_ref) AS BIGINT) AS c_ref,
+           CAST(sum(c_cmp) AS BIGINT) AS c_cmp
+    FROM sides GROUP BY src_a, src_b, q
+),
+scored AS (
+    SELECT src_a, src_b, q,
+           CAST(sum(c_ref) OVER (PARTITION BY src_a, src_b
+                ORDER BY q ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_ref,
+           CAST(sum(c_cmp) OVER (PARTITION BY src_a, src_b
+                ORDER BY q ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_cmp,
+           CAST(sum(c_ref) OVER (PARTITION BY src_a, src_b)
+                AS BIGINT) AS n_ref,
+           CAST(sum(c_cmp) OVER (PARTITION BY src_a, src_b)
+                AS BIGINT) AS n_cmp
+    FROM pcells
+),
+dd AS (
+    SELECT src_a, src_b, q, n_ref, n_cmp,
+           abs(n_cmp * cum_ref - n_ref * cum_cmp) AS d_num
+    FROM scored WHERE n_ref > 0 AND n_cmp > 0
+),
+picked AS (
+    SELECT src_a, src_b, q, n_ref, n_cmp, d_num,
+           row_number() OVER (PARTITION BY src_a, src_b
+               ORDER BY d_num DESC, q ASC) AS rn
+    FROM dd
+)
+SELECT src_a, src_b, n_ref, n_cmp, q AS q_at, d_num,
+       n_ref * n_cmp AS d_den,
+       (1000 * d_num) // (n_ref * n_cmp) AS ks_permille
+FROM picked WHERE rn = 1
+ORDER BY src_a, src_b
+"""
+
+# --------------------------------------------------------------- x190
+
+
+def x190_diurnal_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-day (UTC) load concentration per event type over the
+    FULL 24-hour grid — hours with zero events hold ranks (a stream
+    alive 8 hours a day should READ concentrated): the peak hour
+    (ties to the earliest) beside the grouped-cells Gini over the 24
+    hourly counts. total == type volume; top_share_ppm is the peak
+    hour's floor share."""
+    from m5_competition_kaggle_spark.operators.gini import (
+        gini_by_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            f"(ts_nanos DIV {NANOS_PER_HOUR}) % 24"
+        ).alias("hour"),
+    )
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(24).select(
+                    F.col("id").cast("long").alias("hour")
+                )
+            )
+        )
+    )
+    full = grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("hour").asc()
+    )
+    peak = (
+        full.withColumn("rn", F.row_number().over(w_peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("hour").alias("peak_hour")
+        )
+    )
+    g = gini_by_group(full, ["event_type"], "cnt")
+    return (
+        g.join(peak, "event_type")
+        .select(
+            "event_type",
+            F.col("n_members").alias("n_hours"),
+            "total",
+            "peak_hour",
+            F.col("max_value").alias("peak_count"),
+            "top_share_ppm",
+            "gini_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_X190 = f"""
+WITH hours AS (SELECT unnest(generate_series(0, 23)) AS hour),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+    SELECT event_type,
+           (epoch_ns(ts) // {NANOS_PER_HOUR}) % 24 AS hour,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+),
+full_grid AS (
+    SELECT t.event_type, CAST(h.hour AS BIGINT) AS hour,
+           coalesce(c.cnt, 0) AS cnt
+    FROM types t CROSS JOIN hours h
+    LEFT JOIN counts c
+      ON c.event_type = t.event_type AND c.hour = h.hour
+),
+peak AS (
+    SELECT event_type, hour AS peak_hour
+    FROM (SELECT event_type, hour,
+                 row_number() OVER (PARTITION BY event_type
+                     ORDER BY cnt DESC, hour ASC) AS rn
+          FROM full_grid)
+    WHERE rn = 1
+),
+cells AS (
+    SELECT event_type, cnt AS q, CAST(count(*) AS BIGINT) AS c
+    FROM full_grid GROUP BY event_type, cnt
+),
+scored AS (
+    SELECT event_type, q, c,
+           CAST(sum(c) OVER (PARTITION BY event_type ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) - c AS a_prev
+    FROM cells
+),
+agg AS (
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n_hours,
+           CAST(sum(q * c) AS BIGINT) AS total,
+           CAST(max(q) AS BIGINT) AS peak_count,
+           CAST(sum(q * (c * a_prev + (c * (c + 1)) // 2))
+                AS BIGINT) AS rank_mass
+    FROM scored GROUP BY event_type
+)
+SELECT a.event_type, a.n_hours, a.total, p.peak_hour,
+       a.peak_count,
+       CASE WHEN a.total > 0 THEN
+           (1000000 * a.peak_count) // a.total
+       END AS top_share_ppm,
+       CASE WHEN a.total > 0 THEN
+           (1000000 * (2 * a.rank_mass
+             - (a.n_hours + 1) * a.total))
+           // (a.n_hours * a.total) END AS gini_ppm
+FROM agg a JOIN peak p ON p.event_type = a.event_type
+ORDER BY a.event_type
+"""
+
+# ---------------------------------------------------------------- s29
+
+
+def s29_user_conversions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user conversion rows (first view, first purchase, minute
+    lag — the x183 rule) via the batch grouped-map of
+    ``streaming/conversion_state.py`` — certifying the Arrow crossing
+    against pure SQL, which certifies the applyInPandasWithState
+    streaming twin sharing the kernel. Min is commutative, so the
+    stream converges under arbitrary batch order (proven in the
+    queue tests); x183's one-row summary is this table's aggregate."""
+    from m5_competition_kaggle_spark.streaming.conversion_state import (
+        batch_user_conversions,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        "user_id",
+        F.col("ts_nanos").alias("tsn"),
+        "event_type",
+    )
+    return batch_user_conversions(ev).orderBy("user_id")
+
+
+ORACLE_S29 = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view'
+                    THEN epoch_ns(ts) END) AS v0,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN epoch_ns(ts) END) AS p0
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+    GROUP BY user_id
+)
+SELECT user_id, v0, p0,
+       CASE WHEN v0 IS NOT NULL AND p0 IS NOT NULL
+             AND p0 >= v0 THEN
+           (p0 - v0) // 60000000000 END AS lag_min
+FROM firsts WHERE v0 IS NOT NULL
+ORDER BY user_id
+"""
+
+
+QUERIES = {
+    "x188_dedup_weighted_stats": x188_dedup_weighted_stats,
+    "x189_source_ks_matrix": x189_source_ks_matrix,
+    "x190_diurnal_profile": x190_diurnal_profile,
+    "s29_user_conversions": s29_user_conversions,
+}
+
+ORACLES = {
+    "x188_dedup_weighted_stats": _dedup_weighted_oracle(),
+    "x189_source_ks_matrix": ORACLE_X189,
+    "x190_diurnal_profile": ORACLE_X190,
+    "s29_user_conversions": ORACLE_S29,
+}

@@ -137,6 +137,7 @@ def main() -> int:
             extensions_r15,
             extensions_r16,
             extensions_r17,
+            extensions_r18,
         )
 
         staged_mods = (
@@ -146,6 +147,7 @@ def main() -> int:
             extensions_r15,
             extensions_r16,
             extensions_r17,
+            extensions_r18,
         )
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE

@@ -122,10 +122,12 @@ def main() -> int:
         extensions_r15 as _st15,
         extensions_r16 as _st16,
         extensions_r17 as _st17,
+        extensions_r18 as _st18,
     )
     _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
                   **_st14.QUERIES, **_st15.QUERIES,
-                  **_st16.QUERIES, **_st17.QUERIES}
+                  **_st16.QUERIES, **_st17.QUERIES,
+                  **_st18.QUERIES}
 
     for k, v in _staged_qs.items():
         qs.setdefault(k, v)
