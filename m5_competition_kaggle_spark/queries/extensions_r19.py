@@ -1,0 +1,373 @@
+"""Round-19 queue — STAGED UNREGISTERED, seven rounds ahead (r13–r18
+queues are staged; see queries/__init__.py). Locally certified by
+``tests/test_r19_queue.py`` with the same Spark-vs-DuckDB differential
+as ``scripts/check_oracle.py``.
+
+- x191 Zipf slope: the frequency–rank twin of x167's Heaps exponent —
+  Theil–Sen slope of L(count) vs L(rank) over power-of-two rank
+  checkpoints of the top-512 tokens (≈ −10⁶ for natural language;
+  shallow means templated/boilerplate text). Vocabulary reduces by
+  TakeOrdered before any bounded single-partition work (x167's
+  allowance class). HONEST FIXTURE FINDING: the synthetic corpus
+  draws from a 31-word near-uniform vocabulary, so only 5
+  checkpoints exist and the certified slope is ≈ −0.02·10⁶ — the
+  metric correctly reading "templated text", the exact opposite end
+  of the scale from natural language.
+- x192 implication matrix: x185's followed-by generalized to EVERY
+  ordered event-type pair (diagonal included — "another of the same
+  within 30 min" reads burstiness): n_a, n_followed, rate ppm per
+  (a, b). The full temporal-grammar heatmap; g18's transition matrix
+  counts only the IMMEDIATE next event, this counts any-within-Δ.
+- x193 user growth: the acquisition curve — first-seen users per day
+  and the exact running total (calendar-bounded cumulative window,
+  the x124 allowance class). g13's cohort matrix slices retention;
+  this is the top-line the cohorts hang from.
+- x194 langid confusion: x8's stopword-marker language prediction
+  scored against the fixture's lang GROUND TRUTH — confusion cells
+  with per-true-language totals and floor-ppm shares. The accuracy
+  audit that turns a heuristic into a measured component. HONEST
+  FIXTURE FINDING: the 31-word synthetic vocabulary contains none of
+  the natural-language stopword markers, so every score is 0 and the
+  tie-break sends every document to 'en' — the confusion matrix is
+  exactly the artifact that EXPOSES an untriggerable heuristic, which
+  is its job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+NANOS_PER_DAY = 86_400_000_000_000
+FOLLOW_NS = 30 * 60 * 1_000_000_000
+LOG_Q = 1_000_000
+ZIPF_TOP = 512
+ZIPF_RANKS = tuple(2 ** k for k in range(10))  # 1, 2, 4, ..., 512
+
+# --------------------------------------------------------------- x191
+
+
+def x191_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the token frequency–rank curve: exact counts
+    (x30 token rule), rank by (count DESC, token) — a total order —
+    over the TakeOrdered top-512, log-quantized checkpoints at ranks
+    1,2,4,...,512 through the x153 Theil–Sen kernel. The rank window
+    runs on the 512-row bounded table (justified PLAN_AUDIT
+    allowance, the x167 class); slope_ppm ≈ −10⁶ is the natural-
+    language line."""
+    from m5_competition_kaggle_spark.operators.theil_sen import (
+        theil_sen_slope,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'),"
+                " x -> x <> '')"
+            )
+        ).alias("w")
+    )
+    counts = docs.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    top = counts.orderBy(F.col("c").desc(), "w").limit(ZIPF_TOP)
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    ranked = top.withColumn(
+        "rank", F.row_number().over(w_rank).cast("long")
+    )
+    pts = ranked.filter(
+        F.col("rank").isin(*ZIPF_RANKS)
+    ).select(
+        F.lit("corpus").alias("corpus"),
+        F.expr(
+            f"CAST(round(ln(rank) * {LOG_Q}) AS BIGINT)"
+        ).alias("lt"),
+        F.expr(
+            f"CAST(round(ln(c) * {LOG_Q}) AS BIGINT)"
+        ).alias("ly"),
+    )
+    return theil_sen_slope(pts, "corpus", "lt", "ly")
+
+
+_RANK_LIST = ", ".join(str(r) for r in ZIPF_RANKS)
+
+ORACLE_X191 = f"""
+WITH tok AS (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                    '[^a-z0-9]+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+counts AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+),
+ranked AS (
+    SELECT c,
+           row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+    FROM counts
+),
+pts AS (
+    SELECT CAST(round(ln(rank) * {LOG_Q}) AS BIGINT) AS lt,
+           CAST(round(ln(c) * {LOG_Q}) AS BIGINT) AS ly
+    FROM ranked WHERE rank IN ({_RANK_LIST})
+),
+pairs AS (
+    SELECT a.lt AS ti, b.lt AS tj,
+           b.ly - a.ly AS dy, b.lt - a.lt AS dx
+    FROM pts a JOIN pts b ON a.lt < b.lt
+),
+rk AS (
+    SELECT dy, dx,
+           row_number() OVER (
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+                        ti ASC, tj ASC
+           ) AS r,
+           CAST(count(*) OVER () AS BIGINT) AS n_pairs
+    FROM pairs
+),
+n_pts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts)
+SELECT 'corpus' AS corpus, p.n AS n, r.n_pairs AS n_pairs,
+       r.dy AS slope_num, r.dx AS slope_den,
+       CASE WHEN r.dy >= 0 THEN 1000000 * r.dy // r.dx
+            ELSE -((1000000 * (-r.dy)) // r.dx) END AS slope_ppm
+FROM n_pts p CROSS JOIN rk r
+WHERE r.r = (r.n_pairs + 1) // 2
+"""
+
+# --------------------------------------------------------------- x192
+
+
+def x192_implication_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full temporal-implication heatmap: for every ORDERED type pair
+    (a, b) — diagonal included — the share of a-events followed by a
+    DIFFERENT b-event from the same user within 30 minutes (strictly
+    after, edge-inclusive, the x185 semantics). One user-keyed band
+    join, fanout bounded per user by in-band density; the 25-cell
+    matrix assembles through two keyed aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("aid"),
+        F.col("event_type").alias("ta"),
+        F.col("ts_nanos").alias("at"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("bid"),
+        F.col("event_type").alias("tb"),
+        F.col("ts_nanos").alias("bt"),
+    )
+    followed = (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("bt") > F.col("at"))
+            & (F.col("bt") <= F.col("at") + F.lit(FOLLOW_NS))
+            & (F.col("bid") != F.col("aid")),
+        )
+        .select("aid", "ta", "tb")
+        .distinct()
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_followed"))
+    )
+    totals = ev.groupBy(
+        F.col("event_type").alias("ta")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    types = totals.select("ta")
+    grid = types.crossJoin(
+        types.select(F.col("ta").alias("tb"))
+    )
+    return (
+        grid.join(totals, "ta")
+        .join(followed, ["ta", "tb"], "left")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            "n_a",
+            F.coalesce("n_followed", F.lit(0)).alias("n_followed"),
+            F.expr(
+                "(1000000 * coalesce(n_followed, 0)) DIV n_a"
+            ).alias("rate_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_X192 = f"""
+WITH ev AS (
+    SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn
+    FROM events
+),
+followed AS (
+    SELECT a.event_type AS ta, b.event_type AS tb,
+           CAST(count(DISTINCT a.event_id) AS BIGINT) AS n_followed
+    FROM ev a JOIN ev b
+      ON b.user_id = a.user_id
+     AND b.tsn > a.tsn AND b.tsn <= a.tsn + {FOLLOW_NS}
+     AND b.event_id <> a.event_id
+    GROUP BY 1, 2
+),
+totals AS (
+    SELECT event_type AS ta, CAST(count(*) AS BIGINT) AS n_a
+    FROM ev GROUP BY 1
+),
+grid AS (
+    SELECT a.ta, b.ta AS tb FROM totals a CROSS JOIN totals b
+)
+SELECT g.ta AS type_a, g.tb AS type_b, t.n_a,
+       coalesce(f.n_followed, 0) AS n_followed,
+       (1000000 * coalesce(f.n_followed, 0)) // t.n_a AS rate_ppm
+FROM grid g
+JOIN totals t ON t.ta = g.ta
+LEFT JOIN followed f ON f.ta = g.ta AND f.tb = g.tb
+ORDER BY type_a, type_b
+"""
+
+# --------------------------------------------------------------- x193
+
+
+def x193_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The acquisition curve: first-seen users per event-time day and
+    the exact running total. The cumulative window walks the
+    calendar-bounded day table (x124 allowance class) AFTER the keyed
+    per-user first-seen aggregate reduces the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts_nanos").alias("f")
+    )
+    daily = firsts.groupBy(
+        F.expr(f"f DIV {NANOS_PER_DAY}").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new_users"))
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        daily.withColumn(
+            "n_cum_users", F.sum("n_new_users").over(w_cum)
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_X193 = f"""
+WITH firsts AS (
+    SELECT user_id, min(epoch_ns(ts)) AS f
+    FROM events GROUP BY user_id
+),
+daily AS (
+    SELECT f // {NANOS_PER_DAY} AS day,
+           CAST(count(*) AS BIGINT) AS n_new_users
+    FROM firsts GROUP BY day
+)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_users
+FROM daily ORDER BY day
+"""
+
+# --------------------------------------------------------------- x194
+
+
+def x194_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """x8's marker-ratio language prediction vs the lang ground
+    truth: confusion cells (true, pred, n) with per-true totals and
+    floor-ppm shares — the diagonal ppm IS the per-language recall.
+    Reuses the certified `functions/text.with_lang_scores` verbatim;
+    the confusion aggregate is two keyed shuffles."""
+    from m5_competition_kaggle_spark.functions.text import (
+        with_lang_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_lang_scores(docs, "text").select(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    )
+    cells = scored.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = cells.groupBy("true_lang").agg(
+        F.sum("n").alias("n_true")
+    )
+    return (
+        cells.join(totals, "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n",
+            "n_true",
+            F.expr("(1000000 * n) DIV n_true").alias("share_ppm"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _langid_confusion_oracle() -> str:
+    from m5_competition_kaggle_spark.functions.text import (
+        LANG_MARKERS,
+        LANG_ORDER,
+    )
+    from m5_competition_kaggle_spark.queries.extensions import (
+        _DOCS_TOKS,
+    )
+
+    scores = ",\n       ".join(
+        "len(list_filter(toks, x -> x IN ({lst}))) * 1.0"
+        " / greatest(len(toks), 1) AS score_{lang}".format(
+            lst=", ".join(f"'{m}'" for m in LANG_MARKERS[lang]),
+            lang=lang,
+        )
+        for lang in LANG_ORDER
+    )
+    branches = []
+    for idx in range(len(LANG_ORDER) - 1, 0, -1):
+        lang = LANG_ORDER[idx]
+        earlier = ", ".join(f"score_{lg}" for lg in LANG_ORDER[:idx])
+        gt = f"greatest({earlier})" if idx > 1 else earlier
+        branches.append(f"WHEN score_{lang} > {gt} THEN '{lang}'")
+    case = (
+        "CASE " + " ".join(branches) + f" ELSE '{LANG_ORDER[0]}' END"
+    )
+    return f"""
+WITH {_DOCS_TOKS},
+s AS (SELECT doc_id,
+       {scores}
+      FROM docs),
+pred AS (
+    SELECT d.lang AS true_lang, {case} AS pred_lang
+    FROM s JOIN documents d ON d.doc_id = s.doc_id
+),
+cells AS (
+    SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+),
+totals AS (
+    SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true
+    FROM cells GROUP BY true_lang
+)
+SELECT c.true_lang, c.pred_lang, c.n, t.n_true,
+       (1000000 * c.n) // t.n_true AS share_ppm
+FROM cells c JOIN totals t ON t.true_lang = c.true_lang
+ORDER BY c.true_lang, c.pred_lang
+"""
+
+
+QUERIES = {
+    "x191_zipf_slope": x191_zipf_slope,
+    "x192_implication_matrix": x192_implication_matrix,
+    "x193_user_growth": x193_user_growth,
+    "x194_langid_confusion": x194_langid_confusion,
+}
+
+ORACLES = {
+    "x191_zipf_slope": ORACLE_X191,
+    "x192_implication_matrix": ORACLE_X192,
+    "x193_user_growth": ORACLE_X193,
+    "x194_langid_confusion": _langid_confusion_oracle(),
+}

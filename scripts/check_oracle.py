@@ -138,6 +138,7 @@ def main() -> int:
             extensions_r16,
             extensions_r17,
             extensions_r18,
+            extensions_r19,
         )
 
         staged_mods = (
@@ -148,6 +149,7 @@ def main() -> int:
             extensions_r16,
             extensions_r17,
             extensions_r18,
+            extensions_r19,
         )
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE

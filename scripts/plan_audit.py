@@ -97,6 +97,12 @@ ALLOWED_SINGLE_PARTITION = {
         " the x124 distinct-durations class); the corpus reduces"
         " through the keyed per-user aggregate first"
     ),
+    "x193_user_growth": (
+        "the running-total window walks the per-DAY new-user table —"
+        " bounded by the CALENDAR (one row per day at any corpus"
+        " size; the x124 class); the corpus reduces through the"
+        " keyed per-user first-seen aggregate first"
+    ),
 }
 
 # Queries allowed a CartesianProduct, same auditable-justification
@@ -136,11 +142,12 @@ def main() -> int:
         extensions_r16 as _st16,
         extensions_r17 as _st17,
         extensions_r18 as _st18,
+        extensions_r19 as _st19,
     )
     _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
                   **_st14.QUERIES, **_st15.QUERIES,
                   **_st16.QUERIES, **_st17.QUERIES,
-                  **_st18.QUERIES}
+                  **_st18.QUERIES, **_st19.QUERIES}
 
     for k, v in _staged_qs.items():
         if k not in qs:

@@ -1,0 +1,177 @@
+"""Staged certification for the round-19 queue
+(queries/extensions_r19.py — x191 Zipf slope, x192 implication
+matrix, x193 user growth, x194 langid confusion). Staged seven rounds
+ahead; same local gate as the r10-r18 queues: the check_oracle
+differential at sf0.001 AND sf0.01, hand pins, cross-query identity
+pins."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import extensions_r19
+from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "check_oracle.py"),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and check_oracle)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r19.QUERIES))
+def test_differential_vs_duckdb(spark, name):
+    sdf = extensions_r19.QUERIES[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF)
+    tbl = con.sql(extensions_r19.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    d_types = {f.name: check_oracle.arrow_type_class(f.type)
+               for f in tbl.schema}
+    s_types = {f.name: check_oracle.spark_type_class(f.dataType)
+               for f in sdf.schema.fields}
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert sorted(s_cols) == sorted(d_cols)
+    assert s_types == d_types
+    assert check_oracle.value_hash(s_rows, s_cols) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r19.QUERIES))
+def test_differential_vs_duckdb_sf001(spark, name):
+    sdf = extensions_r19.QUERIES[name](spark, SF01)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF01)
+    tbl = con.sql(extensions_r19.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert check_oracle.value_hash(s_rows, sdf.columns) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+# ------------------------------------------------------- x191 pins
+
+
+def test_zipf_slope_reads_templated_text(spark):
+    """The fixture's 31-word near-uniform vocabulary gives 5
+    power-of-two checkpoints (ranks 1..16) and a near-zero negative
+    slope — the metric correctly reading 'templated text' (natural
+    language would land near −10⁶). Positive would mean the rank
+    order broke."""
+    for sf in (SF, SF01):
+        row = extensions_r19.x191_zipf_slope(spark, sf).collect()[0]
+        assert row["n"] == 5 and row["n_pairs"] == 10, sf
+        assert -200_000 < row["slope_ppm"] < 0, (
+            sf, row["slope_ppm"],
+        )
+
+
+# ------------------------------------------------------- x192 pins
+
+
+def test_implication_matrix_marginal_is_x185(spark):
+    """The (purchase, error) cell must equal x185's corpus total —
+    identical semantics, different grouping."""
+    from m5_competition_kaggle_spark.queries.extensions_r17 import (
+        x185_followed_by,
+    )
+
+    matrix = {
+        (r["type_a"], r["type_b"]): (r["n_a"], r["n_followed"])
+        for r in extensions_r19.x192_implication_matrix(
+            spark, SF01
+        ).collect()
+    }
+    daily = x185_followed_by(spark, SF01).collect()
+    n_a, n_followed = matrix[("purchase", "error")]
+    assert n_a == sum(r["n_purchases"] for r in daily)
+    assert n_followed == sum(r["n_followed"] for r in daily)
+
+
+def test_implication_matrix_shape(spark):
+    out = extensions_r19.x192_implication_matrix(
+        spark, SF01
+    ).collect()
+    assert len(out) == 25
+    for r in out:
+        assert 0 <= r["n_followed"] <= r["n_a"]
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+    # the diagonal (self-implication / burstiness) is populated
+    assert any(
+        r["type_a"] == r["type_b"] and r["n_followed"] > 0
+        for r in out
+    )
+
+
+# ------------------------------------------------------- x193 pins
+
+
+def test_user_growth_totals(spark):
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    out = extensions_r19.x193_user_growth(spark, SF01).collect()
+    assert out
+    cums = [r["n_cum_users"] for r in out]
+    assert cums == sorted(cums)  # monotone running total
+    assert sum(r["n_new_users"] for r in out) == cums[-1]
+    n_users = (
+        load_table(spark, SF01, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert cums[-1] == n_users
+
+
+# ------------------------------------------------------- x194 pins
+
+
+def test_langid_confusion_totals_and_recall(spark):
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    out = extensions_r19.x194_langid_confusion(spark, SF01).collect()
+    lang_counts = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, SF01, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_true: dict = {}
+    for r in out:
+        per_true[r["true_lang"]] = per_true.get(
+            r["true_lang"], 0
+        ) + r["n"]
+        assert r["n_true"] == lang_counts[r["true_lang"]]
+    assert per_true == lang_counts
+    # the honest fixture finding: none of the stopword markers occur
+    # in the 31-word synthetic vocabulary, so every score ties at 0
+    # and the tie-break sends EVERYTHING to 'en' — the matrix exposes
+    # the untriggerable heuristic (its job). If the fixture ever
+    # gains natural text, this pin flips to a diagonal-majority
+    # assert.
+    assert {r["pred_lang"] for r in out} == {"en"}
+    assert all(r["share_ppm"] == 1_000_000 for r in out)
