@@ -1,0 +1,363 @@
+"""Round-20 queue — STAGED UNREGISTERED, the end of the horizon
+(r13–r19 queues are staged; see queries/__init__.py). Locally
+certified by ``tests/test_r20_queue.py`` with the same Spark-vs-DuckDB
+differential as ``scripts/check_oracle.py``.
+
+Three compositions that close diagnostic loops opened by earlier
+certified operators:
+
+- x195 residual ACF: x170's exact autocovariance profile applied to
+  the RESIDUALS of the lag-7 seasonal-naive forecaster (x168's
+  numerator series) — the adequacy loop: if lag-7 captured the weekly
+  structure, the residual lag-7 ratio collapses toward 0 where x170's
+  raw series spikes. Sign-handled floor division throughout (residual
+  covariances go negative, where x170's raw-volume ones don't).
+- x196 discount lift: exact per-brand OLS components of unit quantity
+  on discount permille over lineitem×part — does discounting move
+  volume, left as the x92/x73 rational (slope_num/slope_den) with a
+  sign-handled ppm. The pricing-analytics staple.
+- x197 weekend shift: Welch-style exact sufficient statistics of
+  weekday vs weekend daily volumes per event type (epoch-day mod 7;
+  day 0 = Thursday, weekend ≡ 2,3) — the calendar A/B beside x120's
+  group A/B, all moments as integers so the hash certifies without a
+  t-table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.sources.catalog import load_table
+
+NANOS_PER_DAY = 86_400_000_000_000
+
+_SIGNED_DIV = (
+    "CASE WHEN {num} >= 0 THEN ({scale} * {num}) DIV {den}"
+    " ELSE -(({scale} * (-({num}))) DIV {den}) END"
+)
+
+# --------------------------------------------------------------- x195
+
+
+def x195_residual_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer autocovariance profile (lags 0..7) of the lag-7
+    seasonal-naive RESIDUALS r(t) = y(t) − y(t−7) of each event
+    type's daily unit series — the x170 kernel on the x168
+    forecaster's errors. ratio_permille is sign-handled (truncating
+    toward zero in BOTH engines): a surviving ±spike at lag 7 means
+    the weekly structure was NOT fully captured."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("t"),
+        F.expr("CAST(round(value) AS BIGINT)").alias("q"),
+    )
+    series = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    )
+    lag7 = series.select(
+        "event_type",
+        (F.col("t") + 7).alias("t"),
+        F.col("y").alias("y7"),
+    )
+    resid = series.join(lag7, ["event_type", "t"]).select(
+        "event_type", "t", (F.col("y") - F.col("y7")).alias("r")
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(8)])
+    ).alias("k")
+    a = resid.select("event_type", "t", "r", lags)
+    b = resid.select(
+        "event_type",
+        F.col("t").alias("tb"),
+        F.col("r").alias("rb"),
+    )
+    paired = a.join(
+        b,
+        (a.event_type == b.event_type)
+        & (F.col("tb") == F.col("t") + F.col("k")),
+    ).select(a.event_type, "k", "r", "rb")
+    cov = paired.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("r").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("r") * F.col("rb")).alias("sab"),
+    ).select(
+        "event_type",
+        F.col("k").cast("long").alias("k"),
+        "n_pairs",
+        (
+            F.col("n_pairs") * F.col("sab")
+            - F.col("sa") * F.col("sb")
+        ).alias("cov_num"),
+    )
+    base = cov.filter(F.col("k") == 0).select(
+        "event_type", F.col("cov_num").alias("cov0")
+    )
+    return (
+        cov.join(base, "event_type")
+        .select(
+            "event_type",
+            "k",
+            "n_pairs",
+            "cov_num",
+            F.expr(
+                "CASE WHEN cov0 > 0 THEN "
+                + _SIGNED_DIV.format(
+                    num="cov_num", den="cov0", scale="1000"
+                )
+                + " END"
+            ).alias("ratio_permille"),
+        )
+        .orderBy("event_type", "k")
+    )
+
+
+ORACLE_X195 = f"""
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // {NANOS_PER_DAY} AS t,
+           CAST(sum(CAST(round(value) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+resid AS (
+    SELECT a.event_type, a.t, a.y - b.y AS r
+    FROM series a
+    JOIN series b ON b.event_type = a.event_type
+                 AND b.t = a.t - 7
+),
+lagk AS (SELECT unnest(generate_series(0, 7)) AS k),
+paired AS (
+    SELECT a.event_type, l.k, a.r AS ra, b.r AS rb
+    FROM resid a
+    CROSS JOIN lagk l
+    JOIN resid b ON b.event_type = a.event_type
+                AND b.t = a.t + l.k
+),
+cov AS (
+    SELECT event_type, CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT)
+               * CAST(sum(ra * rb) AS BIGINT)
+               - CAST(sum(ra) AS BIGINT)
+               * CAST(sum(rb) AS BIGINT) AS cov_num
+    FROM paired GROUP BY 1, 2
+),
+base AS (
+    SELECT event_type, cov_num AS cov0 FROM cov WHERE k = 0
+)
+SELECT c.event_type, c.k, c.n_pairs, c.cov_num,
+       CASE WHEN b.cov0 > 0 THEN
+           CASE WHEN c.cov_num >= 0 THEN
+               (1000 * c.cov_num) // b.cov0
+           ELSE -((1000 * (-(c.cov_num))) // b.cov0)
+           END END AS ratio_permille
+FROM cov c JOIN base b ON b.event_type = c.event_type
+ORDER BY c.event_type, c.k
+"""
+
+# --------------------------------------------------------------- x196
+
+
+def x196_discount_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand exact OLS components of unit quantity on discount
+    permille: n, sums, and the rational slope (slope_num = n·Σxy −
+    Σx·Σy over slope_den = n·Σx² − (Σx)²) with a sign-handled ppm —
+    positive means discounting moves volume for that brand. One
+    fact-side keyed aggregate after a broadcast dimension join; the
+    x92 leave-it-rational precedent."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(round(l_discount * 1000) AS BIGINT)"
+        ).alias("x"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("y"),
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    joined = li.join(
+        F.broadcast(parts),
+        li.l_partkey == parts.p_partkey,
+    )
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            "p_brand",
+            "n",
+            "sx",
+            "sy",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .alias("slope_num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .alias("slope_den"),
+            F.expr(
+                "CASE WHEN (n * sxx - sx * sx) > 0 THEN "
+                + _SIGNED_DIV.format(
+                    num="(n * sxy - sx * sy)",
+                    den="(n * sxx - sx * sx)",
+                    scale="1000000",
+                )
+                + " END"
+            ).alias("slope_ppm"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_X196 = """
+WITH j AS (
+    SELECT p.p_brand,
+           CAST(round(l.l_discount * 1000) AS BIGINT) AS x,
+           CAST(round(l.l_quantity) AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+agg AS (
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM j GROUP BY p_brand
+)
+SELECT p_brand, n, sx, sy,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den,
+       CASE WHEN (n * sxx - sx * sx) > 0 THEN
+           CASE WHEN (n * sxy - sx * sy) >= 0 THEN
+               (1000000 * (n * sxy - sx * sy))
+                   // (n * sxx - sx * sx)
+           ELSE -((1000000 * (-(n * sxy - sx * sy)))
+                   // (n * sxx - sx * sx))
+           END END AS slope_ppm
+FROM agg ORDER BY p_brand
+"""
+
+# --------------------------------------------------------------- x197
+
+
+def x197_weekend_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekday-vs-weekend daily-volume shift per event type, as exact
+    Welch sufficient statistics (epoch day 0 = Thursday, so weekend
+    ≡ day mod 7 ∈ {{2, 3}} in both engines): per side n, Σy, Σy², and
+    the sign-handled mean-difference in volume permille —
+    meandiff_pm = 1000·(Σ_we·n_wd − Σ_wd·n_we) DIV (n_wd·n_we)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("t"),
+        F.expr("CAST(round(value) AS BIGINT)").alias("q"),
+    )
+    daily = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    ).withColumn(
+        "is_we", F.expr("t % 7 IN (2, 3)")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(~F.col("is_we"), 1).otherwise(0)
+            ).cast("long").alias("n_wd"),
+            F.sum(
+                F.when(F.col("is_we"), 1).otherwise(0)
+            ).cast("long").alias("n_we"),
+            F.sum(
+                F.when(~F.col("is_we"), F.col("y")).otherwise(0)
+            ).alias("sum_wd"),
+            F.sum(
+                F.when(F.col("is_we"), F.col("y")).otherwise(0)
+            ).alias("sum_we"),
+            F.sum(
+                F.when(~F.col("is_we"), F.col("y") * F.col("y"))
+                .otherwise(0)
+            ).alias("ss_wd"),
+            F.sum(
+                F.when(F.col("is_we"), F.col("y") * F.col("y"))
+                .otherwise(0)
+            ).alias("ss_we"),
+        )
+        .select(
+            "event_type",
+            "n_wd",
+            "n_we",
+            "sum_wd",
+            "sum_we",
+            "ss_wd",
+            "ss_we",
+            F.expr(
+                "CASE WHEN n_wd > 0 AND n_we > 0 THEN "
+                + _SIGNED_DIV.format(
+                    num="(sum_we * n_wd - sum_wd * n_we)",
+                    den="(n_wd * n_we)",
+                    scale="1000",
+                )
+                + " END"
+            ).alias("meandiff_pm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_X197 = f"""
+WITH daily AS (
+    SELECT event_type,
+           epoch_ns(ts) // {NANOS_PER_DAY} AS t,
+           CAST(sum(CAST(round(value) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+marked AS (
+    SELECT event_type, y, (t % 7) IN (2, 3) AS is_we FROM daily
+),
+agg AS (
+    SELECT event_type,
+           CAST(sum(CASE WHEN NOT is_we THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_wd,
+           CAST(sum(CASE WHEN is_we THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_we,
+           CAST(sum(CASE WHEN NOT is_we THEN y ELSE 0 END)
+                AS BIGINT) AS sum_wd,
+           CAST(sum(CASE WHEN is_we THEN y ELSE 0 END)
+                AS BIGINT) AS sum_we,
+           CAST(sum(CASE WHEN NOT is_we THEN y * y ELSE 0 END)
+                AS BIGINT) AS ss_wd,
+           CAST(sum(CASE WHEN is_we THEN y * y ELSE 0 END)
+                AS BIGINT) AS ss_we
+    FROM marked GROUP BY event_type
+)
+SELECT event_type, n_wd, n_we, sum_wd, sum_we, ss_wd, ss_we,
+       CASE WHEN n_wd > 0 AND n_we > 0 THEN
+           CASE WHEN (sum_we * n_wd - sum_wd * n_we) >= 0 THEN
+               (1000 * (sum_we * n_wd - sum_wd * n_we))
+                   // (n_wd * n_we)
+           ELSE -((1000 * (-(sum_we * n_wd - sum_wd * n_we)))
+                   // (n_wd * n_we))
+           END END AS meandiff_pm
+FROM agg ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "x195_residual_acf": x195_residual_acf,
+    "x196_discount_lift": x196_discount_lift,
+    "x197_weekend_shift": x197_weekend_shift,
+}
+
+ORACLES = {
+    "x195_residual_acf": ORACLE_X195,
+    "x196_discount_lift": ORACLE_X196,
+    "x197_weekend_shift": ORACLE_X197,
+}

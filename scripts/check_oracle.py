@@ -139,6 +139,7 @@ def main() -> int:
             extensions_r17,
             extensions_r18,
             extensions_r19,
+            extensions_r20,
         )
 
         staged_mods = (
@@ -150,6 +151,7 @@ def main() -> int:
             extensions_r17,
             extensions_r18,
             extensions_r19,
+            extensions_r20,
         )
         # staged queues must be name-disjoint — without this, a name in
         # two modules would silently resolve to the later one (ADVICE

@@ -124,11 +124,13 @@ def main() -> int:
         extensions_r17 as _st17,
         extensions_r18 as _st18,
         extensions_r19 as _st19,
+        extensions_r20 as _st20,
     )
     _staged_qs = {**_st12.QUERIES, **_st13.QUERIES,
                   **_st14.QUERIES, **_st15.QUERIES,
                   **_st16.QUERIES, **_st17.QUERIES,
-                  **_st18.QUERIES, **_st19.QUERIES}
+                  **_st18.QUERIES, **_st19.QUERIES,
+                  **_st20.QUERIES}
 
     for k, v in _staged_qs.items():
         qs.setdefault(k, v)

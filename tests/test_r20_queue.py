@@ -1,0 +1,172 @@
+"""Staged certification for the round-20 queue
+(queries/extensions_r20.py — x195 residual ACF, x196 discount lift,
+x197 weekend shift). Same local gate as the r10-r19 queues: the
+check_oracle differential at sf0.001 AND sf0.01, hand pins,
+cross-query identity pins."""
+
+from __future__ import annotations
+
+import datetime
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import extensions_r20
+from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "check_oracle.py"),
+)
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_spec and check_oracle)
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r20.QUERIES))
+def test_differential_vs_duckdb(spark, name):
+    sdf = extensions_r20.QUERIES[name](spark, SF)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF)
+    tbl = con.sql(extensions_r20.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    d_types = {f.name: check_oracle.arrow_type_class(f.type)
+               for f in tbl.schema}
+    s_types = {f.name: check_oracle.spark_type_class(f.dataType)
+               for f in sdf.schema.fields}
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert sorted(s_cols) == sorted(d_cols)
+    assert s_types == d_types
+    assert check_oracle.value_hash(s_rows, s_cols) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+@pytest.mark.parametrize("name", sorted(extensions_r20.QUERIES))
+def test_differential_vs_duckdb_sf001(spark, name):
+    sdf = extensions_r20.QUERIES[name](spark, SF01)
+    s_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(SF01)
+    tbl = con.sql(extensions_r20.ORACLES[name]).arrow()
+    d_cols = tbl.column_names
+    d_rows = [tuple(row[c] for c in d_cols) for row in tbl.to_pylist()]
+    assert len(s_rows) == len(d_rows) and len(s_rows) > 0
+    assert check_oracle.value_hash(s_rows, sdf.columns) == \
+        check_oracle.value_hash(d_rows, d_cols)
+
+
+# ------------------------------------------------------- x195 pins
+
+
+def test_residual_acf_structure(spark):
+    """Lag 0 is the residual variance itself (ratio exactly 1000);
+    the residual series is 7 days shorter than the raw one (the lag-7
+    differencing), and negative ratios occur — differenced noise
+    mean-reverts, which the raw-volume x170 profile never shows."""
+    from m5_competition_kaggle_spark.queries.extensions_r13 import (
+        x170_acf_profile,
+    )
+
+    out = extensions_r20.x195_residual_acf(spark, SF01).collect()
+    assert len(out) == 40
+    raw = {
+        (r["event_type"], r["k"]): r["n_pairs"]
+        for r in x170_acf_profile(spark, SF01).collect()
+    }
+    for r in out:
+        if r["k"] == 0:
+            assert r["ratio_permille"] == 1000
+        # differencing removes exactly 7 leading days per series
+        assert r["n_pairs"] == raw[(r["event_type"], r["k"])] - 7
+    assert any(
+        r["ratio_permille"] is not None and r["ratio_permille"] < 0
+        for r in out
+    )
+
+
+# ------------------------------------------------------- x196 pins
+
+
+def test_discount_lift_hand_ols(spark):
+    """Planted exact OLS: y = 2x + 1 over x in {0, 1, 2, 3} gives
+    slope_num/slope_den = 2 exactly, slope_ppm = 2,000,000."""
+    df = spark.createDataFrame(
+        [("B", x, 2 * x + 1) for x in range(4)],
+        "p_brand string, x long, y long",
+    )
+    agg = (
+        df.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .select(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .alias("num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .alias("den"),
+        )
+        .collect()[0]
+    )
+    assert agg["num"] == 2 * agg["den"]
+
+
+def test_discount_lift_fixture_shape(spark):
+    out = extensions_r20.x196_discount_lift(spark, SF01).collect()
+    assert len(out) == 25
+    for r in out:
+        assert r["n"] > 0 and r["slope_den"] > 0
+        assert r["slope_ppm"] is not None
+    assert len({r["slope_ppm"] for r in out}) > 5
+
+
+# ------------------------------------------------------- x197 pins
+
+
+def test_weekend_rule_is_sat_sun(spark):
+    """Epoch day 0 = Thursday 1970-01-01, so day % 7 == 2 is Saturday
+    and == 3 is Sunday — verified against the calendar."""
+    assert datetime.date(1970, 1, 1).weekday() == 3  # Thursday
+    for d in range(14):
+        date = datetime.date(1970, 1, 1) + datetime.timedelta(days=d)
+        assert (d % 7 in (2, 3)) == (date.weekday() >= 5), d
+
+
+def test_weekend_shift_identities(spark):
+    """Per type: wd + we day counts cover the calendar; the
+    sign-handled mean difference reconstructs from the integer
+    moments."""
+    out = extensions_r20.x197_weekend_shift(spark, SF01).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["n_wd"] > 0 and r["n_we"] > 0
+        num = r["sum_we"] * r["n_wd"] - r["sum_wd"] * r["n_we"]
+        den = r["n_wd"] * r["n_we"]
+        expect = (
+            (1000 * num) // den
+            if num >= 0
+            else -((1000 * (-num)) // den)
+        )
+        assert r["meandiff_pm"] == expect
+        # weekday + weekend day counts = the type's observed days
+        assert r["n_wd"] + r["n_we"] >= 28
