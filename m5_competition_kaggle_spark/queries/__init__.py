@@ -176,13 +176,15 @@ _MODULES = (
 # s25), extensions_r14 (6, x171–x175 + s26), extensions_r15 (5,
 # x176–x179 + s27), extensions_r16 (5, x180–x183 + s28),
 # extensions_r17 (4, x184–x187), extensions_r18 (4, x188–x190 +
-# s29) and extensions_r19 (4, x191–x194) are staged behind this
-# plan — each locally certified at sf0.001+sf0.01, 10×-probed
-# (BASELINE.md), plan-audited, edge-guarded, with plan-shape pins
-# (tests/test_r1{3..9}_queue.py etc.) — so the r13–r19 windows each
-# register their queue and spend the rest on second-green re-banks
-# (r13: the 22 r12-staled rows land their second green; r14+: each
-# prior batch plus the oldest singles, oldest-built first). Ride-along policy for
+# s29), extensions_r19 (4, x191–x194) and extensions_r20 (3,
+# x195–x197) are staged behind this plan — each locally certified
+# at sf0.001+sf0.01, 10×-probed (BASELINE.md), plan-audited,
+# edge-guarded, with plan-shape pins (tests/test_r1{3..9}_queue.py,
+# test_r20_queue.py etc.) — so EVERY remaining window (r13–r20)
+# registers a pre-certified queue and spends the rest on
+# second-green re-banks (r13: the 22 r12-staled rows land their
+# second green; r14+: each prior batch plus the oldest singles,
+# oldest-built first). Ride-along policy for
 # the r12 persist-leak edits: each touched module
 # also converts its bare parameter-validation asserts to raises in
 # the SAME edit (python -O strips asserts — the ADVICE r10 class;
