@@ -202,9 +202,21 @@ def minhash_lsh_pairs(
     """
     # The shingle explode feeds both the signatures and the verify joins —
     # materialize it once instead of re-tokenizing the corpus three times.
+    # localCheckpoint, not persist (r12, same rework as prefix.py r11):
+    # an unpersisted CacheManager entry accumulates per call on a
+    # long-lived session; checkpoint blocks are ContextCleaner-managed
+    # and dropped when the DataFrame becomes unreachable. Lineage is
+    # truncated — a lost block fails the job instead of recomputing,
+    # acceptable for a deterministic batch operator whose jobs retry.
+    # eager=True, matching prefix.py: the non-eager variant materializes
+    # via a supplementary job at first action, whose task completions
+    # race the cleanup of the parent query's SQL-metric accumulators
+    # (measured: hundreds of benign-but-noisy "non-existent accumulator"
+    # DAGScheduler errors per run). The eager job runs while those
+    # accumulators are still live, so the logs stay clean.
     sh = doc_shingles(
         df, key_col, text_col, shingle_size, tokens_col=tokens_col
-    ).persist()
+    ).localCheckpoint(eager=True)
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
@@ -231,8 +243,12 @@ def ngram_jaccard_pairs(
     """All-candidate n-gram Jaccard: every pair sharing ≥1 shingle is
     scored exactly. Complete (no LSH misses) but quadratic within shingle
     buckets — the small-corpus / high-precision path."""
-    # One materialized shingle explode feeds both join sides and the sizes.
-    sh = doc_shingles(df, key_col, text_col, shingle_size).persist()
+    # One materialized shingle explode feeds both join sides and the
+    # sizes — localCheckpoint, not persist (leak rationale: see
+    # minhash_lsh_pairs above).
+    sh = doc_shingles(df, key_col, text_col, shingle_size).localCheckpoint(
+        eager=True
+    )
     e1 = sh.select(F.col(key_col).alias("id_a"), "shingle")
     e2 = sh.select(F.col(key_col).alias("id_b"), "shingle")
     # Count common shingles directly off the join — materializing the
@@ -280,9 +296,10 @@ def containment_pairs(
     candidate generator for corpora with hot shingles), keyed aggregates
     for sizes and intersections.
     """
+    # localCheckpoint, not persist (leak rationale: see minhash_lsh_pairs).
     sh = doc_shingles(
         df, key_col, text_col, shingle_size, tokens_col=tokens_col
-    ).persist()
+    ).localCheckpoint(eager=True)
     e1 = sh.select(F.col(key_col).alias("id_a"), "shingle")
     e2 = sh.select(F.col(key_col).alias("id_b"), "shingle")
     common = (

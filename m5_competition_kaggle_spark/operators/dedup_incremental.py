@@ -68,9 +68,11 @@ def incremental_near_dups(
     NULL; ``match_type`` ∈ ('corpus', 'batch', 'none') names the side
     that smallest match came from.
     """
+    # localCheckpoint, not persist (r12 leak rework — rationale in
+    # dedup.minhash_lsh_pairs).
     sh_new = doc_shingles(
         new_df, key_col, text_col, shingle_size
-    ).persist()
+    ).localCheckpoint(eager=True)
     sh_corp = doc_shingles(corpus_df, key_col, text_col, shingle_size)
     b_new = minhash_band_buckets(
         _signatures(sh_new, key_col, num_hashes), key_col, num_hashes,

@@ -95,9 +95,15 @@ def semantic_dedup(
     kept. Downstream: ``filter(keep == 1)`` is the deduplicated corpus.
     """
     # Both sides of the intra-cluster join and the final overlay consume
-    # the assignment — persist it so the centroid fan-out + rank runs
-    # once, not three times (measured ~1.5x at sf0.1).
-    assigned = assign_clusters(vectors, n_centroids, id_col, vec_col).persist()
+    # the assignment — materialize it so the centroid fan-out + rank runs
+    # once, not three times (measured ~1.5x at sf0.1). localCheckpoint,
+    # not persist (r12, prefix.py r11 rework): an unpersisted cache
+    # entry leaks on a long-lived session; checkpoint blocks are
+    # ContextCleaner-managed. Lineage truncation (lost block => job
+    # retry) is the documented tradeoff.
+    assigned = assign_clusters(
+        vectors, n_centroids, id_col, vec_col
+    ).localCheckpoint(eager=True)
     return _canonical_keep(assigned, threshold_dot, id_col)
 
 

@@ -33,6 +33,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r9b,
     extensions_r10,
     extensions_r11,
+    extensions_r12,
     llm_curation,
     streaming_shaped,
 )
@@ -49,7 +50,7 @@ _MODULES = (
     extensions_r7, extensions_r7b, extensions_r7c, extensions_r8,
     extensions_r8b, extensions_r8c, extensions_r8d,
     extensions_r8e, extensions_r8f, extensions_r9, extensions_r9b,
-    extensions_r10, extensions_r11,
+    extensions_r10, extensions_r11, extensions_r12,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -193,21 +194,33 @@ _MODULES = (
 # catalog.py:256 — each deferred until its module stales
 # legitimately, because the edit itself would stale every banked
 # consumer).
+# Round-12 head composition (executes the r12 window plan above, with
+# one data-driven correction): the persist-leak edits landed first
+# (dedup.py minhash_lsh_pairs/ngram_jaccard_pairs/containment_pairs,
+# semantic_dedup.py, dedup_incremental.py — llm_curation's x29 site
+# was already localCheckpoint since r11) and the measured stale set is
+# the predicted 22 rows (ledger-verified), which auto-promote together
+# with the 7 extensions_r12 registrations (x162–x166, s23–s24) =
+# 29 promotion slots. The 21 deliberate picks CORRECT the staged
+# comment's q12-first list: the post-r11-fold ledger shows the oldest
+# single-green rows are the r04 batch (the r11 semantic-hash /
+# per-function-sectioning refinements re-dated more history than the
+# staged plan assumed), so oldest-valid-green-first picks are
+# x9/x10/x12 (r04), the 8 streaming twins s1–s8 (r04), and g1–g10
+# (r04). q12–q23/x33/x44–x46 (r05 singles) queue for r13.
+# 22 stales + 7 new + 21 picks = 50 exactly. Nothing else may stale
+# mid-round.
 _HEAD = (
-    # r8-built tail + r9b batch: single green, oldest first
-    "x137_ivf_health", "x138_rmsse", "x139_croston", "x140_pinball",
-    "x141_sbc_classes", "x142_silhouette", "x143_interval_score",
-    "x144_day_auc", "s21_stream_auc", "x145_calibration_ece",
-    "x146_demand_gaps", "x147_tracking_signal",
-    # r10 batch: single green from its first driver exposure
-    "x148_isotonic_calibration", "x149_changepoint", "x150_rank_rbo",
-    "s22_stream_ece", "x151_adida", "x152_forecastability",
-    "x153_theil_sen", "x154_method_select", "x155_kmeans_lloyd",
-    # oldest still-valid greens (r5) — refresh the deepest bank
-    "q1_filter_project", "q2_range_null_filter",
-    "q3_broadcast_left_join", "q4_fact_left_join", "q5_unpivot",
-    "q6_pivot_avg", "q7_lag", "q8_trailing_mean", "q9_lead",
-    "q10_tail_distinct_min", "q11_union_all",
+    # oldest still-valid greens (r04) — single-green, oldest first
+    "x9_sim_topk", "x10_sim_topk_lsh", "x12_embed_near_dup",
+    "s1_tumbling", "s2_sliding", "s3_session", "s4_running_totals",
+    "s5_ewma", "s6_stream_dedup", "s7_funnel_join",
+    "s8_stream_static_enrich",
+    "g1_pricing_summary", "g2_revenue_by_nation",
+    "g3_top_customers_per_segment", "g4_rollup_revenue",
+    "g5_distinct_agg", "g6_semi_anti_joins", "g7_set_ops",
+    "g8_median_quantiles", "g9_cube_revenue",
+    "g10_range_frame_window",
 )
 
 HEAD_CAP = 50
