@@ -183,9 +183,18 @@ _MODULES = (
 # edge-guarded, with plan-shape pins (tests/test_r1{3..9}_queue.py,
 # test_r20_queue.py etc.) — so EVERY remaining window (r13–r20)
 # registers a pre-certified queue and spends the rest on
-# second-green re-banks (r13: the 22 r12-staled rows land their
-# second green; r14+: each prior batch plus the oldest singles,
-# oldest-built first). Ride-along policy for
+# second-green re-banks. r13 correction (post-r12 ledger state): the
+# pick ORDER is oldest-valid-green-first from the REGENERATED ledger,
+# not a pre-computed list — after the r12 window lands, the singles
+# pool is ~99 (the 70 r04/r05/r08 singles the r12 window didn't
+# reach, plus the 22 re-certified stales and 7 r12 registrations,
+# each then single-green). r13's ~45 re-bank slots take the remaining
+# r04 singles (g11–g18 tail, x19–x40 batch, x28) then the oldest r05
+# singles (q12–q23, x1–x18 batch); the r12-staled rows are NOT
+# automatically next — they re-enter by green-age like everything
+# else. r14+: continue oldest-first until the pool is empty (the
+# 50-slot window clears ~45/round, so all-double by ~r15 given no new
+# stales). Ride-along policy for
 # the r12 persist-leak edits: each touched module
 # also converts its bare parameter-validation asserts to raises in
 # the SAME edit (python -O strips asserts — the ADVICE r10 class;
