@@ -1,0 +1,101 @@
+"""100× TIME-SHIFTED event-stream probe for the monitor / forecast /
+interval family.
+
+The 10× probe (scripts/probe_10x.py) already shifts event replicas a
+month apart so density stays constant; this probe extends the same
+construction to 100 replicas (10M events across an ~8.5-year span) —
+the shape a year-scale telemetry corpus actually has: more DAYS at
+constant daily density, the same key cardinalities. Monitor-family
+state (day × key cells) therefore grows ~100× linearly, and wall
+ratios read directly as scan + keyed-aggregate scaling; any operator
+whose cost grows faster than its cell count is exposed.
+
+Usage: python scripts/probe_events_100x.py x144_day_auc s23_stream_changepoint ...
+Prints BASELINE.md-ready rows: | query | 1× s | 100× s | ratio |.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+SF_DIR = "/root/testdata/sf0.1"
+X100_DIR = "/tmp/sparkgraft_events_x100"
+REPLICAS = 100
+
+
+def build_x100(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(X100_DIR, "_DONE")):
+        return
+    shutil.rmtree(X100_DIR, ignore_errors=True)
+    os.makedirs(X100_DIR)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = src.count()
+    # One generated column replaces a 100-way union: cross with a
+    # replica index (broadcast side), shift ids past the original
+    # range and timestamps 31 days per replica (the original span is
+    # ~30 days, so replicas never overlap — constant daily density).
+    reps = spark.range(REPLICAS).select(
+        F.col("id").cast("long").alias("__rep")
+    )
+    big = (
+        src.crossJoin(F.broadcast(reps))
+        .withColumn("event_id", F.col("event_id") + F.col("__rep") * n)
+        .withColumn(
+            "ts",
+            F.expr("ts + make_interval(0, 0, 0, __rep * 31, 0, 0, 0)"),
+        )
+        # no ts_nanos column here: the raw parquet carries only ts, and
+        # sources/catalog.load_table derives ts_nanos from it uniformly
+        .drop("__rep")
+    )
+    big.repartition(32).write.parquet(f"{X100_DIR}/events.parquet")
+    for t in ("documents", "embeddings", "region", "nation",
+              "customer", "supplier", "part", "orders", "lineitem"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{X100_DIR}/{t}.parquet")
+    open(os.path.join(X100_DIR, "_DONE"), "w").close()
+
+
+def time_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from m5_competition_kaggle_spark.session import get_spark
+
+    names = sys.argv[1:]
+    if not names:  # a raise, not assert: python -O strips asserts
+        raise SystemExit(
+            "usage: probe_events_100x.py <query> [query ...]"
+        )
+    spark = get_spark("probe_events100x")
+    qs = entry_mod.queries()
+    build_x100(spark)
+    for name in names:
+        base = time_query(spark, qs[name], SF_DIR)
+        big = time_query(spark, qs[name], X100_DIR)
+        print(
+            f"| {name} | {base:.1f} | {big:.1f} "
+            f"| {big / base:.1f}x |",
+            flush=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
