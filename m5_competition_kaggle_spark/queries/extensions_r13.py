@@ -25,6 +25,11 @@ same Spark-vs-DuckDB differential as ``scripts/check_oracle.py``.
   trend monitor's bounded (day, key) cells (changepoint = where it
   broke, Theil–Sen = where it's going, MASE = is the forecaster
   still adequate) — one streaming kernel, three certified readouts.
+- s30 trailing-window Theil–Sen (added r12, after the 100× events
+  probe): the bounded-pair scale path for s24 — only each key's most
+  recent 28 days enter the pair set (≤378 pairs/key regardless of
+  stream age), closing the measured quadratic-in-span growth of the
+  unbounded assembly with certified code rather than a disclosure.
 """
 
 from __future__ import annotations
@@ -579,12 +584,89 @@ FROM agg ORDER BY key
 """
 
 
+def s30_windowed_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-28-day Theil–Sen per key — the bounded-pair scale
+    path for the s24 trend monitor (added after the r12 100× events
+    probe measured the UNBOUNDED assembly at 146× wall over an
+    8.5-year span: exact Theil–Sen is quadratic in calendar span by
+    definition, so a long-lived monitor needs a trailing window —
+    ≤ trailing² /2 pairs per key forever). Same certified median-pair
+    kernel, same cells; only each key's most recent 28 days enter the
+    pair set. On the ~30-day test corpus the window bites only keys
+    whose first day precedes (max_day − 28) — the differential pins
+    the boundary arithmetic, the 100× probe pins the bound."""
+    from m5_competition_kaggle_spark.streaming.trend_monitor import (
+        day_key_cells,
+        theil_sen_from_cells_windowed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_from_cells_windowed(
+        day_key_cells(ev), trailing_days=28
+    ).orderBy("key")
+
+
+ORACLE_S30 = """
+WITH cells AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type AS key,
+           CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                AS BIGINT) AS y_sum
+    FROM events GROUP BY 1, 2
+),
+tm AS (SELECT key, max(day) AS dmax FROM cells GROUP BY 1),
+recent AS (
+    SELECT c.key, c.day, c.y_sum
+    FROM cells c JOIN tm ON tm.key = c.key
+    WHERE c.day > tm.dmax - INTERVAL 28 DAY
+),
+series AS (
+    SELECT key,
+           CAST(day - DATE '1970-01-01' AS BIGINT) AS t,
+           y_sum AS y
+    FROM recent
+),
+pairs AS (
+    SELECT a.key, a.t AS ti, b.t AS tj,
+           b.y - a.y AS dy, b.t - a.t AS dx
+    FROM series a
+    JOIN series b ON a.key = b.key AND a.t < b.t
+),
+ranked AS (
+    SELECT key, dy, dx,
+           row_number() OVER (
+               PARTITION BY key
+               ORDER BY CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) ASC,
+                        ti ASC, tj ASC
+           ) AS r,
+           CAST(count(*) OVER (PARTITION BY key) AS BIGINT)
+               AS n_pairs
+    FROM pairs
+),
+n_pts AS (
+    SELECT key, CAST(count(*) AS BIGINT) AS n
+    FROM series GROUP BY 1
+)
+SELECT p.key AS key, p.n AS n, r.n_pairs AS n_pairs,
+       r.dy AS slope_num, r.dx AS slope_den,
+       CASE WHEN r.dy >= 0 THEN 1000000 * r.dy // r.dx
+            ELSE -((1000000 * (-r.dy)) // r.dx) END AS slope_ppm
+FROM n_pts p
+JOIN ranked r ON r.key = p.key
+             AND r.r = (r.n_pairs + 1) // 2
+ORDER BY p.key
+"""
+
+
 QUERIES = {
     "x167_heaps_slope": x167_heaps_slope,
     "x168_mase": x168_mase,
     "x169_hierarchy_reconcile": x169_hierarchy_reconcile,
     "x170_acf_profile": x170_acf_profile,
     "s25_stream_mase": s25_stream_mase,
+    "s30_windowed_trend": s30_windowed_trend,
 }
 
 ORACLES = {
@@ -593,4 +675,5 @@ ORACLES = {
     "x169_hierarchy_reconcile": ORACLE_X169,
     "x170_acf_profile": ORACLE_X170,
     "s25_stream_mase": ORACLE_S25,
+    "s30_windowed_trend": ORACLE_S30,
 }

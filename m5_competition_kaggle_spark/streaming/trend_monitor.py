@@ -98,6 +98,34 @@ def theil_sen_from_cells(cells: DataFrame) -> DataFrame:
     return theil_sen_slope(series, "key", "t_day", "y_sum")
 
 
+def theil_sen_from_cells_windowed(
+    cells: DataFrame, trailing_days: int = 28
+) -> DataFrame:
+    """Trailing-window Theil–Sen: the x153 kernel over only each
+    key's most recent ``trailing_days`` days of cells.
+
+    Exact Theil–Sen is quadratic in series length by definition, so
+    the unbounded assembly's pair set grows with CALENDAR SPAN —
+    fine for the ~30-day monitor deployments, measured 146× wall at
+    an adversarial 8.5-year span (BASELINE.md r12 events probe).
+    This is the certified scale path for long-lived monitors: pairs
+    are bounded by trailing_days²/2 per key FOREVER (28 days → ≤378
+    pairs), regardless of how long the stream has been running, and
+    a trailing window is what a live trend readout means anyway.
+    The per-key max day comes from one keyed aggregate broadcast
+    back — no global collect, no single-partition exchange."""
+    tmax = cells.groupBy("key").agg(F.max("day").alias("__dmax"))
+    recent = (
+        cells.join(F.broadcast(tmax), "key")
+        .filter(
+            F.col("day")
+            > F.date_sub(F.col("__dmax"), int(trailing_days))
+        )
+        .drop("__dmax")
+    )
+    return theil_sen_from_cells(recent)
+
+
 def mase_from_cells(cells: DataFrame) -> DataFrame:
     """MASE with the seasonal-naive (m=7) benchmark over the bounded
     cells (x168's exact integer arithmetic on the monitor's day

@@ -343,3 +343,55 @@ def test_acf_profile_lag0_is_unit(spark):
     # paired-subsample covariances are not Cauchy–Schwarz-bounded by
     # the full-series variance, but anything past 2x signals a bug
     assert all(abs(v) < 2000 for v in non0 if v is not None)
+
+
+def test_windowed_trend_window_bites(spark):
+    """The fixture spans 30 days per key, so the trailing-28 window
+    must DROP the two earliest days (n = 28, pairs = C(28,2) = 378
+    per key) — the differential is pinned non-vacuous on the window
+    boundary, not an alias of the unbounded s24."""
+    out = {
+        r["key"]: r
+        for r in extensions_r13.s30_windowed_trend(
+            spark, SF
+        ).collect()
+    }
+    full = {
+        r["key"]: r
+        for r in __import__(
+            "m5_competition_kaggle_spark.queries.extensions_r12",
+            fromlist=["x"],
+        ).s24_stream_theil_sen(spark, SF).collect()
+    }
+    assert set(out) == set(full) and out
+    for k, r in out.items():
+        assert r["n"] == 28 and r["n_pairs"] == 378
+        assert full[k]["n"] == 30 and full[k]["n_pairs"] == 435
+
+
+def test_windowed_trend_bounds_pairs_on_long_series(spark):
+    """A 200-day synthetic series: unbounded pairs would be
+    C(200,2) = 19,900; the windowed kernel must stay at C(28,2) = 378
+    and pick its median from the recent window only (slope of the
+    RECENT regime, not the stale history)."""
+    from m5_competition_kaggle_spark.streaming.trend_monitor import (
+        theil_sen_from_cells_windowed,
+    )
+
+    rows = []
+    for i in range(200):
+        # old regime flat at 1000, last 40 days rising 5/day
+        y = 1000 if i < 160 else 1000 + (i - 159) * 5
+        rows.append(("k1", f"2024-01-01", i, y))
+    df = spark.createDataFrame(
+        [(k, i, y) for (k, _, i, y) in rows],
+        "key string, i int, y_sum long",
+    ).selectExpr(
+        "key", "date_add(DATE '2024-01-01', i) AS day", "y_sum"
+    )
+    out = theil_sen_from_cells_windowed(df, trailing_days=28).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 28 and r["n_pairs"] == 378
+    # every pair inside the last 28 days has slope exactly 5/day
+    assert r["slope_ppm"] == 5_000_000
