@@ -173,8 +173,9 @@ _MODULES = (
 # singles: q12–q14, q16, q17, q19–q23 (r5 greens not refreshed in
 # r11), then x33/x44/x45/x46 and the oldest r5-built singles.
 # 22 stales + 7 new + 21 picks = 50. Nothing else may stale
-# mid-round. Queue runway: extensions_r13 (5 queries, x167–x170 +
-# s25), extensions_r14 (6, x171–x175 + s26), extensions_r15 (5,
+# mid-round. Queue runway: extensions_r13 (6 queries, x167–x170 +
+# s25, + s30 windowed-trend staged during r12), extensions_r14 (6,
+# x171–x175 + s26), extensions_r15 (5,
 # x176–x179 + s27), extensions_r16 (5, x180–x183 + s28),
 # extensions_r17 (4, x184–x187), extensions_r18 (4, x188–x190 +
 # s29), extensions_r19 (4, x191–x194) and extensions_r20 (3,

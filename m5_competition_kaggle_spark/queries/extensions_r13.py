@@ -322,13 +322,23 @@ def x169_hierarchy_reconcile(
             F.col("forecast_next").alias("leaf_forecast"),
             "hist_leaf",
             "root_forecast",
+            # DECIMAL(38,0) intermediate, not BIGINT: hist sums grow
+            # with calendar span, and the r12 100× events probe
+            # measured root_forecast·hist_leaf PAST int64 (~1e20) at
+            # an 8.5-year span — the product is exact to 1e38 here
+            # and the quotient (≤ root_forecast) is cast back to
+            # BIGINT. The DuckDB twin computes the same product in
+            # HUGEINT with explicit truncate-toward-zero emulation
+            # (DuckDB // floors, Spark DIV truncates — s24's pattern).
             F.expr(
-                "CASE WHEN hist_total > 0 THEN "
-                "root_forecast * hist_leaf DIV hist_total END"
+                "CASE WHEN hist_total > 0 THEN CAST("
+                "CAST(root_forecast AS DECIMAL(38,0)) * hist_leaf "
+                "DIV hist_total AS BIGINT) END"
             ).alias("alloc_topdown"),
             F.expr(
-                "CASE WHEN hist_total > 0 THEN "
-                "root_forecast * hist_leaf DIV hist_total "
+                "CASE WHEN hist_total > 0 THEN CAST("
+                "CAST(root_forecast AS DECIMAL(38,0)) * hist_leaf "
+                "DIV hist_total AS BIGINT) "
                 "- forecast_next END"
             ).alias("gap"),
             (F.col("root_forecast") - F.col("bottom_up")).alias(
@@ -406,10 +416,20 @@ bu AS (SELECT CAST(sum(leaf_forecast) AS BIGINT) AS bottom_up
 SELECT f.event_type, f.n_points, f.leaf_forecast, h.hist_leaf,
        r.root_forecast,
        CASE WHEN t.hist_total > 0 THEN
-           r.root_forecast * h.hist_leaf // t.hist_total
+           CASE WHEN r.root_forecast >= 0 THEN CAST(
+               CAST(r.root_forecast AS HUGEINT) * h.hist_leaf
+               // t.hist_total AS BIGINT)
+           ELSE -CAST(
+               CAST(-r.root_forecast AS HUGEINT) * h.hist_leaf
+               // t.hist_total AS BIGINT) END
        END AS alloc_topdown,
        CASE WHEN t.hist_total > 0 THEN
-           r.root_forecast * h.hist_leaf // t.hist_total
+           CASE WHEN r.root_forecast >= 0 THEN CAST(
+               CAST(r.root_forecast AS HUGEINT) * h.hist_leaf
+               // t.hist_total AS BIGINT)
+           ELSE -CAST(
+               CAST(-r.root_forecast AS HUGEINT) * h.hist_leaf
+               // t.hist_total AS BIGINT) END
            - f.leaf_forecast
        END AS gap,
        r.root_forecast - b.bottom_up AS root_minus_bottom_up
