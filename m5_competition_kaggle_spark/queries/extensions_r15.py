@@ -57,10 +57,13 @@ def x176_interarrival_cv2(
     so lag() is deterministic), floored to whole minutes so every
     moment below is int64-exact: var_num = n·Σg² − (Σg)² and
     cv2_ppm = 10⁶·var_num DIV (Σg)² — the dimensionless CV² (var/mean²).
-    Overflow contract: 10⁶·n·Σg² < 2^63; Σg telescopes to the
-    calendar span so Σg² is span-bounded, leaving n ≲ 10⁷ gaps per
-    series per month at minute floor — coarsen the floor or cut to
-    day cells beyond."""
+    The scalar products compute in DECIMAL(38,0) / HUGEINT (r12: the
+    100× events probe measured 10⁶·n·Σg² past int64 at an 8.5-year
+    span, exactly as the previous int64 contract predicted — the
+    moments Σg and Σg² stay int64-exact by the span bound, and the
+    final var_num / cv2_ppm quotients cast back to BIGINT, pushing
+    the envelope from n ≲ 10⁷ monthly gaps to var_num < 2^63, i.e.
+    n·σ ≲ 3·10⁹ gap-minutes)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         "ts_nanos", "event_id"
@@ -85,16 +88,19 @@ def x176_interarrival_cv2(
             "event_type",
             "n_gaps",
             "sum_gap_min",
-            (
-                F.col("n_gaps") * F.col("sum_gap2")
-                - F.col("sum_gap_min") * F.col("sum_gap_min")
+            F.expr(
+                "CAST(CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2"
+                " - CAST(sum_gap_min AS DECIMAL(38,0))"
+                "   * sum_gap_min AS BIGINT)"
             ).alias("var_num"),
             F.expr("sum_gap_min DIV n_gaps").alias("mean_gap_min"),
             F.expr(
-                "CASE WHEN sum_gap_min > 0 THEN"
-                " (1000000 * (n_gaps * sum_gap2"
-                "   - sum_gap_min * sum_gap_min))"
-                " DIV (sum_gap_min * sum_gap_min) END"
+                "CASE WHEN sum_gap_min > 0 THEN CAST("
+                " (1000000 * (CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2"
+                "   - CAST(sum_gap_min AS DECIMAL(38,0))"
+                "     * sum_gap_min))"
+                " DIV (CAST(sum_gap_min AS DECIMAL(38,0))"
+                "      * sum_gap_min) AS BIGINT) END"
             ).alias("cv2_ppm"),
         )
         .orderBy("event_type")
@@ -121,12 +127,15 @@ agg AS (
     FROM gaps GROUP BY event_type
 )
 SELECT event_type, n_gaps, sum_gap_min,
-       n_gaps * sum_gap2 - sum_gap_min * sum_gap_min AS var_num,
+       CAST(CAST(n_gaps AS HUGEINT) * sum_gap2
+            - CAST(sum_gap_min AS HUGEINT) * sum_gap_min
+            AS BIGINT) AS var_num,
        sum_gap_min // n_gaps AS mean_gap_min,
-       CASE WHEN sum_gap_min > 0 THEN
-           (1000000 * (n_gaps * sum_gap2
-             - sum_gap_min * sum_gap_min))
-           // (sum_gap_min * sum_gap_min) END AS cv2_ppm
+       CASE WHEN sum_gap_min > 0 THEN CAST(
+           (1000000 * (CAST(n_gaps AS HUGEINT) * sum_gap2
+             - CAST(sum_gap_min AS HUGEINT) * sum_gap_min))
+           // (CAST(sum_gap_min AS HUGEINT) * sum_gap_min)
+           AS BIGINT) END AS cv2_ppm
 FROM agg ORDER BY event_type
 """
 
