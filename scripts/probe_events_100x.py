@@ -27,18 +27,26 @@ sys.path.insert(
 
 SF_DIR = "/root/testdata/sf0.1"
 X100_DIR = "/tmp/sparkgraft_events_x100"
+# --users variant: replicas also shift user_id, so the corpus grows by
+# ADDING USERS at constant per-user density — the shape a real
+# telemetry corpus grows in. The default (same users, longer
+# timelines) stresses per-user accumulation instead; the pair
+# distinguishes "more history per user" from "more users".
+X100U_DIR = "/tmp/sparkgraft_events_x100_users"
 REPLICAS = 100
 
 
-def build_x100(spark) -> None:
+def build_x100(spark, out_dir: str = X100_DIR,
+               shift_users: bool = False) -> None:
     from pyspark.sql import functions as F
 
-    if os.path.exists(os.path.join(X100_DIR, "_DONE")):
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
         return
-    shutil.rmtree(X100_DIR, ignore_errors=True)
-    os.makedirs(X100_DIR)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
     src = spark.read.parquet(f"{SF_DIR}/events.parquet")
     n = src.count()
+    max_user = src.agg(F.max("user_id")).collect()[0][0] + 1
     # One generated column replaces a 100-way union: cross with a
     # replica index (broadcast side), shift ids past the original
     # range and timestamps 31 days per replica (the original span is
@@ -55,13 +63,17 @@ def build_x100(spark) -> None:
         )
         # no ts_nanos column here: the raw parquet carries only ts, and
         # sources/catalog.load_table derives ts_nanos from it uniformly
-        .drop("__rep")
     )
-    big.repartition(32).write.parquet(f"{X100_DIR}/events.parquet")
+    if shift_users:
+        big = big.withColumn(
+            "user_id", F.col("user_id") + F.col("__rep") * max_user
+        )
+    big = big.drop("__rep")
+    big.repartition(32).write.parquet(f"{out_dir}/events.parquet")
     for t in ("documents", "embeddings", "region", "nation",
               "customer", "supplier", "part", "orders", "lineitem"):
-        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{X100_DIR}/{t}.parquet")
-    open(os.path.join(X100_DIR, "_DONE"), "w").close()
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    open(os.path.join(out_dir, "_DONE"), "w").close()
 
 
 def time_query(spark, fn, sf_dir: str, reps: int = 2) -> float:
@@ -79,9 +91,11 @@ def main() -> int:
     from m5_competition_kaggle_spark.session import get_spark
 
     names = sys.argv[1:]
+    users_mode = "--users" in names
+    names = [n for n in names if n != "--users"]
     if not names:  # a raise, not assert: python -O strips asserts
         raise SystemExit(
-            "usage: probe_events_100x.py <query> [query ...]"
+            "usage: probe_events_100x.py [--users] <query> [query ...]"
         )
     spark = get_spark("probe_events100x")
     qs = entry_mod.queries()
@@ -104,10 +118,11 @@ def main() -> int:
                   **_st19.QUERIES, **_st20.QUERIES}
     for k, v in _staged_qs.items():
         qs.setdefault(k, v)
-    build_x100(spark)
+    big_dir = X100U_DIR if users_mode else X100_DIR
+    build_x100(spark, big_dir, shift_users=users_mode)
     for name in names:
         base = time_query(spark, qs[name], SF_DIR)
-        big = time_query(spark, qs[name], X100_DIR)
+        big = time_query(spark, qs[name], big_dir)
         print(
             f"| {name} | {base:.1f} | {big:.1f} "
             f"| {big / base:.1f}x |",
