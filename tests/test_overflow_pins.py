@@ -1,0 +1,188 @@
+"""Adversarial-magnitude pins for the r12 DECIMAL(38,0) overflow fixes
+(x169 hierarchy allocation, x176 interarrival CV²). The 100× events
+probe caught both queries raising ARITHMETIC_OVERFLOW when their
+int64 scalar products passed 2^63 at year-scale spans; these tests
+reconstruct that magnitude on tiny synthetic corpora and check the
+exact values against Python bigint arithmetic — so an edit that
+silently reverts the widened intermediates fails HERE, not at the
+next 100× probe."""
+
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import (
+    extensions_r13,
+    extensions_r15,
+)
+
+NS_PER_DAY = 86_400_000_000_000
+NANOS_PER_MIN = 60_000_000_000
+
+
+@pytest.fixture(scope="module")
+def big_events_dir(spark):
+    """A tiny events corpus whose aggregates reach the magnitudes
+    that overflowed the old int64 forms:
+
+    - per-type daily sums ~4·10¹² permille units (value ~1e9 × ~4
+      events/day), so over 60 days hist_leaf ~2.5·10¹⁴ and
+      root_forecast·hist_leaf ~ 10²⁷ — far past 2^63 ≈ 9.2·10¹⁸
+      (x169's old product), far inside DECIMAL(38,0).
+    - inter-arrival gaps of ~6 hours → g ≈ 360 minutes per gap with
+      ~240 gaps: small enough to keep moments int64, but the pin for
+      x176 is the VALUE, not the magnitude (its overflow pin below
+      drives n and Σg² up directly instead).
+    """
+    d = tempfile.mkdtemp(prefix="big_events_")
+    rows = []
+    eid = 0
+    for t_idx, et in enumerate(("alpha", "beta")):
+        for day in range(60):
+            for j in range(4):
+                eid += 1
+                ns = (
+                    (20000 + day) * NS_PER_DAY
+                    + (j * 6 + t_idx) * 3_600_000_000_000
+                )
+                rows.append(
+                    (
+                        eid,
+                        ns,
+                        7,
+                        et,
+                        1.0e9 + day * 1.0e6 + j,
+                        "{}",
+                    )
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, __ns long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            (F.col("__ns") / 1000).cast("long")
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _div(a, b):
+    """Spark DIV: truncation toward zero (Python // floors)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _holt(values):
+    l, b = values[0], 0
+    for y in values[1:]:
+        d = y - l - b
+        l = l + b + _div(d, 4)
+        b = b + _div(d, 8)
+    return l + b
+
+
+def test_x169_allocation_exact_past_int64(spark, big_events_dir):
+    out = {
+        r["event_type"]: r
+        for r in extensions_r13.x169_hierarchy_reconcile(
+            spark, big_events_dir
+        ).collect()
+    }
+    assert set(out) == {"alpha", "beta"}
+
+    # Python bigint reference
+    per_type = {}
+    for t_idx, et in enumerate(("alpha", "beta")):
+        days = []
+        for day in range(60):
+            s = 0
+            for j in range(4):
+                v = 1.0e9 + day * 1.0e6 + j
+                s += int(round(v * 1000))
+            days.append(s)
+        per_type[et] = days
+    hist = {et: sum(v) for et, v in per_type.items()}
+    hist_total = sum(hist.values())
+    root_days = [
+        per_type["alpha"][i] + per_type["beta"][i] for i in range(60)
+    ]
+    root_forecast = _holt(root_days)
+    assert root_forecast * hist[
+        "alpha"
+    ] > 2**63, "fixture no longer reaches the old overflow magnitude"
+    for et in ("alpha", "beta"):
+        want_alloc = root_forecast * hist[et] // hist_total
+        r = out[et]
+        assert r["hist_leaf"] == hist[et]
+        assert r["root_forecast"] == root_forecast
+        assert r["alloc_topdown"] == want_alloc
+        assert r["gap"] == want_alloc - _holt(per_type[et])
+
+
+@pytest.fixture(scope="module")
+def gap_events_dir(spark):
+    """Gaps engineered so 10⁶·n·Σg² > 2^63 (the x176 old form):
+    one event type, 3,000 events spaced 8,000 minutes apart →
+    n = 2,999 gaps, Σg² ≈ 1.9·10¹¹, 10⁶·n·Σg² ≈ 5.8·10²⁰."""
+    d = tempfile.mkdtemp(prefix="gap_events_")
+    rows = []
+    for i in range(3000):
+        ns = 10**15 + i * 8000 * NANOS_PER_MIN
+        rows.append((i + 1, ns, 7, "solo", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, __ns long, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            (F.col("__ns") / 1000).cast("long")
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_x176_cv2_exact_past_int64(spark, gap_events_dir):
+    n = 2999
+    g = 8000
+    sum_g = n * g
+    sum_g2 = n * g * g
+    assert 10**6 * n * sum_g2 > 2**63, (
+        "fixture no longer reaches the old overflow magnitude"
+    )
+    var_num = n * sum_g2 - sum_g * sum_g  # = 0 for constant gaps
+    want_cv2 = (10**6 * var_num) // (sum_g * sum_g)
+    out = extensions_r15.x176_interarrival_cv2(
+        spark, gap_events_dir
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_gaps"] == n
+    assert r["sum_gap_min"] == sum_g
+    assert r["var_num"] == var_num == 0
+    assert r["cv2_ppm"] == want_cv2 == 0
