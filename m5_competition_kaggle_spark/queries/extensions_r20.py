@@ -32,9 +32,18 @@ from m5_competition_kaggle_spark.sources.catalog import load_table
 
 NANOS_PER_DAY = 86_400_000_000_000
 
+# scale·num computes in DECIMAL(38,0), not BIGINT (r12: the 100×
+# facts probe caught x196's 10⁶·slope_num past int64 at 60M rows —
+# the aggregates and outputs stay BIGINT-exact, only the transient
+# scaled product widens; quotient casts back to BIGINT). Truncation
+# toward zero on both branches matches the oracles' HUGEINT // with
+# explicit sign emulation.
 _SIGNED_DIV = (
-    "CASE WHEN {num} >= 0 THEN ({scale} * {num}) DIV {den}"
-    " ELSE -(({scale} * (-({num}))) DIV {den}) END"
+    "CASE WHEN {num} >= 0 THEN"
+    " CAST(({scale} * CAST({num} AS DECIMAL(38,0))) DIV {den}"
+    " AS BIGINT)"
+    " ELSE -CAST(({scale} * CAST(-({num}) AS DECIMAL(38,0)))"
+    " DIV {den} AS BIGINT) END"
 )
 
 # --------------------------------------------------------------- x195
@@ -150,8 +159,10 @@ base AS (
 SELECT c.event_type, c.k, c.n_pairs, c.cov_num,
        CASE WHEN b.cov0 > 0 THEN
            CASE WHEN c.cov_num >= 0 THEN
-               (1000 * c.cov_num) // b.cov0
-           ELSE -((1000 * (-(c.cov_num))) // b.cov0)
+               CAST((1000 * CAST(c.cov_num AS HUGEINT)) // b.cov0
+                    AS BIGINT)
+           ELSE -CAST((1000 * CAST(-(c.cov_num) AS HUGEINT))
+                    // b.cov0 AS BIGINT)
            END END AS ratio_permille
 FROM cov c JOIN base b ON b.event_type = c.event_type
 ORDER BY c.event_type, c.k
@@ -236,10 +247,11 @@ SELECT p_brand, n, sx, sy,
        n * sxx - sx * sx AS slope_den,
        CASE WHEN (n * sxx - sx * sx) > 0 THEN
            CASE WHEN (n * sxy - sx * sy) >= 0 THEN
-               (1000000 * (n * sxy - sx * sy))
-                   // (n * sxx - sx * sx)
-           ELSE -((1000000 * (-(n * sxy - sx * sy)))
-                   // (n * sxx - sx * sx))
+               CAST((1000000 * CAST(n * sxy - sx * sy AS HUGEINT))
+                   // (n * sxx - sx * sx) AS BIGINT)
+           ELSE -CAST((1000000 * CAST(-(n * sxy - sx * sy)
+                        AS HUGEINT))
+                   // (n * sxx - sx * sx) AS BIGINT)
            END END AS slope_ppm
 FROM agg ORDER BY p_brand
 """
@@ -341,10 +353,12 @@ agg AS (
 SELECT event_type, n_wd, n_we, sum_wd, sum_we, ss_wd, ss_we,
        CASE WHEN n_wd > 0 AND n_we > 0 THEN
            CASE WHEN (sum_we * n_wd - sum_wd * n_we) >= 0 THEN
-               (1000 * (sum_we * n_wd - sum_wd * n_we))
-                   // (n_wd * n_we)
-           ELSE -((1000 * (-(sum_we * n_wd - sum_wd * n_we)))
-                   // (n_wd * n_we))
+               CAST((1000 * CAST(sum_we * n_wd - sum_wd * n_we
+                        AS HUGEINT))
+                   // (n_wd * n_we) AS BIGINT)
+           ELSE -CAST((1000 * CAST(-(sum_we * n_wd - sum_wd * n_we)
+                        AS HUGEINT))
+                   // (n_wd * n_we) AS BIGINT)
            END END AS meandiff_pm
 FROM agg ORDER BY event_type
 """
