@@ -1,7 +1,8 @@
-"""Adversarial-magnitude pins for the r12 DECIMAL(38,0) overflow fixes
-(x169 hierarchy allocation, x176 interarrival CV²). The 100× events
-probe caught both queries raising ARITHMETIC_OVERFLOW when their
-int64 scalar products passed 2^63 at year-scale spans; these tests
+"""Adversarial-magnitude pins for the r12 DECIMAL(38,0) overflow
+fixes (x169 hierarchy allocation, x176 interarrival CV², x196
+discount-lift ppm via the shared _SIGNED_DIV macro). The 100× probes
+caught all three raising ARITHMETIC_OVERFLOW when their int64 scalar
+products passed 2^63 at year-scale spans / 60M-row facts; these tests
 reconstruct that magnitude on tiny synthetic corpora and check the
 exact values against Python bigint arithmetic — so an edit that
 silently reverts the widened intermediates fails HERE, not at the
@@ -186,3 +187,60 @@ def test_x176_cv2_exact_past_int64(spark, gap_events_dir):
     assert r["sum_gap_min"] == sum_g
     assert r["var_num"] == var_num == 0
     assert r["cv2_ppm"] == want_cv2 == 0
+
+
+@pytest.fixture(scope="module")
+def fat_brand_dir(spark):
+    """lineitem/part corpus where one brand's n·Σxy products pass the
+    old int64 scaled form: 300k rows on one part, x = 100 permille,
+    y = 50 ⇒ 10⁶·(n·Σxy − ΣxΣy) magnitude needs a slope — use two
+    x levels so slope_num ≠ 0: half the rows at (x=0, y=10), half at
+    (x=100, y=50). n = 3·10⁵, Σxy = 1.5e5·5000 = 7.5e8,
+    n·Σxy = 2.25e14, ×10⁶ = 2.25e20 > 2^63."""
+    d = tempfile.mkdtemp(prefix="fat_brand_")
+    n_half = 150_000
+    li = spark.range(2 * n_half).selectExpr(
+        "CAST(1 AS BIGINT) AS l_partkey",
+        "CASE WHEN id < 150000 THEN CAST(0.0 AS DOUBLE)"
+        " ELSE CAST(0.1 AS DOUBLE) END AS l_discount",
+        "CASE WHEN id < 150000 THEN CAST(10.0 AS DOUBLE)"
+        " ELSE CAST(50.0 AS DOUBLE) END AS l_quantity",
+    )
+    li.coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    spark.createDataFrame(
+        [(1, "BrandX")], "p_partkey long, p_brand string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "part.parquet")
+    )
+    yield d
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_x196_slope_exact_past_int64(spark, fat_brand_dir):
+    from m5_competition_kaggle_spark.queries import extensions_r20
+
+    n_half = 150_000
+    n = 2 * n_half
+    sx = n_half * 100
+    sy = n_half * 10 + n_half * 50
+    sxy = n_half * 100 * 50
+    sxx = n_half * 100 * 100
+    slope_num = n * sxy - sx * sy
+    slope_den = n * sxx - sx * sx
+    assert 10**6 * slope_num > 2**63, (
+        "fixture no longer reaches the old overflow magnitude"
+    )
+    want_ppm = (10**6 * slope_num) // slope_den
+    out = extensions_r20.x196_discount_lift(
+        spark, fat_brand_dir
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == n and r["sx"] == sx and r["sy"] == sy
+    assert r["slope_num"] == slope_num
+    assert r["slope_den"] == slope_den
+    assert r["slope_ppm"] == want_ppm == 400_000  # 0.4 qty per ‰
