@@ -33,11 +33,18 @@ X100_DIR = "/tmp/sparkgraft_events_x100"
 # timelines) stresses per-user accumulation instead; the pair
 # distinguishes "more history per user" from "more users".
 X100U_DIR = "/tmp/sparkgraft_events_x100_users"
+# --dense variant: NO time shift — 100× events stacked into the SAME
+# ~30-day span (same calendar, 100× traffic: the dimension volume
+# actually grows at fixed span). Day-cell state stays |days|×|keys|;
+# per-cell µ-sums grow 100×, stressing the documented µ-scale
+# contracts the span-grown variant cannot reach.
+X100D_DIR = "/tmp/sparkgraft_events_x100_dense"
 REPLICAS = 100
 
 
 def build_x100(spark, out_dir: str = X100_DIR,
-               shift_users: bool = False) -> None:
+               shift_users: bool = False,
+               shift_time: bool = True) -> None:
     from pyspark.sql import functions as F
 
     if os.path.exists(os.path.join(out_dir, "_DONE")):
@@ -57,13 +64,20 @@ def build_x100(spark, out_dir: str = X100_DIR,
     big = (
         src.crossJoin(F.broadcast(reps))
         .withColumn("event_id", F.col("event_id") + F.col("__rep") * n)
-        .withColumn(
-            "ts",
-            F.expr("ts + make_interval(0, 0, 0, __rep * 31, 0, 0, 0)"),
-        )
         # no ts_nanos column here: the raw parquet carries only ts, and
         # sources/catalog.load_table derives ts_nanos from it uniformly
     )
+    if shift_time:
+        big = big.withColumn(
+            "ts",
+            F.expr("ts + make_interval(0, 0, 0, __rep * 31, 0, 0, 0)"),
+        )
+    else:
+        # dense mode: replicas land in the same span; offset each by
+        # __rep microseconds so (ts, event_id) orderings stay unique
+        big = big.withColumn(
+            "ts", F.expr("ts + make_interval(0,0,0,0,0,0, __rep/1e6)")
+        )
     if shift_users:
         big = big.withColumn(
             "user_id", F.col("user_id") + F.col("__rep") * max_user
@@ -92,7 +106,8 @@ def main() -> int:
 
     names = sys.argv[1:]
     users_mode = "--users" in names
-    names = [n for n in names if n != "--users"]
+    dense_mode = "--dense" in names
+    names = [n for n in names if n not in ("--users", "--dense")]
     if not names:  # a raise, not assert: python -O strips asserts
         raise SystemExit(
             "usage: probe_events_100x.py [--users] <query> [query ...]"
@@ -118,8 +133,10 @@ def main() -> int:
                   **_st19.QUERIES, **_st20.QUERIES}
     for k, v in _staged_qs.items():
         qs.setdefault(k, v)
-    big_dir = X100U_DIR if users_mode else X100_DIR
-    build_x100(spark, big_dir, shift_users=users_mode)
+    big_dir = (X100D_DIR if dense_mode
+               else X100U_DIR if users_mode else X100_DIR)
+    build_x100(spark, big_dir, shift_users=users_mode,
+               shift_time=not dense_mode)
     for name in names:
         base = time_query(spark, qs[name], SF_DIR)
         big = time_query(spark, qs[name], big_dir)
