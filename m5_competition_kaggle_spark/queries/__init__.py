@@ -34,6 +34,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r10,
     extensions_r11,
     extensions_r12,
+    extensions_r13,
     llm_curation,
     streaming_shaped,
 )
@@ -50,7 +51,7 @@ _MODULES = (
     extensions_r7, extensions_r7b, extensions_r7c, extensions_r8,
     extensions_r8b, extensions_r8c, extensions_r8d,
     extensions_r8e, extensions_r8f, extensions_r9, extensions_r9b,
-    extensions_r10, extensions_r11, extensions_r12,
+    extensions_r10, extensions_r11, extensions_r12, extensions_r13,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -220,17 +221,45 @@ _MODULES = (
 # (r04). q12–q23/x33/x44–x46 (r05 singles) queue for r13.
 # 22 stales + 7 new + 21 picks = 50 exactly. Nothing else may stale
 # mid-round.
+# Round-13 head composition (VERDICT r12 items 2 + 5): the 6 staged
+# extensions_r13 registrations (x167–x170, s25, s30 — locally
+# certified at sf0.001+sf0.01, 10×-probed, plan-audited,
+# tests/test_r13_queue.py) auto-promote via _promotions.py as
+# never-certified. The 44 deliberate picks are oldest-valid-green-
+# first from the regenerated post-r12-fold ledger: the 21 r04
+# singles (g11/g12, g15–g18, x19–x23, x25, x27, x28, x30–x32,
+# x34–x36, x40), then the oldest 23 r05 singles (q12–q14, q16, q17,
+# q19–q23, x1, x4–x8, x11, x13–x18). 44 picks + 6 new = 50 exactly.
+# Ride-alongs re-certified in-window: x17 and x28 gain bound-assert
+# columns this round (VERDICT item 5 — rows-only → hash), staling
+# only themselves (queries/extensions.py is sectioned as of r13;
+# llm_curation.py since r11), and both already hold pick slots.
+# Leftover singles for r14: the 6 remaining r05 rows (x38, x39,
+# x42, x43, g13, g14), the 11 r08 singles, the 11 r11 singles, and
+# the 29 r12 singles — against r14's 6 staged registrations
+# (x171–x175, s26), leaving 44 slots: exactly enough for the r05/
+# r08/r11 leftovers plus the oldest 16 r12 singles.
 _HEAD = (
     # oldest still-valid greens (r04) — single-green, oldest first
-    "x9_sim_topk", "x10_sim_topk_lsh", "x12_embed_near_dup",
-    "s1_tumbling", "s2_sliding", "s3_session", "s4_running_totals",
-    "s5_ewma", "s6_stream_dedup", "s7_funnel_join",
-    "s8_stream_static_enrich",
-    "g1_pricing_summary", "g2_revenue_by_nation",
-    "g3_top_customers_per_segment", "g4_rollup_revenue",
-    "g5_distinct_agg", "g6_semi_anti_joins", "g7_set_ops",
-    "g8_median_quantiles", "g9_cube_revenue",
-    "g10_range_frame_window",
+    "g11_gap_fill_locf", "g12_correlated_subquery",
+    "g15_rank_distribution", "g16_pivot_multi_agg",
+    "g17_sessionize_gaps", "g18_transition_counts",
+    "x25_pii_redact", "x19_chunk_docs", "x20_decontaminate",
+    "x21_stratified_sample", "x22_repetition_quality",
+    "x23_sim_topk_ivf", "x27_importance_sample",
+    "x28_model_quality", "x30_vocab_topk", "x31_lm_surprisal",
+    "x32_tfidf_keywords", "x34_dup_spans", "x35_temperature_mix",
+    "x36_hashed_tf", "x40_length_buckets",
+    # r05 singles, oldest-built first
+    "q12_regex_concat", "q13_time_features", "q14_date_arith",
+    "q16_keyed_update", "q17_feature_attach", "q19_rolling_multi",
+    "q20_rank_functions", "q21_string_functions",
+    "q22_array_functions", "q23_conditional_functions",
+    "x1_dedup_exact", "x4_dedup_simhash", "x5_text_fingerprint",
+    "x6_text_tokens", "x7_text_quality", "x8_text_langid",
+    "x11_multimodal_meta", "x13_asof_join", "x14_simhash_pairs",
+    "x15_json_props", "x16_curation_pipeline",
+    "x17_approx_sketches", "x18_hash_split",
 )
 
 HEAD_CAP = 50
