@@ -199,6 +199,18 @@ def minhash_lsh_pairs(
 
     The full composition; returns (id_a, id_b, n_common, n_a, n_b, jaccard)
     for verified pairs ≥ threshold.
+
+    .. note:: Calling this function launches a Spark job IMMEDIATELY
+       (eager ``localCheckpoint`` of an intermediate relation) even if
+       the returned DataFrame is never acted on — it is not a lazy
+       plan builder. Checkpointing also truncates lineage: if an
+       executor holding a checkpoint block is lost (e.g. under
+       dynamic allocation / decommissioning), the job FAILS and must
+       be resubmitted rather than recomputing the block from lineage.
+       Deterministic batch retries make this acceptable here; see the
+       inline comment at the checkpoint site for why eager beats both
+       ``persist`` (CacheManager entry leak on long-lived sessions)
+       and lazy checkpoint (accumulator-cleanup race noise).
     """
     # The shingle explode feeds both the signatures and the verify joins —
     # materialize it once instead of re-tokenizing the corpus three times.
@@ -242,7 +254,20 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All-candidate n-gram Jaccard: every pair sharing ≥1 shingle is
     scored exactly. Complete (no LSH misses) but quadratic within shingle
-    buckets — the small-corpus / high-precision path."""
+    buckets — the small-corpus / high-precision path.
+
+    .. note:: Calling this function launches a Spark job IMMEDIATELY
+       (eager ``localCheckpoint`` of an intermediate relation) even if
+       the returned DataFrame is never acted on — it is not a lazy
+       plan builder. Checkpointing also truncates lineage: if an
+       executor holding a checkpoint block is lost (e.g. under
+       dynamic allocation / decommissioning), the job FAILS and must
+       be resubmitted rather than recomputing the block from lineage.
+       Deterministic batch retries make this acceptable here; see the
+       inline comment at the checkpoint site for why eager beats both
+       ``persist`` (CacheManager entry leak on long-lived sessions)
+       and lazy checkpoint (accumulator-cleanup race noise).
+    """
     # One materialized shingle explode feeds both join sides and the
     # sizes — localCheckpoint, not persist (leak rationale: see
     # minhash_lsh_pairs above).
@@ -295,6 +320,18 @@ def containment_pairs(
     equi-join (quadratic only within a shingle bucket — swap in the LSH
     candidate generator for corpora with hot shingles), keyed aggregates
     for sizes and intersections.
+
+    .. note:: Calling this function launches a Spark job IMMEDIATELY
+       (eager ``localCheckpoint`` of an intermediate relation) even if
+       the returned DataFrame is never acted on — it is not a lazy
+       plan builder. Checkpointing also truncates lineage: if an
+       executor holding a checkpoint block is lost (e.g. under
+       dynamic allocation / decommissioning), the job FAILS and must
+       be resubmitted rather than recomputing the block from lineage.
+       Deterministic batch retries make this acceptable here; see the
+       inline comment at the checkpoint site for why eager beats both
+       ``persist`` (CacheManager entry leak on long-lived sessions)
+       and lazy checkpoint (accumulator-cleanup race noise).
     """
     # localCheckpoint, not persist (leak rationale: see minhash_lsh_pairs).
     sh = doc_shingles(

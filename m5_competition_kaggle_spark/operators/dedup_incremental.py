@@ -67,6 +67,18 @@ def incremental_near_dups(
     earlier-in-batch matches) whose verified Jaccard ≥ threshold, or
     NULL; ``match_type`` ∈ ('corpus', 'batch', 'none') names the side
     that smallest match came from.
+
+    .. note:: Calling this function launches a Spark job IMMEDIATELY
+       (eager ``localCheckpoint`` of an intermediate relation) even if
+       the returned DataFrame is never acted on — it is not a lazy
+       plan builder. Checkpointing also truncates lineage: if an
+       executor holding a checkpoint block is lost (e.g. under
+       dynamic allocation / decommissioning), the job FAILS and must
+       be resubmitted rather than recomputing the block from lineage.
+       Deterministic batch retries make this acceptable here; see the
+       inline comment at the checkpoint site for why eager beats both
+       ``persist`` (CacheManager entry leak on long-lived sessions)
+       and lazy checkpoint (accumulator-cleanup race noise).
     """
     # localCheckpoint, not persist (r12 leak rework — rationale in
     # dedup.minhash_lsh_pairs).

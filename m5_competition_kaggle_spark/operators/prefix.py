@@ -54,6 +54,18 @@ def global_running_sum(
     """Global cumulative sum of ``value_col`` in ``order_cols`` order,
     without a single-partition exchange. ``order_cols`` must be a unique
     key (ties would make "the" global order ambiguous).
+
+    .. note:: Calling this function launches a Spark job IMMEDIATELY
+       (eager ``localCheckpoint`` of an intermediate relation) even if
+       the returned DataFrame is never acted on — it is not a lazy
+       plan builder. Checkpointing also truncates lineage: if an
+       executor holding a checkpoint block is lost (e.g. under
+       dynamic allocation / decommissioning), the job FAILS and must
+       be resubmitted rather than recomputing the block from lineage.
+       Deterministic batch retries make this acceptable here; see the
+       inline comment at the checkpoint site for why eager beats both
+       ``persist`` (CacheManager entry leak on long-lived sessions)
+       and lazy checkpoint (accumulator-cleanup race noise).
     """
     ranged = _ranged_local_sums(df, value_col, order_cols)
     # The __pid -> offset mapping is only valid against the EXACT

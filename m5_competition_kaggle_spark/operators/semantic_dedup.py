@@ -93,6 +93,18 @@ def semantic_dedup(
     dot ≥ ``threshold_dot``; ``canonical_id`` is the lowest such id
     (the member this row deduplicates to), or the vector's own id when
     kept. Downstream: ``filter(keep == 1)`` is the deduplicated corpus.
+
+    .. note:: Calling this function launches a Spark job IMMEDIATELY
+       (eager ``localCheckpoint`` of an intermediate relation) even if
+       the returned DataFrame is never acted on — it is not a lazy
+       plan builder. Checkpointing also truncates lineage: if an
+       executor holding a checkpoint block is lost (e.g. under
+       dynamic allocation / decommissioning), the job FAILS and must
+       be resubmitted rather than recomputing the block from lineage.
+       Deterministic batch retries make this acceptable here; see the
+       inline comment at the checkpoint site for why eager beats both
+       ``persist`` (CacheManager entry leak on long-lived sessions)
+       and lazy checkpoint (accumulator-cleanup race noise).
     """
     # Both sides of the intra-cluster join and the final overlay consume
     # the assignment — materialize it so the centroid fan-out + rank runs

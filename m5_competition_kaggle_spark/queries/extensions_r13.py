@@ -41,6 +41,25 @@ from m5_competition_kaggle_spark.sources.catalog import load_table
 
 LOG_Q = 1_000_000  # quantized-log scale for x167
 
+_INT64_MAX = "CAST(9223372036854775807 AS DECIMAL(38,0))"
+# x169's guarded top-down allocation (see the inline comment at the
+# call site for the three breach paths this makes loud). The abs()
+# pre-check over-triggers only when |quotient| equals int64max
+# exactly with a nonzero remainder — one value inside the envelope,
+# documented rather than special-cased.
+_X169_ALLOC = (
+    "CASE WHEN hist_total > 0 THEN "
+    "CASE WHEN abs(CAST(root_forecast AS DECIMAL(38,0)) * hist_leaf)"
+    f" > {_INT64_MAX} * hist_total "
+    "THEN CAST(raise_error("
+    "'x169: alloc_topdown quotient past int64 envelope') AS BIGINT) "
+    "ELSE COALESCE(CAST("
+    "CAST(root_forecast AS DECIMAL(38,0)) * hist_leaf "
+    "DIV hist_total AS BIGINT), CAST(raise_error("
+    "'x169: alloc_topdown past DECIMAL(38,0) envelope') AS BIGINT))"
+    " END END"
+)
+
 # --------------------------------------------------------------- x167
 
 
@@ -328,19 +347,23 @@ def x169_hierarchy_reconcile(
             # an 8.5-year span — the product is exact to 1e38 here
             # and the quotient (≤ root_forecast) is cast back to
             # BIGINT. The DuckDB twin computes the same product in
-            # HUGEINT with explicit truncate-toward-zero emulation
-            # (DuckDB // floors, Spark DIV truncates — s24's pattern).
-            F.expr(
-                "CASE WHEN hist_total > 0 THEN CAST("
-                "CAST(root_forecast AS DECIMAL(38,0)) * hist_leaf "
-                "DIV hist_total AS BIGINT) END"
-            ).alias("alloc_topdown"),
-            F.expr(
-                "CASE WHEN hist_total > 0 THEN CAST("
-                "CAST(root_forecast AS DECIMAL(38,0)) * hist_leaf "
-                "DIV hist_total AS BIGINT) "
-                "- forecast_next END"
-            ).alias("gap"),
+            # HUGEINT with the full signed product trunc-divided
+            # (DuckDB // floors, Spark DIV truncates toward zero on
+            # ANY sign combination — no hist_leaf ≥ 0 precondition).
+            # Loud-envelope guards (r12 ADVICE): three breach paths.
+            # (1) product past DECIMAL(38,0): ANSI raises
+            # NUMERIC_VALUE_OUT_OF_RANGE on its own (this session runs
+            # ANSI); (2) quotient past int64: decimal DIV silently
+            # WRAPS to a long EVEN UNDER ANSI (measured: int64max·10⁶
+            # DIV 1 → −10⁶), so the abs() pre-check raises before the
+            # wrapping DIV can produce a wrong value; (3) under a
+            # non-ANSI deployment the casts NULL silently instead of
+            # raising — the COALESCE turns that NULL into raise_error.
+            # DuckDB's HUGEINT twin raises on its own, so a breach now
+            # fails loudly on BOTH engines instead of diverging as
+            # wrong-value/null-vs-error.
+            F.expr(_X169_ALLOC).alias("alloc_topdown"),
+            F.expr(f"{_X169_ALLOC} - forecast_next").alias("gap"),
             (F.col("root_forecast") - F.col("bottom_up")).alias(
                 "root_minus_bottom_up"
             ),
@@ -416,19 +439,21 @@ bu AS (SELECT CAST(sum(leaf_forecast) AS BIGINT) AS bottom_up
 SELECT f.event_type, f.n_points, f.leaf_forecast, h.hist_leaf,
        r.root_forecast,
        CASE WHEN t.hist_total > 0 THEN
-           CASE WHEN r.root_forecast >= 0 THEN CAST(
+           CASE WHEN CAST(r.root_forecast AS HUGEINT) * h.hist_leaf
+                     >= 0 THEN CAST(
                CAST(r.root_forecast AS HUGEINT) * h.hist_leaf
                // t.hist_total AS BIGINT)
            ELSE -CAST(
-               CAST(-r.root_forecast AS HUGEINT) * h.hist_leaf
+               -(CAST(r.root_forecast AS HUGEINT) * h.hist_leaf)
                // t.hist_total AS BIGINT) END
        END AS alloc_topdown,
        CASE WHEN t.hist_total > 0 THEN
-           CASE WHEN r.root_forecast >= 0 THEN CAST(
+           CASE WHEN CAST(r.root_forecast AS HUGEINT) * h.hist_leaf
+                     >= 0 THEN CAST(
                CAST(r.root_forecast AS HUGEINT) * h.hist_leaf
                // t.hist_total AS BIGINT)
            ELSE -CAST(
-               CAST(-r.root_forecast AS HUGEINT) * h.hist_leaf
+               -(CAST(r.root_forecast AS HUGEINT) * h.hist_leaf)
                // t.hist_total AS BIGINT) END
            - f.leaf_forecast
        END AS gap,

@@ -88,19 +88,47 @@ def x176_interarrival_cv2(
             "event_type",
             "n_gaps",
             "sum_gap_min",
+            # Loud-envelope guards (r12 ADVICE): three breach paths.
+            # (1) product past DECIMAL(38,0): ANSI raises on its own
+            # (this session runs ANSI); (2) quotient past int64:
+            # decimal DIV silently WRAPS to a long EVEN UNDER ANSI
+            # (measured: int64max·10⁶ DIV 1 → −10⁶) — cv2_ppm's abs()
+            # pre-check raises before the wrapping DIV; var_num has no
+            # DIV, its CAST raises under ANSI; (3) under a non-ANSI
+            # deployment the casts NULL silently — COALESCE turns
+            # that NULL into raise_error. The DuckDB twin's HUGEINT
+            # raises on its own, so a breach fails loudly on BOTH
+            # engines instead of diverging as wrong-value/null-vs-
+            # error. Variance is nonnegative, so cv2_ppm's pre-check
+            # needs no abs() on the numerator.
             F.expr(
-                "CAST(CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2"
+                "COALESCE(CAST("
+                "CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2"
                 " - CAST(sum_gap_min AS DECIMAL(38,0))"
-                "   * sum_gap_min AS BIGINT)"
+                "   * sum_gap_min AS BIGINT), CAST(raise_error("
+                "'x176: var_num past DECIMAL(38,0)/int64 envelope')"
+                " AS BIGINT))"
             ).alias("var_num"),
             F.expr("sum_gap_min DIV n_gaps").alias("mean_gap_min"),
             F.expr(
-                "CASE WHEN sum_gap_min > 0 THEN CAST("
+                "CASE WHEN sum_gap_min > 0 THEN "
+                "CASE WHEN 1000000 * (CAST(n_gaps AS DECIMAL(38,0))"
+                "   * sum_gap2 - CAST(sum_gap_min AS DECIMAL(38,0))"
+                "     * sum_gap_min)"
+                " > CAST(9223372036854775807 AS DECIMAL(38,0))"
+                "   * (CAST(sum_gap_min AS DECIMAL(38,0))"
+                "      * sum_gap_min)"
+                " THEN CAST(raise_error("
+                "'x176: cv2_ppm quotient past int64 envelope')"
+                " AS BIGINT)"
+                " ELSE COALESCE(CAST("
                 " (1000000 * (CAST(n_gaps AS DECIMAL(38,0)) * sum_gap2"
                 "   - CAST(sum_gap_min AS DECIMAL(38,0))"
                 "     * sum_gap_min))"
                 " DIV (CAST(sum_gap_min AS DECIMAL(38,0))"
-                "      * sum_gap_min) AS BIGINT) END"
+                "      * sum_gap_min) AS BIGINT), CAST(raise_error("
+                "'x176: cv2_ppm past DECIMAL(38,0)/int64 envelope')"
+                " AS BIGINT)) END END"
             ).alias("cv2_ppm"),
         )
         .orderBy("event_type")

@@ -38,12 +38,34 @@ NANOS_PER_DAY = 86_400_000_000_000
 # scaled product widens; quotient casts back to BIGINT). Truncation
 # toward zero on both branches matches the oracles' HUGEINT // with
 # explicit sign emulation.
+#
+# Loud-envelope guards (r12 ADVICE) — three breach paths: (1) scaled
+# product past DECIMAL(38,0): ANSI raises NUMERIC_VALUE_OUT_OF_RANGE
+# on its own (this session runs ANSI); (2) quotient past int64:
+# decimal DIV silently WRAPS to a long EVEN UNDER ANSI (measured:
+# int64max·10⁶ DIV 1 → −10⁶) — the abs() pre-check raises before the
+# wrapping DIV can emit a wrong value (callers guard {den} > 0);
+# (3) under a non-ANSI deployment the casts NULL silently — COALESCE
+# turns that NULL into raise_error. The oracles' HUGEINT raises on
+# its own, so a breach fails loudly on BOTH engines instead of
+# diverging as wrong-value/null-vs-error. A NULL {num} passes
+# through as NULL (first WHEN); the pre-check over-triggers only at
+# |quotient| exactly int64max with a nonzero remainder.
 _SIGNED_DIV = (
-    "CASE WHEN {num} >= 0 THEN"
-    " CAST(({scale} * CAST({num} AS DECIMAL(38,0))) DIV {den}"
-    " AS BIGINT)"
-    " ELSE -CAST(({scale} * CAST(-({num}) AS DECIMAL(38,0)))"
-    " DIV {den} AS BIGINT) END"
+    "CASE WHEN {num} IS NULL THEN NULL"
+    " WHEN {scale} * CAST(abs({num}) AS DECIMAL(38,0))"
+    " > CAST(9223372036854775807 AS DECIMAL(38,0)) * ({den}) THEN"
+    " CAST(raise_error('{ctx}: scaled quotient past int64"
+    " envelope') AS BIGINT)"
+    " WHEN {num} >= 0 THEN"
+    " COALESCE(CAST(({scale} * CAST({num} AS DECIMAL(38,0)))"
+    " DIV {den} AS BIGINT),"
+    " CAST(raise_error('{ctx}: scaled quotient past"
+    " DECIMAL(38,0)/int64 envelope') AS BIGINT))"
+    " ELSE -COALESCE(CAST(({scale} * CAST(-({num}) AS DECIMAL(38,0)))"
+    " DIV {den} AS BIGINT),"
+    " CAST(raise_error('{ctx}: scaled quotient past"
+    " DECIMAL(38,0)/int64 envelope') AS BIGINT)) END"
 )
 
 # --------------------------------------------------------------- x195
@@ -113,7 +135,8 @@ def x195_residual_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "CASE WHEN cov0 > 0 THEN "
                 + _SIGNED_DIV.format(
-                    num="cov_num", den="cov0", scale="1000"
+                    num="cov_num", den="cov0", scale="1000",
+                    ctx="x195",
                 )
                 + " END"
             ).alias("ratio_permille"),
@@ -218,6 +241,7 @@ def x196_discount_lift(
                     num="(n * sxy - sx * sy)",
                     den="(n * sxx - sx * sx)",
                     scale="1000000",
+                    ctx="x196",
                 )
                 + " END"
             ).alias("slope_ppm"),
@@ -315,6 +339,7 @@ def x197_weekend_shift(
                     num="(sum_we * n_wd - sum_wd * n_we)",
                     den="(n_wd * n_we)",
                     scale="1000",
+                    ctx="x197",
                 )
                 + " END"
             ).alias("meandiff_pm"),

@@ -42,7 +42,10 @@ def build_x100(spark) -> None:
     shutil.rmtree(X100_DIR, ignore_errors=True)
     os.makedirs(X100_DIR)
     src = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    n = src.count()
+    # max(doc_id)+1 stride, not count(): collision-free even if a
+    # regenerated corpus has id gaps (r12 ADVICE; matches
+    # probe_facts_100x.py).
+    n = src.agg(F.max("doc_id")).collect()[0][0] + 1
     # One generated column replaces a 100-way union: cross the corpus
     # with a replica index (broadcast 100-row side), salt text + id.
     reps = spark.range(REPLICAS).select(

@@ -52,7 +52,12 @@ def build_x100(spark, out_dir: str = X100_DIR,
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     src = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    n = src.count()
+    # Per-replica id stride = max(event_id)+1, NOT count(): the count
+    # convention is collision-free only while event_ids are contiguous
+    # 0-based — a regenerated corpus with id gaps would silently
+    # produce duplicate shifted ids (r12 ADVICE; matches
+    # probe_facts_100x.py's max(key)+1 convention).
+    n = src.agg(F.max("event_id")).collect()[0][0] + 1
     max_user = src.agg(F.max("user_id")).collect()[0][0] + 1
     # One generated column replaces a 100-way union: cross with a
     # replica index (broadcast side), shift ids past the original

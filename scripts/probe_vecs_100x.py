@@ -39,7 +39,10 @@ def build_x100(spark) -> None:
     shutil.rmtree(X100_DIR, ignore_errors=True)
     os.makedirs(X100_DIR)
     src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    n = src.count()
+    # max(vec_id)+1 stride, not count(): collision-free even if a
+    # regenerated corpus has id gaps (r12 ADVICE; matches
+    # probe_facts_100x.py).
+    n = src.agg(F.max("vec_id")).collect()[0][0] + 1
     reps = spark.range(REPLICAS).select(
         F.col("id").cast("long").alias("__rep")
     )

@@ -244,3 +244,90 @@ def test_x196_slope_exact_past_int64(spark, fat_brand_dir):
     assert r["slope_num"] == slope_num
     assert r["slope_den"] == slope_den
     assert r["slope_ppm"] == want_ppm == 400_000  # 0.4 qty per ‰
+
+
+# ------------------------------------------------- loud-guard pins
+# r13 (ADVICE r12): past the DECIMAL(38,0) envelope Spark's non-ANSI
+# decimal arithmetic/cast yields NULL silently while the DuckDB twins
+# raise — the guards turn the silent NULL into raise_error so both
+# engines fail loudly. These pins drive each guard's raise branch
+# directly at the breaching magnitude, and the no-raise branch one
+# order below it.
+
+
+def test_signed_div_raises_past_envelope(spark):
+    from m5_competition_kaggle_spark.queries.extensions_r20 import (
+        _SIGNED_DIV,
+    )
+
+    df = spark.createDataFrame(
+        [(9_223_372_036_854_775_807,)], "num long"
+    )
+    # quotient = 1e6 · int64max ≈ 9.2e24 > int64 → guard must raise
+    breach = _SIGNED_DIV.format(
+        num="num", den="1", scale="1000000", ctx="pin"
+    )
+    with pytest.raises(Exception, match="envelope"):
+        df.selectExpr(f"{breach} AS q").collect()
+    # negative branch breaches identically
+    with pytest.raises(Exception, match="envelope"):
+        df.selectExpr("-num AS num").selectExpr(
+            f"{breach} AS q"
+        ).collect()
+
+
+def test_signed_div_exact_inside_envelope(spark):
+    from m5_competition_kaggle_spark.queries.extensions_r20 import (
+        _SIGNED_DIV,
+    )
+
+    df = spark.createDataFrame(
+        [(7_000_000_000_000,), (-7_000_000_000_000,), (None,)],
+        "num long",
+    )
+    expr = _SIGNED_DIV.format(
+        num="num", den="3", scale="1000000", ctx="pin"
+    )
+    got = sorted(
+        (r["q"] for r in df.selectExpr(f"{expr} AS q").collect()),
+        key=lambda v: (v is None, v),
+    )
+    want = sorted(
+        (
+            7_000_000_000_000 * 1_000_000 // 3,
+            -(7_000_000_000_000 * 1_000_000 // 3),
+            None,
+        ),
+        key=lambda v: (v is None, v),
+    )
+    assert got == want
+
+
+def test_x169_guard_raises_past_quotient_envelope(spark):
+    """The alloc_topdown guard: product inside DECIMAL(38,0) but the
+    quotient past int64 — the path where decimal DIV silently WRAPS
+    to a long even under ANSI — must now raise via the magnitude
+    pre-check instead of emitting a wrapped wrong value."""
+    from m5_competition_kaggle_spark.queries.extensions_r13 import (
+        _X169_ALLOC,
+    )
+
+    df = spark.createDataFrame(
+        [(9_000_000_000_000_000_000, 9_000_000_000_000_000_000, 1)],
+        "root_forecast long, hist_leaf long, hist_total long",
+    )
+    with pytest.raises(Exception, match="envelope"):
+        df.selectExpr(f"{_X169_ALLOC} AS alloc").collect()
+    # negative product breaches the same pre-check via abs()
+    with pytest.raises(Exception, match="envelope"):
+        df.selectExpr(
+            "-root_forecast AS root_forecast",
+            "hist_leaf",
+            "hist_total",
+        ).selectExpr(f"{_X169_ALLOC} AS alloc").collect()
+    # inside the envelope: exact, no raise
+    ok = spark.createDataFrame(
+        [(9_000_000_000_000_000_000, 5, 9)],
+        "root_forecast long, hist_leaf long, hist_total long",
+    ).selectExpr(f"{_X169_ALLOC} AS alloc").collect()
+    assert ok[0]["alloc"] == 9_000_000_000_000_000_000 * 5 // 9
