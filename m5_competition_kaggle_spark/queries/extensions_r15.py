@@ -64,18 +64,55 @@ def x176_interarrival_cv2(
     final var_num / cv2_ppm quotients cast back to BIGINT, pushing
     the envelope from n ≲ 10⁷ monthly gaps to var_num < 2^63, i.e.
     n·σ ≲ 3·10⁹ gap-minutes)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_nanos",
+        "event_id",
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("__day"),
+    )
+    # Day-cell decomposition (r13, closing the r12 probe's 18.2×
+    # hot-key residual): the single per-key ordered walk — whose
+    # parallelism is capped at |event_type| and whose partitions grow
+    # with the full stream — splits EXACTLY into (a) intra-day gaps
+    # under a (key, day)-partitioned window (partition count grows
+    # with the calendar → parallelism scales with span) and (b) one
+    # cross-day boundary gap per consecutive pair of NONEMPTY days,
+    # from a lag over the per-(key, day) first/last timestamps — a
+    # |keys|×|days| calendar-bounded cell table (the s30/x193 class).
+    # The gap multiset is identical by construction (every consecutive
+    # pair is either same-day or spans a day boundary; empty days
+    # collapse into the boundary lag), so the certified output is
+    # bit-identical to the single-walk form — s30's pattern of fixing
+    # the scale path with certified code rather than a disclosure.
+    w_day = Window.partitionBy("event_type", "__day").orderBy(
         "ts_nanos", "event_id"
     )
-    gaps = ev.select(
+    # long - long stays long: no double round-trip, so the gap is
+    # exact past 2^53 ns where a float detour would quietly round
+    intra = ev.select(
         "event_type",
-        # long - long stays long: no double round-trip, so the gap is
-        # exact past 2^53 ns where a float detour would quietly round
-        (F.col("ts_nanos") - F.lag("ts_nanos").over(w)).alias("__d"),
-    ).filter(F.col("__d").isNotNull()).select(
+        (F.col("ts_nanos") - F.lag("ts_nanos").over(w_day)).alias(
+            "__d"
+        ),
+    )
+    cells = ev.groupBy("event_type", "__day").agg(
+        F.min("ts_nanos").alias("__first_ts"),
+        F.max("ts_nanos").alias("__last_ts"),
+    )
+    w_cells = Window.partitionBy("event_type").orderBy("__day")
+    cross = cells.select(
         "event_type",
-        F.expr(f"__d DIV {NANOS_PER_MIN}").alias("g"),
+        (
+            F.col("__first_ts") - F.lag("__last_ts").over(w_cells)
+        ).alias("__d"),
+    )
+    gaps = (
+        intra.unionByName(cross)
+        .filter(F.col("__d").isNotNull())
+        .select(
+            "event_type",
+            F.expr(f"__d DIV {NANOS_PER_MIN}").alias("g"),
+        )
     )
     return (
         gaps.groupBy("event_type")

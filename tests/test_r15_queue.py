@@ -368,3 +368,72 @@ def test_stream_gini_equals_batch_trajectory(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_interarrival_day_cell_decomposition_equivalence(spark):
+    """r13 scale rework: the (key, day)-windowed intra-day gaps plus
+    the day-cell boundary lag must reproduce the single ordered
+    walk's gap multiset EXACTLY — pinned on a planted series with
+    multi-day empty stretches, a midnight-straddling pair, same-
+    nanosecond ties, and a day with a single event (no intra gaps,
+    two boundary gaps). Reference: brute-force python over the
+    sorted timeline."""
+    import itertools
+    import os
+    import shutil
+    import tempfile
+
+    NS_DAY = 86_400_000_000_000
+    NS_MIN = 60_000_000_000
+    base = 19_000 * NS_DAY
+    tss = [
+        base + 1,
+        base + 1,                      # same-nanosecond tie
+        base + 5 * NS_MIN,
+        base + NS_DAY - 1,             # last event of day 0
+        base + NS_DAY + 1,             # first event of day 1 (straddle)
+        base + 3 * NS_DAY + 7,         # two empty days, then a
+                                       # single-event day
+        base + 6 * NS_DAY + 11,        # another empty stretch
+        base + 6 * NS_DAY + 90 * NS_MIN,
+    ]
+    rows = [
+        (i, ts, 1, "k", 1.0, "{}") for i, ts in enumerate(tss)
+    ]
+    d = tempfile.mkdtemp(prefix="x176_decomp_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, __ns long, user_id long,"
+            " event_type string, value double, props string",
+        ).select(
+            "event_id",
+            # integer DIV, not /: float division rounds 1641686399999999.999
+            # micros UP, silently moving the event across the midnight
+            # boundary this test plants
+            F.timestamp_micros(F.expr("__ns DIV 1000")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = extensions_r15.x176_interarrival_cv2(spark, d).collect()
+        assert len(out) == 1
+        # brute force on the micro-truncated timestamps the parquet
+        # actually stores (timestamp_micros floors the nanos)
+        micros = sorted(ns // 1000 for ns in tss)
+        gaps = [
+            ((b - a) * 1000) // NS_MIN
+            for a, b in itertools.pairwise(micros)
+        ]
+        n, sg = len(gaps), sum(gaps)
+        sg2 = sum(g * g for g in gaps)
+        r = out[0]
+        assert r["n_gaps"] == n
+        assert r["sum_gap_min"] == sg
+        assert r["var_num"] == n * sg2 - sg * sg
+        assert r["mean_gap_min"] == sg // n
+        assert r["cv2_ppm"] == (
+            1_000_000 * (n * sg2 - sg * sg)
+        ) // (sg * sg)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
