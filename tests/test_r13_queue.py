@@ -259,6 +259,7 @@ def test_trend_monitor_state_survives_restart(spark):
         store_day_cells,
         streaming_day_cells_update_mode,
         theil_sen_from_cells,
+        theil_sen_from_cells_windowed,
     )
     from m5_competition_kaggle_spark.streaming.update_mode import (
         ClosingDayStore,
@@ -276,6 +277,13 @@ def test_trend_monitor_state_survives_restart(spark):
         ),
         "mase": sorted(
             tuple(r) for r in mase_from_cells(cells).collect()
+        ),
+        # s30's bounded-pair assembly recovers from the same cells
+        "tsw": sorted(
+            tuple(r)
+            for r in theil_sen_from_cells_windowed(
+                cells, trailing_days=28
+            ).collect()
         ),
     }
     src = tempfile.mkdtemp(prefix="trendrec_src_")
@@ -324,6 +332,12 @@ def test_trend_monitor_state_survives_restart(spark):
         assert sorted(
             tuple(r) for r in mase_from_cells(lifted).collect()
         ) == exp["mase"]
+        assert sorted(
+            tuple(r)
+            for r in theil_sen_from_cells_windowed(
+                lifted, trailing_days=28
+            ).collect()
+        ) == exp["tsw"]
         assert store.rejected == 0
     finally:
         shutil.rmtree(src, ignore_errors=True)

@@ -124,3 +124,63 @@ def test_update_mode_stream_matches_batch_table(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_update_mode_survives_restart_with_persistent_store(spark):
+    """Kill-and-resume over the SAME checkpoint dir and store (the
+    s17–s21 recovery standard, r12 VERDICT item 6): stop after the
+    first file, restart, and the second run must only add the
+    remaining deltas — recovered day-bin state integrates the old, no
+    reset-to-zero, no double-processing (store.apply_batch dedups by
+    (run_key, batch_id), so a replayed trigger is idempotent)."""
+    ev = load_table(spark, SF, "events")
+    expected = sorted(
+        _key(r)
+        for r in ece_day_table(
+            day_bin_stats(ev, score_expr=SCORE, bin_width=10)
+        ).collect()
+    )
+    src = tempfile.mkdtemp(prefix="ecemon2_src_")
+    ckpt = tempfile.mkdtemp(prefix="ecemon2_ckpt_")
+    lo = ev.agg(F.min("ts_nanos")).collect()[0][0]
+    # split mid-day so the restarted run must MERGE recovered per-day
+    # state with new rows for the same day, not just append fresh days
+    mid = lo + 15 * NS_PER_DAY + NS_PER_DAY // 2
+    store = ClosingDayStore(allowed_lateness_days=2)
+    try:
+        _stage(ev.filter(F.col("ts_nanos") < mid), src, "a")
+        q = streaming_day_ece_update_mode(
+            spark, src, store, ckpt,
+            score_expr=SCORE, bin_width=10, maxFilesPerTrigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        partial = sorted(
+            _key(r)
+            for r in ece_day_table(
+                store_day_bin_stats(spark, store)
+            ).collect()
+        )
+        assert partial and partial != expected
+        _stage(ev.filter(F.col("ts_nanos") >= mid), src, "b")
+        q = streaming_day_ece_update_mode(
+            spark, src, store, ckpt,
+            score_expr=SCORE, bin_width=10, maxFilesPerTrigger=1,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            _key(r)
+            for r in ece_day_table(
+                store_day_bin_stats(spark, store)
+            ).collect()
+        )
+        assert got == expected
+        assert store.rejected == 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
