@@ -247,7 +247,9 @@ _MODULES = (
 # Leftover singles for r14: x17 (rows-only re-bank), the 6
 # remaining r05 rows (x38, x39, x42, x43, g13, g14), the 11 r08
 # singles, the 11 r11 singles, and the 29 r12 singles — against
-# r14's 6 staged registrations (x171–x175, s26), leaving 44 slots.
+# r14's 8 staged registrations (x171–x175, s26, plus the r13-added
+# x198 truncation-recall and x199 dedup-config-stability audits),
+# leaving 42 slots.
 _HEAD = (
     # oldest still-valid greens (r04) — single-green, oldest first
     "g11_gap_fill_locf", "g12_correlated_subquery",

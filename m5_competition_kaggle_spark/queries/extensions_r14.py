@@ -35,6 +35,15 @@ differential as ``scripts/check_oracle.py``.
   EXISTING calendar-bounded cells — one streaming kernel, two drift
   readouts (the s18 twin relationship, and the trend-monitor
   multi-assembly pattern applied to the distribution monitor).
+- x198 dimension-truncation recall (added r13): exact top-10 recall
+  of 32-dim-truncated embeddings against the full 64-dim ranking —
+  the Matryoshka-style dimension-cut safety audit, both rankings
+  through the certified block-matmul kernel.
+- x199 dedup-config stability (added r13): exact Rand index between
+  the 0.8- and 0.7-threshold MinHash clusterings from ONE LSH+verify
+  pass — the config-risk readout before re-deduplicating a corpus
+  under a new threshold; nested thresholds pin
+  pairs_both == pairs_a as an invariant.
 """
 
 from __future__ import annotations
@@ -599,6 +608,307 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------- x198
+
+
+def x198_dim_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dimension-truncation recall audit (added r13): exact top-10 by
+    quantized dot under the FULL 64-dim embeddings vs under the first
+    32 dims only — per-query overlap count and recall permille, plus
+    the corpus totals repeated on every row. The measurement that
+    decides whether a Matryoshka-style dimension cut (half the ANN
+    memory/compute) is safe for this corpus, certified exactly: both
+    rankings run through the certified block-matmul kernel
+    (``brute_force_topk`` — distributed int64 matmul, no driver
+    collect) and the overlap is a keyed semi-join count.
+
+    Scale: two O(|Q|·|N|) exact passes through the block grid (the
+    audit-scale baseline, x9's class — on a real corpus the same
+    recall is computed on a query SAMPLE, which is what vec_id % 50
+    selects); the overlap join carries Q·k rows. Tie semantics: rank
+    boundaries break (dot DESC, neighbor_id ASC) in both engines, so
+    the top-10 SETS are deterministic and the overlap certifies."""
+    from m5_competition_kaggle_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    half = emb.withColumn("embedding", F.expr("slice(embedding, 1, 32)"))
+    half_q = queries.withColumn(
+        "embedding", F.expr("slice(embedding, 1, 32)")
+    )
+    full_top = brute_force_topk(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_top = brute_force_topk(half, half_q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    matched = (
+        full_top.join(
+            trunc_top, ["query_id", "neighbor_id"], "left_semi"
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    )
+    per_q = (
+        full_top.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("k_full"))
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.expr(
+                "coalesce(n_matched, 0) * 1000 DIV k_full"
+            ).alias("recall_permille"),
+        )
+    )
+    tot = F.broadcast(
+        per_q.agg(
+            F.sum("n_matched").cast("long").alias("corpus_matched"),
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+        )
+    )
+    return (
+        per_q.crossJoin(tot)
+        .select(
+            "query_id",
+            "n_matched",
+            "recall_permille",
+            "corpus_matched",
+            "n_queries",
+        )
+        .orderBy("query_id")
+    )
+
+
+_X198_SCORED = """
+scored_{tag} AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(
+             generate_series(1, {dim}),
+             i -> CAST(round(CAST(q.qe[i] AS DOUBLE) * 1000) AS BIGINT)
+                * CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000)
+                       AS BIGINT))) AS BIGINT) AS dot
+  FROM embeddings e, qset q
+  WHERE e.vec_id <> q.query_id),
+top_{tag} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot DESC, neighbor_id) AS r
+    FROM scored_{tag})
+  WHERE r <= 10)
+"""
+
+ORACLE_X198 = f"""
+WITH qset AS (SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id % 50 = 0),
+{_X198_SCORED.format(tag="full", dim="len(e.embedding)")},
+{_X198_SCORED.format(tag="half", dim="32")},
+matched AS (
+  SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_matched
+  FROM top_full f
+  JOIN top_half h ON h.query_id = f.query_id
+                 AND h.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id),
+per_q AS (
+  SELECT t.query_id,
+         CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+         coalesce(m.n_matched, 0) * 1000
+             // CAST(count(*) AS BIGINT) AS recall_permille
+  FROM top_full t LEFT JOIN matched m ON m.query_id = t.query_id
+  GROUP BY t.query_id, m.n_matched),
+tot AS (SELECT CAST(sum(n_matched) AS BIGINT) AS corpus_matched,
+               CAST(count(*) AS BIGINT) AS n_queries
+        FROM per_q)
+SELECT p.query_id, p.n_matched, p.recall_permille,
+       t.corpus_matched, t.n_queries
+FROM per_q p CROSS JOIN tot t
+ORDER BY p.query_id
+"""
+
+# --------------------------------------------------------------- x199
+
+
+def x199_dedup_config_stability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup-config stability (added r13): the exact Rand index
+    between the cluster assignments two MinHash thresholds produce
+    (0.8 — the x2/x24 production config — vs the looser 0.7), with
+    every pair-counting component exhibited as an exact integer. ONE
+    LSH+verify pass supplies both edge sets (the candidate pairs do
+    not depend on the threshold — only the exact-jaccard filter
+    does), singletons keep their own id as cluster id on both sides,
+    and the contingency pair counts give Rand =
+    (agree_same + agree_diff) / C(n,2) in closed form. One number
+    that says whether a threshold change re-shuffles dedup families
+    or only trims edge cases — the config-risk readout to run BEFORE
+    re-deduplicating a 100 TB corpus under a new threshold.
+
+    Output (one row): n_docs, same-pair counts within A, within B,
+    and within both, total pairs, and rand_ppm. Integer contract:
+    n·(n−1) < 2^63 (n ≤ 3.0·10⁹ docs); the ppm quotient computes in
+    DECIMAL(38,0) with the loud-envelope guard (decimal DIV wraps
+    silently past int64 — the r13 pin class), and the DuckDB twin is
+    HUGEINT throughout.
+
+    Scale: the LSH pass is the certified x2 path (band-bucketed,
+    never all-pairs); both CC runs are the certified 1-shuffle/round
+    kernel; contingency is a keyed (ca, cb) aggregate whose
+    cardinality is bounded by the cluster count; the final 1-row
+    merges are the allowed constant-size reductions."""
+    from m5_competition_kaggle_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from m5_competition_kaggle_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # one LSH+verify pass at the LOOSER threshold; the tighter config
+    # is a filter on the exact jaccard already computed per pair.
+    # localCheckpoint: both CC runs (and their iterations) re-read the
+    # verified pair set; pairs are LSH-bounded, far smaller than the
+    # corpus. Eager, matching the dedup-family convention (see
+    # minhash_lsh_pairs' docstring note on the tradeoff).
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.7,
+    ).select("id_a", "id_b", "jaccard").localCheckpoint(eager=True)
+    ca = dedup_clusters(
+        pairs.filter(F.col("jaccard") >= 0.8).select("id_a", "id_b")
+    ).select("doc_id", F.col("cluster_id").alias("ca"))
+    cb = dedup_clusters(pairs.select("id_a", "id_b")).select(
+        "doc_id", F.col("cluster_id").alias("cb")
+    )
+    assign = (
+        docs.select("doc_id")
+        .join(ca, "doc_id", "left")
+        .join(cb, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("ca"), F.col("doc_id")).alias("ca"),
+            F.coalesce(F.col("cb"), F.col("doc_id")).alias("cb"),
+        )
+    )
+    cont = assign.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    both = cont.agg(
+        F.sum(F.expr("nij * (nij - 1) DIV 2"))
+        .cast("long")
+        .alias("pairs_both"),
+        F.sum("nij").cast("long").alias("n_docs"),
+    )
+    pa = (
+        cont.groupBy("ca")
+        .agg(F.sum("nij").alias("na"))
+        .agg(
+            F.sum(F.expr("na * (na - 1) DIV 2"))
+            .cast("long")
+            .alias("pairs_a")
+        )
+    )
+    pb = (
+        cont.groupBy("cb")
+        .agg(F.sum("nij").alias("nb"))
+        .agg(
+            F.sum(F.expr("nb * (nb - 1) DIV 2"))
+            .cast("long")
+            .alias("pairs_b")
+        )
+    )
+    return (
+        both.crossJoin(F.broadcast(pa))
+        .crossJoin(F.broadcast(pb))
+        .select(
+            "n_docs",
+            "pairs_a",
+            "pairs_b",
+            "pairs_both",
+            F.expr("n_docs * (n_docs - 1) DIV 2").alias("total_pairs"),
+            F.expr(
+                "CASE WHEN n_docs >= 2 THEN "
+                "CASE WHEN 1000000 * CAST("
+                "  2 * pairs_both + n_docs * (n_docs - 1) DIV 2"
+                "  - pairs_a - pairs_b AS DECIMAL(38,0))"
+                " > CAST(9223372036854775807 AS DECIMAL(38,0))"
+                "   * (n_docs * (n_docs - 1) DIV 2)"
+                " THEN CAST(raise_error("
+                "'x199: rand_ppm past int64 envelope') AS BIGINT)"
+                " ELSE COALESCE(CAST("
+                "  (1000000 * CAST(2 * pairs_both"
+                "   + n_docs * (n_docs - 1) DIV 2"
+                "   - pairs_a - pairs_b AS DECIMAL(38,0)))"
+                "  DIV (n_docs * (n_docs - 1) DIV 2) AS BIGINT),"
+                "  CAST(raise_error("
+                "'x199: rand_ppm past DECIMAL(38,0) envelope')"
+                "  AS BIGINT)) END END"
+            ).alias("rand_ppm"),
+        )
+    )
+
+
+def _x199_oracle() -> str:
+    from m5_competition_kaggle_spark.queries.extensions import (
+        _minhash_verified_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_minhash_verified_ctes(16, 4)},
+pa AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+pb AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.7),
+ea AS (SELECT id_a AS a, id_b AS b FROM pa
+       UNION SELECT id_b, id_a FROM pa),
+reacha(node, reached) AS (
+    SELECT a, a FROM ea
+    UNION
+    SELECT r.node, e.b FROM reacha r JOIN ea e ON e.a = r.reached
+),
+compa AS (SELECT node, min(reached) AS ca FROM reacha GROUP BY node),
+eb AS (SELECT id_a AS a, id_b AS b FROM pb
+       UNION SELECT id_b, id_a FROM pb),
+reachb(node, reached) AS (
+    SELECT a, a FROM eb
+    UNION
+    SELECT r.node, e.b FROM reachb r JOIN eb e ON e.a = r.reached
+),
+compb AS (SELECT node, min(reached) AS cb FROM reachb GROUP BY node),
+assign AS (
+    SELECT coalesce(a.ca, d.doc_id) AS ca,
+           coalesce(b.cb, d.doc_id) AS cb
+    FROM docs d
+    LEFT JOIN compa a ON a.node = d.doc_id
+    LEFT JOIN compb b ON b.node = d.doc_id),
+cont AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS nij
+         FROM assign GROUP BY ca, cb),
+tboth AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT)
+                     AS pairs_both,
+                 CAST(sum(nij) AS BIGINT) AS n_docs
+          FROM cont),
+pairs_a AS (SELECT CAST(sum(na * (na - 1) // 2) AS BIGINT) AS pairs_a
+            FROM (SELECT CAST(sum(nij) AS BIGINT) AS na
+                  FROM cont GROUP BY ca)),
+pairs_b AS (SELECT CAST(sum(nb * (nb - 1) // 2) AS BIGINT) AS pairs_b
+            FROM (SELECT CAST(sum(nij) AS BIGINT) AS nb
+                  FROM cont GROUP BY cb))
+SELECT t.n_docs, a.pairs_a, b.pairs_b, t.pairs_both,
+       t.n_docs * (t.n_docs - 1) // 2 AS total_pairs,
+       CASE WHEN t.n_docs >= 2 THEN CAST(
+           (1000000 * CAST(2 * t.pairs_both
+                + t.n_docs * (t.n_docs - 1) // 2
+                - a.pairs_a - b.pairs_b AS HUGEINT))
+           // (t.n_docs * (t.n_docs - 1) // 2) AS BIGINT)
+       END AS rand_ppm
+FROM tboth t CROSS JOIN pairs_a a CROSS JOIN pairs_b b
+"""
+
+
 QUERIES = {
     "x171_markov_surprisal": x171_markov_surprisal,
     "x172_sales_gini": x172_sales_gini,
@@ -606,6 +916,8 @@ QUERIES = {
     "x174_doc_kl_novelty": x174_doc_kl_novelty,
     "x175_cvm_drift": x175_cvm_drift,
     "s26_stream_cvm": s26_stream_cvm,
+    "x198_dim_truncation_recall": x198_dim_truncation_recall,
+    "x199_dedup_config_stability": x199_dedup_config_stability,
 }
 
 ORACLES = {
@@ -615,4 +927,6 @@ ORACLES = {
     "x174_doc_kl_novelty": ORACLE_X174,
     "x175_cvm_drift": ORACLE_X175,
     "s26_stream_cvm": ORACLE_S26,
+    "x198_dim_truncation_recall": ORACLE_X198,
+    "x199_dedup_config_stability": _x199_oracle(),
 }

@@ -421,3 +421,148 @@ def test_sales_gini_nondegenerate(spark):
         ) // (r["n_members"] * r["total"])
         assert r["gini_ppm"] == g
     assert len({r["gini_ppm"] for r in out}) > 10
+
+
+# ------------------------------------------- x198/x199 pins (r13-added)
+
+
+def _write_embeddings(spark, rows, d):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+
+
+def test_truncation_recall_perfect_when_tail_dims_zero(spark):
+    """Embeddings whose last 32 dims are all zero lose NOTHING under
+    truncation: every query's truncated top-10 equals the full top-10
+    — recall_permille ≡ 1000, corpus_matched == 10·n_queries."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            [rng.uniform(-1, 1) for _ in range(32)] + [0.0] * 32,
+            "a",
+        )
+        for i in range(60)
+    ]
+    d = tempfile.mkdtemp(prefix="x198_zero_tail_")
+    try:
+        _write_embeddings(spark, rows, d)
+        out = extensions_r14.x198_dim_truncation_recall(
+            spark, d
+        ).collect()
+        assert len(out) == 2  # vec_id 0 and 50
+        for r in out:
+            assert r["n_matched"] == 10
+            assert r["recall_permille"] == 1000
+            assert r["corpus_matched"] == 20
+            assert r["n_queries"] == 2
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_truncation_recall_detects_tail_dim_information(spark):
+    """Adversarial corpus: first 32 dims IDENTICAL across vectors,
+    all separation in the tail — the truncated ranking is then pure
+    tie-break noise and the audit must NOT report perfect recall for
+    every query (computed against a numpy brute force, not a guess)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    head = [1.0] * 32
+    rows = [
+        (i, head + [rng.uniform(-1, 1) for _ in range(32)], "a")
+        for i in range(60)
+    ]
+    d = tempfile.mkdtemp(prefix="x198_tail_info_")
+    try:
+        _write_embeddings(spark, rows, d)
+        out = {
+            r["query_id"]: r
+            for r in extensions_r14.x198_dim_truncation_recall(
+                spark, d
+            ).collect()
+        }
+        # numpy reference: quantized dots, (dot desc, id asc) top-10
+        q = np.array(
+            [[round(x * 1000) for x in rows[i][1]] for i in range(60)],
+            dtype=np.int64,
+        )
+        def topk(mat, qi):
+            dots = mat @ mat[qi]
+            order = sorted(
+                (int(n) for n in range(60) if n != qi),
+                key=lambda n: (-dots[n], n),
+            )
+            return set(order[:10])
+        for qi in (0, 50):
+            full = topk(q, qi)
+            half = topk(q[:, :32], qi)
+            expect = len(full & half)
+            assert out[qi]["n_matched"] == expect
+            assert out[qi]["recall_permille"] == expect * 1000 // 10
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_docs(spark, rows, d):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+
+def test_dedup_config_rand_is_one_for_exact_dup_families(spark):
+    """Three families of EXACT duplicates (jaccard 1.0 inside, ~0
+    across): both thresholds produce the identical clustering, so
+    every pair-count component coincides and rand_ppm == 10⁶."""
+    fam = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet colors",
+    ]
+    rows = []
+    for i in range(12):
+        rows.append((i, fam[i % 3], "en", "s"))
+    # plus singletons that match nothing
+    rows += [
+        (100, "completely unrelated text about spark engines", "en", "s"),
+        (101, "another standalone document mentioning duckdb", "en", "s"),
+    ]
+    d = tempfile.mkdtemp(prefix="x199_dups_")
+    try:
+        _write_docs(spark, rows, d)
+        r = extensions_r14.x199_dedup_config_stability(
+            spark, d
+        ).collect()[0]
+        assert r["n_docs"] == 14
+        assert r["total_pairs"] == 14 * 13 // 2
+        # 3 families of 4 -> C(4,2)*3 = 18 same-pairs on both sides
+        assert r["pairs_a"] == r["pairs_b"] == r["pairs_both"] == 18
+        assert r["rand_ppm"] == 1_000_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_config_rand_nested_threshold_invariant(spark):
+    """0.8-pairs ⊆ 0.7-pairs ⇒ the tight clustering REFINES the loose
+    one, so every same-pair under A is a same-pair under B:
+    pairs_both == pairs_a exactly, and rand_ppm reduces to
+    10⁶·(total − (pairs_b − pairs_a)) DIV total — checked on the real
+    corpus at sf0.001."""
+    r = extensions_r14.x199_dedup_config_stability(
+        spark, SF
+    ).collect()[0]
+    assert r["pairs_both"] == r["pairs_a"]
+    assert r["pairs_a"] <= r["pairs_b"]
+    total = r["total_pairs"]
+    assert r["rand_ppm"] == (
+        1_000_000 * (total - (r["pairs_b"] - r["pairs_a"]))
+    ) // total
