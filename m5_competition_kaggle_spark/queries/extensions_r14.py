@@ -44,6 +44,12 @@ differential as ``scripts/check_oracle.py``.
   pass — the config-risk readout before re-deduplicating a corpus
   under a new threshold; nested thresholds pin
   pairs_both == pairs_a as an invariant.
+- x67b cell-aligned interval profile (added r13 second session): the
+  scale-path twin for x67's honestly quadratic pair join — incident
+  windows snapped to 1-minute cells so the profile reduces over
+  per-cell pre-aggregates; work linear in incidents,
+  density-independent after the map-side combine (the s30/x176
+  decomposition pattern applied to the interval-join family).
 """
 
 from __future__ import annotations
@@ -909,6 +915,127 @@ FROM tboth t CROSS JOIN pairs_a a CROSS JOIN pairs_b b
 """
 
 
+# --------------------------------------------------------------- x67b
+
+# 1-minute cells; a cell-aligned incident window spans 30 of them.
+CELL_NS = 60 * 1_000_000_000
+WINDOW_CELLS = 30
+
+
+def x67b_interval_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-aligned scale-path twin of x67_interval_join — the same
+    incident-window profile (events / distinct users / first / last
+    timestamp per error-event window) computed WITHOUT materializing
+    (point, interval) pairs.
+
+    x67 is the engine's one honestly quadratic workload: at 100x event
+    density both the window count and the events-per-window grow 100x,
+    so pair-join WORK grows 10,000x (BASELINE.md measured 108.9x wall
+    at 100x density). The fix is the same move s30 made for s24's
+    span-quadratic Theil-Sen and x176's day-cell decomposition: change
+    the window contract from event-anchored [t, t+30min) to
+    CELL-ALIGNED — the 30 one-minute cells starting at the error
+    event's cell — so every window is a union of whole cells and the
+    profile reduces over per-cell pre-aggregates:
+
+    - ``cells``: one hash-aggregate row per 1-minute cell
+      (count / min / max of epoch-nanos) — map-side combine absorbs
+      density BEFORE any join;
+    - ``cell_users``: DISTINCT (cell, user_id) — bounded by
+      |cells| x |users| no matter how many raw events land in a cell;
+    - each incident explodes to exactly ``WINDOW_CELLS`` = 30 cell
+      keys (constant fan-out, vs x67's per-event fan-out), equi-joins
+      the two pre-aggregates on the keyed shuffle, and re-aggregates.
+
+    Work per incident is 30 cell rows + 30 x (distinct users per
+    cell, saturating at |users|): total work grows LINEARLY in
+    incident count and is density-independent after the pre-aggregate
+    — the 10,000x pair blowup becomes ~100x. All-integer epoch-nanos
+    arithmetic (cell id via integer DIV — epoch-nanos exceed double's
+    2^52 exact range, so float-division cells could misplace boundary
+    events); bit-exact against the DuckDB oracle.
+
+    Reference parity: reference pipeline.py builds only equi-keyed
+    merges; the interval class and its scale path are engine
+    extensions (SURVEY §2 extension families).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.col("ts_nanos").alias("tsn"),
+        F.expr(f"ts_nanos DIV {CELL_NS}").alias("cell"),
+    )
+    cells = pts.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.min("tsn").alias("cmn"),
+        F.max("tsn").alias("cmx"),
+    )
+    cell_users = pts.select("cell", "user_id").distinct()
+    inc = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        F.expr(f"ts_nanos DIV {CELL_NS}").alias("c0"),
+    )
+    inc_cells = inc.select(
+        "incident_id",
+        F.explode(
+            F.sequence(
+                F.col("c0"), F.col("c0") + F.lit(WINDOW_CELLS - 1)
+            )
+        ).alias("cell"),
+    )
+    stats = (
+        inc_cells.join(cells, "cell")
+        .groupBy("incident_id")
+        .agg(
+            F.sum("cn").alias("n_events"),
+            F.min("cmn").alias("first_tsn"),
+            F.max("cmx").alias("last_tsn"),
+        )
+    )
+    users = (
+        inc_cells.join(cell_users, "cell")
+        .groupBy("incident_id")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    # Inner join is exact: every incident's own error event occupies
+    # the window's first cell, so both sides emit every incident_id.
+    return (
+        stats.join(users, "incident_id")
+        .select(
+            "incident_id", "n_events", "n_users", "first_tsn",
+            "last_tsn",
+        )
+        .orderBy("incident_id")
+    )
+
+
+ORACLE_X67B = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn,
+         epoch_ns(ts) // {CELL_NS} AS cell
+  FROM events),
+cells AS (SELECT cell, count(*) AS cn, min(tsn) AS cmn,
+                 max(tsn) AS cmx
+          FROM ev GROUP BY cell),
+cell_users AS (SELECT DISTINCT cell, user_id FROM ev),
+inc AS (SELECT event_id AS incident_id, cell AS c0
+        FROM ev WHERE event_type = 'error'),
+inc_cells AS (SELECT incident_id, c0 + off AS cell
+              FROM inc CROSS JOIN range(0, {WINDOW_CELLS}) AS t(off)),
+stats AS (SELECT incident_id, CAST(sum(cn) AS BIGINT) AS n_events,
+                 min(cmn) AS first_tsn, max(cmx) AS last_tsn
+          FROM inc_cells JOIN cells USING (cell)
+          GROUP BY incident_id),
+users AS (SELECT incident_id,
+                 count(DISTINCT user_id) AS n_users
+          FROM inc_cells JOIN cell_users USING (cell)
+          GROUP BY incident_id)
+SELECT incident_id, n_events, n_users, first_tsn, last_tsn
+FROM stats JOIN users USING (incident_id)
+ORDER BY incident_id
+"""
+
+
 QUERIES = {
     "x171_markov_surprisal": x171_markov_surprisal,
     "x172_sales_gini": x172_sales_gini,
@@ -918,6 +1045,7 @@ QUERIES = {
     "s26_stream_cvm": s26_stream_cvm,
     "x198_dim_truncation_recall": x198_dim_truncation_recall,
     "x199_dedup_config_stability": x199_dedup_config_stability,
+    "x67b_interval_cells": x67b_interval_cells,
 }
 
 ORACLES = {
@@ -929,4 +1057,5 @@ ORACLES = {
     "s26_stream_cvm": ORACLE_S26,
     "x198_dim_truncation_recall": ORACLE_X198,
     "x199_dedup_config_stability": _x199_oracle(),
+    "x67b_interval_cells": ORACLE_X67B,
 }

@@ -566,3 +566,93 @@ def test_dedup_config_rand_nested_threshold_invariant(spark):
     assert r["rand_ppm"] == (
         1_000_000 * (total - (r["pairs_b"] - r["pairs_a"]))
     ) // total
+
+
+# ------------------------------------------------ x67b pins (r13-added)
+
+
+def _write_events_x67b(spark, rows, d):
+    """rows: (event_id, epoch_nanos, user_id, event_type)."""
+    spark.createDataFrame(
+        rows,
+        "event_id long, __ns long, user_id long, event_type string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            (F.col("__ns") / 1000).cast("long")
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+
+# 2024-01-01 00:00:00 UTC in epoch nanos — a 1-minute cell boundary.
+_T0 = 1_704_067_200_000_000_000
+_SEC = 1_000_000_000
+
+
+def test_interval_cells_window_membership(spark):
+    """The cell-aligned contract, pinned where it DIFFERS from x67's
+    event-anchored windows: an event EARLIER in the error's own cell
+    is INSIDE (x67 would exclude: tsn < w_start); an event < 30 min
+    after the error but in cell c0+30 is OUTSIDE (x67 would include).
+    Cell c0+29 is the last included cell."""
+    rows = [
+        (100, _T0 + 30 * _SEC, 1, "error"),          # anchor, cell c0
+        (1, _T0 + 10 * _SEC, 2, "view"),             # c0, before anchor
+        (2, _T0 + (29 * 60 + 50) * _SEC, 2, "view"),  # cell c0+29: in
+        (3, _T0 + (30 * 60 + 10) * _SEC, 3, "view"),  # cell c0+30: out
+    ]
+    d = tempfile.mkdtemp(prefix="x67b_membership_")
+    try:
+        _write_events_x67b(spark, rows, d)
+        out = extensions_r14.x67b_interval_cells(spark, d).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["incident_id"] == 100
+        assert r["n_events"] == 3          # ids 1, 100, 2 — not 3
+        assert r["n_users"] == 2           # users {1, 2}
+        assert r["first_tsn"] == _T0 + 10 * _SEC
+        assert r["last_tsn"] == _T0 + (29 * 60 + 50) * _SEC
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_interval_cells_density_absorption(spark):
+    """Replicating the non-error events k-fold (fresh event_ids, same
+    users/timestamps) scales n_events by exactly k while n_users,
+    first_tsn and last_tsn are invariant — the property the per-cell
+    pre-aggregate is FOR: density lands in the map-side combine, not
+    in the join."""
+    base = [
+        (100, _T0 + 5 * _SEC, 1, "error"),
+        (1, _T0 + 65 * _SEC, 2, "view"),
+        (2, _T0 + 125 * _SEC, 3, "click"),
+    ]
+    k = 5
+    dense = list(base)
+    nxt = 1000
+    for (eid, ns, uid, et) in base:
+        if et == "error":
+            continue
+        for _ in range(k - 1):
+            dense.append((nxt, ns, uid, et))
+            nxt += 1
+    d1 = tempfile.mkdtemp(prefix="x67b_base_")
+    d2 = tempfile.mkdtemp(prefix="x67b_dense_")
+    try:
+        _write_events_x67b(spark, base, d1)
+        _write_events_x67b(spark, dense, d2)
+        r1 = extensions_r14.x67b_interval_cells(spark, d1).collect()[0]
+        r2 = extensions_r14.x67b_interval_cells(spark, d2).collect()[0]
+        assert r1["n_events"] == 3
+        assert r2["n_events"] == 1 + k * 2  # error + k x 2 views
+        for c in ("incident_id", "n_users", "first_tsn", "last_tsn"):
+            assert r1[c] == r2[c]
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
