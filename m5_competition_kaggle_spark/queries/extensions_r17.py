@@ -25,6 +25,13 @@ surface a product/ops team actually asks —
   p90 is what an SLA cares about). Grouped-cells rank math on the
   calendar-minute-bounded lag domain (the x124 allowance class).
 
+- x200 concurrency profile (added r13 second session): the sweep-line
+  ±1 boundary scan over g17-sessions — per-day session starts/ends,
+  PEAK simultaneously-open sessions, and day-close level. Capacity
+  planning's peak-concurrency readout; the running sum goes through
+  the two-phase range-partitioned scan (operators/prefix.py), never
+  a single-partition window.
+
 No new streaming entry: this family's streaming counterparts already
 exist (s3 native sessions, s12 interval join, s28 stateful
 transitions); the queue is deliberately batch-analytic.
@@ -408,11 +415,168 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------- x200
+
+
+def x200_concurrency_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sweep-line session-concurrency profile: per UTC day, how many
+    g17-sessions start and end, the PEAK number of simultaneously
+    open sessions, and the level still open at day close. The
+    capacity-planning readout (peak concurrent users is what you
+    provision for) that no per-session aggregate exposes — it needs
+    the classic sweep-line: ±1 boundary events in one global time
+    order, concurrency = running sum of the deltas.
+
+    Scale shape: sessionization is the g17 per-user keyed window;
+    each session emits exactly TWO boundary rows (+1 at start_ns, −1
+    at end_ns+1 — closed interval), so the sweep input is 2·|sessions|
+    regardless of event density; the global running sum goes through
+    ``operators/prefix.py::global_running_sum`` (range-partitioned
+    two-phase scan — NO single-partition window; the x29 shard-packing
+    mechanism). The only ordered pass over all boundaries is that
+    scan; the per-day rollup is a keyed hash aggregate, and the final
+    close_level cumulation runs over the ≤|days| aggregated rows (the
+    bounded monitor-snapshot window class). Tie order is pinned
+    deterministic: (tsn, delta, user_id, session_id) — a −1 sorts
+    before a +1 at the same nanosecond, so a session ending exactly
+    when another starts never inflates the peak.
+
+    .. note:: calls ``global_running_sum``, which launches a Spark
+       job at call time (eager localCheckpoint) — not a lazy plan.
+
+    Reference parity: reference pipeline.py has no interval/sweep
+    analytics; engine extension family (SURVEY §2 extensions), the
+    batch complement of s3's native session_window.
+    """
+    from m5_competition_kaggle_spark.operators.prefix import (
+        global_running_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts_nanos"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    run = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    is_new = (
+        F.col("ts_nanos") - F.lag("ts_nanos").over(w) > SESSION_GAP_NS
+    ).cast("long")
+    sess = (
+        ev.withColumn("__new", F.coalesce(is_new, F.lit(1)))
+        .withColumn("session_id", F.sum("__new").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts_nanos").alias("start_ns"),
+            F.max("ts_nanos").alias("end_ns"),
+        )
+    )
+    bounds = sess.select(
+        F.col("start_ns").alias("tsn"),
+        F.lit(1).cast("long").alias("delta"),
+        "user_id",
+        "session_id",
+    ).unionAll(
+        sess.select(
+            (F.col("end_ns") + F.lit(1)).alias("tsn"),
+            F.lit(-1).cast("long").alias("delta"),
+            "user_id",
+            "session_id",
+        )
+    )
+    lev = global_running_sum(
+        bounds, "delta", ("tsn", "delta", "user_id", "session_id"),
+        "level",
+    )
+    days = (
+        lev.withColumn(
+            "day_idx", F.expr(f"tsn DIV {NANOS_PER_DAY}")
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .alias("n_starts"),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+            .alias("n_ends"),
+            F.max("level").alias("peak_level"),
+        )
+    )
+    # close_level over the aggregated per-day frame: <= |days| rows
+    # by construction (31 here; ~36.5k for a century of telemetry) —
+    # the bounded-snapshot window allowance, not a corpus-sized sort.
+    wday = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        days.withColumn(
+            "close_level",
+            F.sum(F.col("n_starts") - F.col("n_ends")).over(wday),
+        )
+        .select(
+            "day_idx", "n_starts", "n_ends", "peak_level",
+            "close_level",
+        )
+        .orderBy("day_idx")
+    )
+
+
+ORACLE_X200 = f"""
+WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_nanos
+           FROM events),
+o AS (
+    SELECT user_id, event_id, ts_nanos,
+           CASE WHEN lag(ts_nanos) OVER w IS NULL THEN 1
+                WHEN ts_nanos - lag(ts_nanos) OVER w
+                     > {SESSION_GAP_NS} THEN 1
+                ELSE 0 END AS is_new
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_nanos, event_id)
+), s AS (
+    SELECT *,
+           CAST(sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts_nanos, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM o
+), sess AS (
+    SELECT user_id, session_id,
+           min(ts_nanos) AS start_ns, max(ts_nanos) AS end_ns
+    FROM s GROUP BY user_id, session_id
+), bounds AS (
+    SELECT start_ns AS tsn, CAST(1 AS BIGINT) AS delta,
+           user_id, session_id
+    FROM sess
+    UNION ALL
+    SELECT end_ns + 1, CAST(-1 AS BIGINT), user_id, session_id
+    FROM sess
+), lev AS (
+    SELECT tsn // {NANOS_PER_DAY} AS day_idx, delta,
+           CAST(sum(delta) OVER (
+               ORDER BY tsn, delta, user_id, session_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS level
+    FROM bounds
+), days AS (
+    SELECT day_idx,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_starts,
+           CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ends,
+           max(level) AS peak_level
+    FROM lev GROUP BY day_idx
+)
+SELECT day_idx, n_starts, n_ends, peak_level,
+       CAST(sum(n_starts - n_ends) OVER (ORDER BY day_idx
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS close_level
+FROM days ORDER BY day_idx
+"""
+
+
 QUERIES = {
     "x184_phrase_search": x184_phrase_search,
     "x185_followed_by": x185_followed_by,
     "x186_path_signatures": x186_path_signatures,
     "x187_conversion_lag_quantiles": x187_conversion_lag_quantiles,
+    "x200_concurrency_profile": x200_concurrency_profile,
 }
 
 ORACLES = {
@@ -420,4 +584,5 @@ ORACLES = {
     "x185_followed_by": ORACLE_X185,
     "x186_path_signatures": ORACLE_X186,
     "x187_conversion_lag_quantiles": ORACLE_X187,
+    "x200_concurrency_profile": ORACLE_X200,
 }

@@ -25,6 +25,12 @@ as ``scripts/check_oracle.py``.
   shuffling (no ordering contract), proven in the queue tests. The
   registered batch twin runs the same kernel per user, certified
   against pure SQL.
+- x201 degree assortativity (added r13 second session): Newman's r
+  over the x41/x24 near-dup pair graph in exact integer ppm — the
+  directed-doubling symmetry kills the sqrt, so the Pearson
+  correlation of edge-endpoint degrees certifies bit-exact
+  (disjoint-clique corpora pin r = +1 closed-form; regular graphs
+  pin the NULL denominator branch).
 """
 
 from __future__ import annotations
@@ -455,11 +461,158 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------- x201
+
+
+def x201_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the MinHash near-dup pair graph (the
+    x41/x24 graph): do high-degree documents link to other high-degree
+    documents (template hubs clustering, r > 0) or to low-degree ones
+    (star/hub-spoke dedup families, r < 0)? The one-number structure
+    readout that says whether near-dup mass sits in dense cliques
+    (cluster-collapse dedup is cheap) or sprawling stars (canonical
+    choice matters more).
+
+    Newman's r over the DIRECTED doubling of the undirected edge set;
+    by src/dst symmetry Sj == Sk and Σj² == Σk², so
+    ``r = (m·Σjk − Sj²) / (m·Σj² − Sj²)`` — fully rational, no sqrt,
+    certifiable in exact integer arithmetic (ppm). Denominator ≥ 0 by
+    Cauchy–Schwarz; 0 exactly for regular graphs → NULL. |r| ≤ 1
+    mathematically, so the 10⁶-scaled DIV quotient is bounded at
+    ±10⁶ — no decimal-DIV wrap exposure. Transients in DECIMAL(38,0);
+    the BIGINT output casts raise loudly under ANSI beyond the
+    documented envelope (Σjk < 2⁶³: degrees ≤10⁶ with 10¹⁰ directed
+    edges ⇒ ~10²² needs the decimal transient, which holds to 10³⁸).
+
+    Scale shape: the pair graph comes from the certified LSH
+    composition (never all-pairs); degree is one hash-aggregate over
+    edges; the two degree attachments are keyed joins against the
+    |nodes|-sized degree table; the final reduce is a global 1-row
+    aggregate. Work linear in |edges| — on clone-replicated corpora
+    edges themselves grow quadratically in clone count (the disclosed
+    x2-family contract), and this adds only a constant number of
+    linear passes on top.
+
+    Reference parity: no graph surface in the reference; engine
+    extension (SURVEY §2 graph family beside x24/x41/x58/x65).
+
+    .. note:: calls ``minhash_lsh_pairs``, which launches a Spark job
+       at call time (eager localCheckpoint) — not a lazy plan.
+    """
+    from m5_competition_kaggle_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ej = (
+        edges.join(deg, "src")
+        .withColumnRenamed("deg", "j")
+        .join(deg.withColumnRenamed("src", "dst"), "dst")
+        .withColumnRenamed("deg", "k")
+    )
+    from m5_competition_kaggle_spark.queries.extensions_r20 import (
+        _SIGNED_DIV,
+    )
+
+    dec = "decimal(38,0)"
+    agg = ej.agg(
+        F.count(F.lit(1)).alias("m_directed"),
+        F.countDistinct("src").alias("n_nodes"),
+        F.sum(F.col("j").cast(dec)).alias("__sj"),
+        F.sum((F.col("j") * F.col("k")).cast(dec)).alias("__sjk"),
+        F.sum((F.col("j") * F.col("j")).cast(dec)).alias("__sj2"),
+    ).select(
+        "*",
+        (
+            F.col("m_directed").cast(dec) * F.col("__sjk")
+            - F.col("__sj") * F.col("__sj")
+        ).alias("__num"),
+        (
+            F.col("m_directed").cast(dec) * F.col("__sj2")
+            - F.col("__sj") * F.col("__sj")
+        ).alias("__den"),
+    )
+    # |r| <= 1 mathematically, so the macro's int64-envelope raise
+    # branch is unreachable here; it stays for uniformity with the
+    # x169/x176/x195-x197 sites (truncation toward zero, loud on any
+    # engine that would otherwise NULL or wrap).
+    ppm = _SIGNED_DIV.format(
+        num="__num", den="__den", scale=1_000_000,
+        ctx="x201_degree_assortativity",
+    )
+    return agg.selectExpr(
+        "n_nodes",
+        "m_directed",
+        "CAST(__sj AS BIGINT) AS sum_src_deg",
+        "CAST(__sjk AS BIGINT) AS sum_deg_prod",
+        "CAST(__sj2 AS BIGINT) AS sum_src_deg_sq",
+        f"CASE WHEN __den <> 0 THEN {ppm} END AS assort_ppm",
+    )
+
+
+ORACLE_X201 = """
+WITH RECURSIVE {ctes},
+p AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL
+          SELECT id_b, id_a FROM p),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+ej AS (SELECT dj.deg AS j, dk.deg AS k
+       FROM edges e
+       JOIN deg dj ON dj.src = e.src
+       JOIN deg dk ON dk.src = e.dst),
+agg AS (SELECT count(*) AS m_directed,
+               CAST(sum(j) AS HUGEINT) AS sj,
+               CAST(sum(j * k) AS HUGEINT) AS sjk,
+               CAST(sum(j * j) AS HUGEINT) AS sj2
+        FROM ej),
+nn AS (SELECT count(*) AS n_nodes FROM deg),
+frac AS (SELECT m_directed * sjk - sj * sj AS num,
+                m_directed * sj2 - sj * sj AS den
+         FROM agg)
+SELECT nn.n_nodes,
+       agg.m_directed,
+       CAST(agg.sj AS BIGINT) AS sum_src_deg,
+       CAST(agg.sjk AS BIGINT) AS sum_deg_prod,
+       CAST(agg.sj2 AS BIGINT) AS sum_src_deg_sq,
+       CASE WHEN f.den <> 0 THEN
+           CASE WHEN f.num >= 0
+                THEN CAST((1000000 * f.num) // f.den AS BIGINT)
+                ELSE -CAST((1000000 * -f.num) // f.den AS BIGINT)
+           END
+       END AS assort_ppm
+FROM agg CROSS JOIN nn CROSS JOIN frac f
+"""
+
+
+def _x201_oracle() -> str:
+    from m5_competition_kaggle_spark.queries.extensions import (
+        _minhash_verified_ctes,
+    )
+
+    return ORACLE_X201.format(ctes=_minhash_verified_ctes(16, 4))
+
+
 QUERIES = {
     "x188_dedup_weighted_stats": x188_dedup_weighted_stats,
     "x189_source_ks_matrix": x189_source_ks_matrix,
     "x190_diurnal_profile": x190_diurnal_profile,
     "s29_user_conversions": s29_user_conversions,
+    "x201_degree_assortativity": x201_degree_assortativity,
 }
 
 ORACLES = {
@@ -467,4 +620,5 @@ ORACLES = {
     "x189_source_ks_matrix": ORACLE_X189,
     "x190_diurnal_profile": ORACLE_X190,
     "s29_user_conversions": ORACLE_S29,
+    "x201_degree_assortativity": _x201_oracle(),
 }

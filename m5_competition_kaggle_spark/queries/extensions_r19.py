@@ -31,6 +31,12 @@ as ``scripts/check_oracle.py``.
   tie-break sends every document to 'en' — the confusion matrix is
   exactly the artifact that EXPOSES an untriggerable heuristic, which
   is its job.
+- x202 FORCAST readability (added r13 second session): per-source
+  integer milli-grade readability from the monosyllabic-word share —
+  the one classic formula defined WITHOUT sentence boundaries (which
+  the fixture genuinely lacks), all per-doc work in JVM higher-order
+  array functions; syllables = [aeiou]+ vowel-group runs floored
+  at 1, hand-syllabified pins.
 """
 
 from __future__ import annotations
@@ -358,11 +364,143 @@ ORDER BY c.true_lang, c.pred_lang
 """
 
 
+# --------------------------------------------------------------- x202
+
+
+def x202_readability_forcast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source FORCAST readability profile in exact integer
+    milli-grades. FORCAST (Caylor et al. 1973) grades text from the
+    monosyllabic-word share alone — grade = 20 − mono_per_150_words/10
+    — which makes it the ONE classic readability formula defined for
+    non-prose text (labels, logs, technical fragments: exactly what a
+    crawl corpus is full of, and what Flesch/Kincaid cannot score
+    without sentence boundaries the synthetic fixture genuinely lacks).
+
+    Integer form, per scored doc (n_words ≥ 1):
+    ``grade_milli = 20000 − (15000·n_mono) DIV n_words`` ∈
+    [5000, 20000] (all operands nonnegative: truncating DIV and
+    floor-// agree, no sign-split needed). Syllables per token are
+    vowel-group runs ``[aeiou]+`` floored at 1 — the deterministic
+    from-scratch counter both engines reproduce (the x8/x25 regex
+    parity class); tokens follow the x30/x188 ``[^a-z0-9]+``
+    lowercase split.
+
+    All per-doc arithmetic stays JVM-side in higher-order array
+    functions (transform/aggregate/filter — no UDF, no explode: one
+    projection then one keyed aggregate per source). syll_per_word_ppm
+    adds the corpus-mixing signal (token complexity drift between
+    sources) beside the x6-family quality scores.
+
+    Reference parity: no text metrics in the reference; engine
+    extension (SURVEY §2 text-analysis family beside x5–x8).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        F.expr(
+            "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+        ).alias("__toks"),
+    ).select(
+        "source",
+        F.expr("CAST(size(__toks) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "aggregate(transform(__toks, x -> greatest(1L,"
+            " CAST(size(regexp_extract_all(x, '[aeiou]+', 0))"
+            " AS BIGINT))), 0L, (acc, s) -> acc + s)"
+        ).alias("n_syll"),
+        F.expr(
+            "CAST(size(filter(transform(__toks, x -> greatest(1L,"
+            " CAST(size(regexp_extract_all(x, '[aeiou]+', 0))"
+            " AS BIGINT))), s -> s = 1)) AS BIGINT)"
+        ).alias("n_mono"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_words") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_syll").alias("sum_syll"),
+            F.sum("n_mono").alias("sum_mono"),
+            F.sum(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.lit(20000)
+                    - F.expr("(15000 * n_mono) DIV n_words"),
+                )
+            ).alias("__grade_sum"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_scored",
+            "sum_words",
+            "sum_syll",
+            "sum_mono",
+            F.expr(
+                "CASE WHEN sum_words > 0 THEN"
+                " (1000000 * sum_syll) DIV sum_words END"
+            ).alias("syll_per_word_ppm"),
+            F.expr(
+                "CASE WHEN n_scored > 0 THEN"
+                " __grade_sum DIV n_scored END"
+            ).alias("mean_grade_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_X202 = """
+WITH dt AS (
+    SELECT source,
+           list_transform(
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> ''),
+               x -> greatest(1, len(regexp_extract_all(x,
+                                                       '[aeiou]+')))
+           ) AS sylls
+    FROM documents
+), per_doc AS (
+    SELECT source,
+           CAST(len(sylls) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(sylls), 0) AS BIGINT) AS n_syll,
+           CAST(len(list_filter(sylls, s -> s = 1)) AS BIGINT)
+               AS n_mono
+    FROM dt
+), agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_words > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scored,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_syll) AS BIGINT) AS sum_syll,
+           CAST(sum(n_mono) AS BIGINT) AS sum_mono,
+           CAST(sum(CASE WHEN n_words > 0 THEN
+                    20000 - (15000 * n_mono) // n_words END)
+                AS BIGINT) AS grade_sum
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_scored, sum_words, sum_syll, sum_mono,
+       CASE WHEN sum_words > 0 THEN
+           (1000000 * sum_syll) // sum_words END
+           AS syll_per_word_ppm,
+       CASE WHEN n_scored > 0 THEN grade_sum // n_scored END
+           AS mean_grade_milli
+FROM agg ORDER BY source
+"""
+
+
 QUERIES = {
     "x191_zipf_slope": x191_zipf_slope,
     "x192_implication_matrix": x192_implication_matrix,
     "x193_user_growth": x193_user_growth,
     "x194_langid_confusion": x194_langid_confusion,
+    "x202_readability_forcast": x202_readability_forcast,
 }
 
 ORACLES = {
@@ -370,4 +508,5 @@ ORACLES = {
     "x192_implication_matrix": ORACLE_X192,
     "x193_user_growth": ORACLE_X193,
     "x194_langid_confusion": _langid_confusion_oracle(),
+    "x202_readability_forcast": ORACLE_X202,
 }

@@ -218,3 +218,93 @@ def test_conversion_quantiles_brute_force(spark):
     assert row["p50_min"] == expect[50]
     assert row["p90_min"] == expect[90]
     assert row["p10_min"] <= row["p50_min"] <= row["p90_min"]
+
+
+# ------------------------------------------------------- x200 pins
+
+
+def _write_events_x200(spark, rows, d):
+    """rows: (event_id, epoch_nanos, user_id)."""
+    spark.createDataFrame(
+        rows, "event_id long, __ns long, user_id long"
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            (F.col("__ns") / 1000).cast("long")
+        ).alias("ts"),
+        "user_id",
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+
+# 2024-01-01 00:00:00 UTC in epoch nanos (day_idx 19723).
+_T0_X200 = 1_704_067_200_000_000_000
+_MIN_NS = 60_000_000_000
+
+
+def test_concurrency_planted_sweep(spark):
+    """Hand-walked sweep over four planted sessions, pinning the
+    closed-interval rule: user 4's session starts at the SAME micro-
+    second user 1's session ends, and the end+1 boundary encoding
+    keeps both open at that shared instant — peak 3 (users 1, 3, 4),
+    not 2. (Event timestamps are micro-aligned, so a −1 boundary at
+    end_ns+1 always sorts strictly after every event at end_ns.)
+
+    Sweep walk: +u1(1) @t · +u2(2) @t+2m · −u2(1) @t+2m+1ns ·
+    +u3(2) @t+3m · +u4(3) @t+10m · −u1(2) @t+10m+1ns ·
+    −u4(1) @t+10m+1ns(u4) · −u3(0) @t+12m+1ns."""
+    import shutil
+    import tempfile
+
+    t = _T0_X200
+    rows = [
+        # user 1: one session [t, t+10min] (gap 10m < 30m merges)
+        (1, t, 1),
+        (2, t + 10 * _MIN_NS, 1),
+        # user 2: session [t+2min, t+2min] (single event)
+        (3, t + 2 * _MIN_NS, 2),
+        # user 3: session [t+3min, t+12min]
+        (4, t + 3 * _MIN_NS, 3),
+        (5, t + 12 * _MIN_NS, 3),
+        # user 4: single event at user 1's session END instant
+        (6, t + 10 * _MIN_NS, 4),
+    ]
+    d = tempfile.mkdtemp(prefix="x200_sweep_")
+    try:
+        _write_events_x200(spark, rows, d)
+        out = extensions_r17.x200_concurrency_profile(
+            spark, d
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["day_idx"] == t // 86_400_000_000_000
+        assert r["n_starts"] == 4
+        assert r["n_ends"] == 4
+        assert r["peak_level"] == 3
+        assert r["close_level"] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_concurrency_conservation_vs_g17(spark):
+    """On the real sf0.01 corpus: starts and ends both sum to the
+    g17 session count, the final close_level is zero (every opened
+    session closes), and every per-day peak is positive and bounded
+    by the number of users."""
+    from m5_competition_kaggle_spark.queries import analytics
+
+    out = extensions_r17.x200_concurrency_profile(
+        spark, SF01
+    ).collect()
+    n_sessions = analytics.g17_sessionize_gaps(spark, SF01).count()
+    assert sum(r["n_starts"] for r in out) == n_sessions
+    assert sum(r["n_ends"] for r in out) == n_sessions
+    assert out[-1]["close_level"] == 0
+    n_users = 150  # sf0.01 user population
+    for r in out:
+        assert 1 <= r["peak_level"] <= n_users
+        assert r["close_level"] >= 0

@@ -314,3 +314,80 @@ def test_s29_stream_converges_across_batches(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         spark.catalog.dropTempView("s29_out")
+
+
+# ------------------------------------------------------- x201 pins
+
+
+def _write_docs_x201(spark, rows, d):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+
+_TEXT_A = "alpha bravo charlie delta echo foxtrot golf hotel"
+_TEXT_B = "india juliet kilo lima mike november oscar papa"
+
+
+def test_assortativity_disjoint_cliques_is_one(spark):
+    """Two families of exact duplicates (3 copies of A, 4 of B, no
+    shared shingles) form disjoint cliques K3 ∪ K4: every edge joins
+    equal degrees (2-2 or 3-3), degrees VARY across cliques, so
+    Newman's r is exactly +1 → assort_ppm == 1_000_000, alongside
+    the closed-form edge/degree sums."""
+    rows = [(i, _TEXT_A, "en", "s") for i in range(3)] + [
+        (10 + i, _TEXT_B, "en", "s") for i in range(4)
+    ]
+    d = tempfile.mkdtemp(prefix="x201_cliques_")
+    try:
+        _write_docs_x201(spark, rows, d)
+        r = extensions_r18.x201_degree_assortativity(
+            spark, d
+        ).collect()[0]
+        assert r["n_nodes"] == 7
+        # K3: 3 directed-edge pairs*2=6; K4: 12 -> m = 18
+        assert r["m_directed"] == 18
+        # sum_src_deg = sum_v deg^2 = 3*4 + 4*9 = 48
+        assert r["sum_src_deg"] == 48
+        # within cliques j == k: sum j*k = 6*4 + 12*9 = 132
+        assert r["sum_deg_prod"] == 132
+        assert r["sum_src_deg_sq"] == 132
+        assert r["assort_ppm"] == 1_000_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    """One family of 4 exact duplicates is K4 — a regular graph:
+    the Pearson denominator m·Σj² − (Σj)² is exactly 0, so
+    assort_ppm must be NULL (not a division blowup)."""
+    rows = [(i, _TEXT_A, "en", "s") for i in range(4)]
+    d = tempfile.mkdtemp(prefix="x201_regular_")
+    try:
+        _write_docs_x201(spark, rows, d)
+        r = extensions_r18.x201_degree_assortativity(
+            spark, d
+        ).collect()[0]
+        assert r["n_nodes"] == 4
+        assert r["m_directed"] == 12
+        assert r["assort_ppm"] is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_assortativity_corpus_bounds(spark):
+    """Real-corpus sanity at sf0.01: |r| <= 1 in ppm, the directed
+    edge count is even, and the edge-endpoint sums satisfy the
+    m = Σ_v deg_v identity (sum over directed edges of 1 = m; Σj
+    equals Σ_v deg_v² >= m when every degree >= 1)."""
+    r = extensions_r18.x201_degree_assortativity(
+        spark, SF01
+    ).collect()[0]
+    assert r["m_directed"] % 2 == 0
+    assert r["m_directed"] >= 2
+    assert r["sum_src_deg"] >= r["m_directed"]
+    assert r["sum_deg_prod"] >= r["m_directed"]
+    if r["assort_ppm"] is not None:
+        assert -1_000_000 <= r["assort_ppm"] <= 1_000_000

@@ -175,3 +175,94 @@ def test_langid_confusion_totals_and_recall(spark):
     # assert.
     assert {r["pred_lang"] for r in out} == {"en"}
     assert all(r["share_ppm"] == 1_000_000 for r in out)
+
+
+# ------------------------------------------------------- x202 pins
+
+
+def _write_docs_x202(spark, rows, d):
+    import os as _os
+
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(d, "documents.parquet")
+    )
+
+
+def test_forcast_hand_computed_doc(spark):
+    """One hand-syllabified doc: 'the customer window a stream' →
+    vowel-group syllables 1/3/2/1/1, so n_words=5, n_syll=8,
+    n_mono=3 and grade = 20000 − (15000·3) DIV 5 = 11000."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="x202_hand_")
+    try:
+        _write_docs_x202(
+            spark,
+            [(1, "the customer window a stream", "en", "s")],
+            d,
+        )
+        r = extensions_r19.x202_readability_forcast(
+            spark, d
+        ).collect()[0]
+        assert r["n_docs"] == 1 and r["n_scored"] == 1
+        assert r["sum_words"] == 5
+        assert r["sum_syll"] == 8
+        assert r["sum_mono"] == 3
+        assert r["syll_per_word_ppm"] == 1_600_000
+        assert r["mean_grade_milli"] == 11_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_forcast_edges(spark):
+    """The grade floor (all-monosyllable doc → exactly 5000), the
+    ceiling (no monosyllables → 20000), and the unscorable doc
+    (no alphanumeric tokens → counted in n_docs, excluded from
+    n_scored; a source of only such docs gets NULL means)."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="x202_edges_")
+    try:
+        _write_docs_x202(
+            spark,
+            [
+                (1, "the big fast sort", "en", "mono"),
+                (2, "customer window merge", "en", "poly"),
+                (3, "!!! ... ???", "en", "empty"),
+            ],
+            d,
+        )
+        out = {
+            r["source"]: r
+            for r in extensions_r19.x202_readability_forcast(
+                spark, d
+            ).collect()
+        }
+        assert out["mono"]["mean_grade_milli"] == 5_000
+        assert out["mono"]["sum_mono"] == out["mono"]["sum_words"]
+        assert out["poly"]["sum_mono"] == 0
+        assert out["poly"]["mean_grade_milli"] == 20_000
+        assert out["empty"]["n_docs"] == 1
+        assert out["empty"]["n_scored"] == 0
+        assert out["empty"]["mean_grade_milli"] is None
+        assert out["empty"]["syll_per_word_ppm"] is None
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_forcast_corpus_bounds(spark):
+    """Real-corpus sanity at sf0.01: grades inside [5000, 20000],
+    syllable rate >= 1 word-for-word, every source scored."""
+    out = extensions_r19.x202_readability_forcast(
+        spark, SF01
+    ).collect()
+    assert len(out) >= 2
+    for r in out:
+        assert r["n_scored"] == r["n_docs"]
+        assert 5_000 <= r["mean_grade_milli"] <= 20_000
+        assert r["syll_per_word_ppm"] >= 1_000_000
+        assert 0 <= r["sum_mono"] <= r["sum_words"]
