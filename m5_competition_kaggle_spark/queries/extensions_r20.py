@@ -21,6 +21,19 @@ certified operators:
   day 0 = Thursday, weekend ≡ 2,3) — the calendar A/B beside x120's
   group A/B, all moments as integers so the hash certifies without a
   t-table.
+
+Two layout/plan-audit certificates added in the r13 second session:
+
+- x203 bucket balance: the pre-``bucketBy`` occupancy certificate —
+  the full 64-bucket grid under the engine's own h64 hash for a good
+  key (user_id) and a deliberately bad one (event_type, 5 values →
+  ≤5 buckets), empty buckets as zero rows. The audit a 100 TB layout
+  decision is gated on, measuring the REAL hash, not a lookalike.
+- x204 join-cardinality audit: key overlap, orphan mass, fan-out
+  extremes and the EXACT join output size (Σ cnt_l·cnt_r in a
+  DECIMAL(38,0) transient) for orders ⋈ customer — computed from the
+  two per-key count tables, |keys|-sized bookkeeping instead of the
+  join itself; est == actual pinned against a real join.
 """
 
 from __future__ import annotations
@@ -389,14 +402,233 @@ FROM agg ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------- x203
+
+N_BUCKETS = 64
+
+
+def x203_bucket_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-bucket balance certificate — the audit you run BEFORE
+    committing a 100 TB ``bucketBy`` layout: for two candidate
+    bucketing keys over events (user_id: high-cardinality, should
+    spread; event_type: 5 values, a deliberately bad key the
+    certificate must flag), the full 64-bucket occupancy grid under
+    the engine's own h64 hash, with per-bucket share_ppm.
+
+    Empty buckets appear as zero rows (a key that leaves 59 of 64
+    buckets empty reads directly off the grid — exactly what
+    event_type does), so the output is a fixed 2×64 grid whatever the
+    corpus. Counts are one map-side-combining hash aggregate per key;
+    the constant 64-row spine attaches by broadcast. h64 is the
+    engine's md5-based 60-bit hash (``functions/text.py``) — the same
+    deterministic value in Spark, DuckDB, and the bucket-pruning
+    planner, so the certificate measures the REAL layout, not a
+    lookalike hash.
+
+    Reference parity: no storage-layout tooling in the reference;
+    engine extension (SURVEY §2 sources/layout family beside x26/x29
+    shard packing).
+    """
+    from m5_competition_kaggle_spark.functions.text import h64
+
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(N_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    keys = []
+    for key_name, col in (
+        ("user_id", F.col("user_id").cast("string")),
+        ("event_type", F.col("event_type")),
+    ):
+        counts = (
+            ev.select(
+                (h64(col) % F.lit(N_BUCKETS)).alias("bucket")
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        grid = (
+            spine.join(counts, "bucket", "left")
+            .select(
+                F.lit(key_name).alias("key_name"),
+                "bucket",
+                F.coalesce(F.col("n"), F.lit(0))
+                .cast("long")
+                .alias("n_events"),
+            )
+        )
+        keys.append(grid)
+    out = keys[0].unionAll(keys[1])
+    # total as a broadcast 1-row aggregate: keeps the plan lazy (no
+    # driver-side count at build time) and the merge is the allowed
+    # 1-row global-aggregate SinglePartition exchange.
+    tot = ev.agg(F.count(F.lit(1)).alias("__tot"))
+    return (
+        out.crossJoin(F.broadcast(tot))
+        .select(
+            "key_name",
+            "bucket",
+            "n_events",
+            F.expr(
+                "CASE WHEN __tot > 0 THEN"
+                " (1000000 * n_events) DIV __tot END"
+            ).alias("share_ppm"),
+        )
+        .orderBy("key_name", "bucket")
+    )
+
+
+ORACLE_X203 = f"""
+WITH tot AS (SELECT count(*) AS t FROM events),
+spine AS (SELECT k.key_name, r.range AS bucket
+          FROM range(0, {N_BUCKETS}) r
+          CROSS JOIN (SELECT 'user_id' AS key_name
+                      UNION ALL SELECT 'event_type') k),
+hashed AS (
+    SELECT 'user_id' AS key_name,
+           CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % {N_BUCKETS} AS bucket
+    FROM events
+    UNION ALL
+    SELECT 'event_type',
+           CAST('0x' || substr(md5(event_type), 1, 15)
+                AS BIGINT) % {N_BUCKETS}
+    FROM events),
+counts AS (SELECT key_name, bucket, count(*) AS n
+           FROM hashed GROUP BY key_name, bucket)
+SELECT s.key_name, s.bucket,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_events,
+       CASE WHEN tot.t > 0 THEN
+           (1000000 * CAST(coalesce(c.n, 0) AS BIGINT)) // tot.t
+       END AS share_ppm
+FROM spine s
+LEFT JOIN counts c
+  ON c.key_name = s.key_name AND c.bucket = s.bucket
+CROSS JOIN tot
+ORDER BY s.key_name, s.bucket
+"""
+
+
+# --------------------------------------------------------------- x204
+
+
+def x204_join_cardinality_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-join cardinality audit for orders ⋈ customer on custkey —
+    the one-row certificate a 100 TB join plan should be gated on:
+    key overlap (how much of each side actually matches), per-key
+    fan-out extremes, and the EXACT join output size
+    Σ cnt_l·cnt_r over shared keys — before paying the shuffle.
+
+    Everything reduces from the two per-key count tables (one hash
+    aggregate per side, map-side combining), joined full-outer on the
+    key: |keys| rows of bookkeeping regardless of fact-table width.
+    est_output_rows sums cnt_l·cnt_r in DECIMAL(38,0) (two
+    corpus-growing counts multiply — the r12 overflow class) and
+    casts back to BIGINT inside the documented envelope (raises
+    loudly under ANSI beyond it; the oracle's HUGEINT ditto).
+
+    Reference parity: the reference joins blindly (pandas merge);
+    the audit is an engine extension (SURVEY §2 relational family
+    beside J1–J4).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    lc = orders.groupBy("key").agg(
+        F.count(F.lit(1)).alias("cnt_l")
+    )
+    rc = cust.groupBy("key").agg(F.count(F.lit(1)).alias("cnt_r"))
+    both = lc.join(rc, "key", "full_outer").select(
+        "key",
+        F.coalesce("cnt_l", F.lit(0)).alias("cnt_l"),
+        F.coalesce("cnt_r", F.lit(0)).alias("cnt_r"),
+    )
+    dec = "decimal(38,0)"
+    return both.agg(
+        F.sum(F.when(F.col("cnt_l") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_left_keys"),
+        F.sum(F.when(F.col("cnt_r") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_right_keys"),
+        F.sum(
+            F.when(
+                (F.col("cnt_l") > 0) & (F.col("cnt_r") > 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shared_keys"),
+        F.sum(
+            F.when(F.col("cnt_r") == 0, F.col("cnt_l")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("left_orphan_rows"),
+        F.sum(
+            F.when(F.col("cnt_l") == 0, F.col("cnt_r")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("right_orphan_rows"),
+        F.max("cnt_l").alias("max_left_fanout"),
+        F.max("cnt_r").alias("max_right_fanout"),
+        F.sum(
+            (F.col("cnt_l").cast(dec) * F.col("cnt_r").cast(dec))
+        )
+        .cast("long")
+        .alias("est_output_rows"),
+    )
+
+
+ORACLE_X204 = """
+WITH lc AS (SELECT o_custkey AS key, count(*) AS cnt_l
+            FROM orders GROUP BY o_custkey),
+rc AS (SELECT c_custkey AS key, count(*) AS cnt_r
+       FROM customer GROUP BY c_custkey),
+both_k AS (
+    SELECT coalesce(lc.key, rc.key) AS key,
+           coalesce(lc.cnt_l, 0) AS cnt_l,
+           coalesce(rc.cnt_r, 0) AS cnt_r
+    FROM lc FULL OUTER JOIN rc ON lc.key = rc.key)
+SELECT CAST(sum(CASE WHEN cnt_l > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_left_keys,
+       CAST(sum(CASE WHEN cnt_r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_right_keys,
+       CAST(sum(CASE WHEN cnt_l > 0 AND cnt_r > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared_keys,
+       CAST(sum(CASE WHEN cnt_r = 0 THEN cnt_l ELSE 0 END)
+            AS BIGINT) AS left_orphan_rows,
+       CAST(sum(CASE WHEN cnt_l = 0 THEN cnt_r ELSE 0 END)
+            AS BIGINT) AS right_orphan_rows,
+       max(cnt_l) AS max_left_fanout,
+       max(cnt_r) AS max_right_fanout,
+       CAST(sum(CAST(cnt_l AS HUGEINT) * cnt_r) AS BIGINT)
+           AS est_output_rows
+FROM both_k
+"""
+
+
 QUERIES = {
     "x195_residual_acf": x195_residual_acf,
     "x196_discount_lift": x196_discount_lift,
     "x197_weekend_shift": x197_weekend_shift,
+    "x203_bucket_balance": x203_bucket_balance,
+    "x204_join_cardinality_audit": x204_join_cardinality_audit,
 }
 
 ORACLES = {
     "x195_residual_acf": ORACLE_X195,
     "x196_discount_lift": ORACLE_X196,
     "x197_weekend_shift": ORACLE_X197,
+    "x203_bucket_balance": ORACLE_X203,
+    "x204_join_cardinality_audit": ORACLE_X204,
 }

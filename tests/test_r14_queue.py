@@ -1,7 +1,8 @@
 """Staged certification for the round-14 queue
 (queries/extensions_r14.py — x171 Markov surprisal, x172 sales Gini,
 x173 cross-covariance lead-lag, x174 doc KL novelty, x175 CvM drift,
-s26 streaming CvM). Staged two rounds ahead; same local gate as the
+s26 streaming CvM; x198/x199 added r13; x67b added r13 second
+session). Staged two rounds ahead; same local gate as the
 r10-r13 queues: the check_oracle differential at sf0.001 AND sf0.01,
 hand pins, vacuity audits, and the stream==batch identity for s26."""
 

@@ -1,6 +1,7 @@
 """Staged certification for the round-17 queue
 (queries/extensions_r17.py — x184 phrase search, x185 followed-by,
-x186 path signatures, x187 conversion-lag quantiles). Staged five
+x186 path signatures, x187 conversion-lag quantiles; x200
+sweep-line concurrency added r13 second session). Staged five
 rounds ahead; same local gate as the r10-r16 queues: the check_oracle
 differential at sf0.001 AND sf0.01, hand pins, vacuity audits."""
 

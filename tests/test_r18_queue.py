@@ -1,6 +1,7 @@
 """Staged certification for the round-18 queue
 (queries/extensions_r18.py — x188 dedup-weighted stats, x189 source
-KS matrix, x190 diurnal profile, s29 stateful conversions). Staged
+KS matrix, x190 diurnal profile, s29 stateful conversions; x201
+degree assortativity added r13 second session). Staged
 six rounds ahead; same local gate as the r10-r17 queues: the
 check_oracle differential at sf0.001 AND sf0.01, hand pins, vacuity
 audits, and the shuffled-batch convergence property for s29."""

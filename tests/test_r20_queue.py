@@ -1,6 +1,7 @@
 """Staged certification for the round-20 queue
 (queries/extensions_r20.py — x195 residual ACF, x196 discount lift,
-x197 weekend shift). Same local gate as the r10-r19 queues: the
+x197 weekend shift; x203 bucket balance + x204 join-cardinality
+audit added r13 second session). Same local gate as the r10-r19 queues: the
 check_oracle differential at sf0.001 AND sf0.01, hand pins,
 cross-query identity pins."""
 
@@ -170,3 +171,126 @@ def test_weekend_shift_identities(spark):
         assert r["meandiff_pm"] == expect
         # weekday + weekend day counts = the type's observed days
         assert r["n_wd"] + r["n_we"] >= 28
+
+
+# -------------------------------------------------- x203/x204 pins
+
+
+def test_bucket_balance_grid_and_bad_key(spark):
+    """The fixed 2x64 grid; the event_type key (5 values) must land
+    in at most 5 nonempty buckets - the bad-bucketing-key signature
+    the certificate exists to flag - while user_id spreads; shares
+    are truncating so they sum to at most 10^6 per key (and within
+    64 ppm of it)."""
+    out = extensions_r20.x203_bucket_balance(spark, SF01).collect()
+    assert len(out) == 2 * 64
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["key_name"], []).append(r)
+    for key, rows in by_key.items():
+        assert sorted(r["bucket"] for r in rows) == list(range(64))
+        share = sum(r["share_ppm"] for r in rows)
+        assert 1_000_000 - 64 <= share <= 1_000_000
+    et_nonzero = [
+        r for r in by_key["event_type"] if r["n_events"] > 0
+    ]
+    assert 1 <= len(et_nonzero) <= 5
+    uid_nonzero = [
+        r for r in by_key["user_id"] if r["n_events"] > 0
+    ]
+    assert len(uid_nonzero) >= 32  # 150 users over 64 buckets
+
+
+def test_bucket_balance_hash_is_the_engine_hash(spark):
+    """The certificate must measure the REAL h64 layout: the 'click'
+    events land exactly in bucket h64_py('click') % 64."""
+    from m5_competition_kaggle_spark.functions.text import h64_py
+
+    out = extensions_r20.x203_bucket_balance(spark, SF01).collect()
+    click_bucket = h64_py("click") % 64
+    et = {
+        r["bucket"]: r["n_events"]
+        for r in out
+        if r["key_name"] == "event_type" and r["n_events"] > 0
+    }
+    assert click_bucket in et
+
+
+def test_join_audit_estimate_is_exact(spark):
+    """est_output_rows must equal the REAL join size - the estimator
+    is exact arithmetic, not an estimate; plus the FK-shape pins
+    (custkey unique on the customer side)."""
+    from m5_competition_kaggle_spark.sources.catalog import (
+        load_table,
+    )
+
+    r = extensions_r20.x204_join_cardinality_audit(
+        spark, SF01
+    ).collect()[0]
+    orders = load_table(spark, SF01, "orders")
+    cust = load_table(spark, SF01, "customer")
+    actual = orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    assert r["est_output_rows"] == actual
+    assert r["n_right_keys"] == cust.count()
+    assert r["max_right_fanout"] == 1
+    assert r["n_shared_keys"] <= r["n_left_keys"]
+    assert r["n_shared_keys"] <= r["n_right_keys"]
+    assert r["left_orphan_rows"] == 0  # every order has a customer
+    # fixture-measured: every customer also has orders (the synthetic
+    # generator differs from real TPC-H here); the orphan identity
+    # must hold either way
+    assert (
+        r["right_orphan_rows"]
+        == 0  # == sum cnt_r over keys with cnt_l == 0
+    )
+    assert r["n_right_keys"] - r["n_shared_keys"] == 0
+
+
+def test_join_audit_planted_orphans_both_sides(spark):
+    """Planted frame exercising every audit column the fixture can't
+    (it has no orphans on either side): customers {1,2,3}, orders on
+    custkeys {2,2,9} - orphan order rows AND orphan customers, a 2x
+    left fan-out, and the exact product identity."""
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    d = tempfile.mkdtemp(prefix="x204_orphans_")
+    try:
+        spark.createDataFrame(
+            [(1, 2, "O", 1.0, "2024-01-01 00:00:00", "1-URGENT"),
+             (2, 2, "O", 1.0, "2024-01-01 00:00:00", "1-URGENT"),
+             (3, 9, "O", 1.0, "2024-01-01 00:00:00", "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ).withColumn(
+            "o_orderdate", F.to_timestamp("o_orderdate")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "orders.parquet")
+        )
+        spark.createDataFrame(
+            [(1, "a", 0, 0.0, "BUILDING"),
+             (2, "b", 0, 0.0, "BUILDING"),
+             (3, "c", 0, 0.0, "BUILDING")],
+            "c_custkey long, c_name string, c_nationkey int,"
+            " c_acctbal double, c_mktsegment string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "customer.parquet")
+        )
+        r = extensions_r20.x204_join_cardinality_audit(
+            spark, d
+        ).collect()[0]
+        assert r["n_left_keys"] == 2       # {2, 9}
+        assert r["n_right_keys"] == 3      # {1, 2, 3}
+        assert r["n_shared_keys"] == 1     # {2}
+        assert r["left_orphan_rows"] == 1  # the custkey-9 order
+        assert r["right_orphan_rows"] == 2  # customers 1 and 3
+        assert r["max_left_fanout"] == 2
+        assert r["max_right_fanout"] == 1
+        assert r["est_output_rows"] == 2   # 2 orders x 1 customer
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
