@@ -103,6 +103,15 @@ ALLOWED_SINGLE_PARTITION = {
         " size; the x124 class); the corpus reduces through the"
         " keyed per-user first-seen aggregate first"
     ),
+    "x200_concurrency_profile": (
+        "the close_level window walks the per-DAY boundary rollup —"
+        " bounded by the CALENDAR (one row per day at any corpus"
+        " size; the x124/x193 class); the corpus-sized sweep itself"
+        " runs through the two-phase range-partitioned scan"
+        " (operators/prefix.py), whose plan the eager localCheckpoint"
+        " truncates out of this audit — audited at the operator level"
+        " by tests/test_prefix.py plan shapes instead"
+    ),
 }
 
 # Queries allowed a CartesianProduct, same auditable-justification
