@@ -31,6 +31,12 @@ with the same Spark-vs-DuckDB differential as
   monitor's EXISTING calendar-bounded cells — the third readout on
   the one distribution-monitor kernel (KS: worst-point drift, CvM:
   broad drift, Gini: reference-free concentration).
+- x205 embedding health (added r13 second session): per-dimension
+  exact integer moments of the certified 1e-3 quantization plus
+  dead-dimension flags (min == max) — the embedding-QA certificate
+  before ANN indexing, beside x178's drift and x198's truncation
+  recall; one posexplode → one 64-group aggregate, 64 rows at any
+  corpus size.
 """
 
 from __future__ import annotations
@@ -581,12 +587,96 @@ FROM agg ORDER BY day
 """
 
 
+# --------------------------------------------------------------- x205
+
+EMB_DIM = 64  # the fixture contract (x9/x198 oracles pin the same)
+
+
+def x205_embedding_health(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-dimension embedding-health audit: the QA certificate an
+    embedding column should pass before ANN indexing or training —
+    for each of the 64 dimensions, exact integer moments of the
+    certified 1e-3 quantization (the same quantize_expr the ANN
+    kernels rank with) plus a dead-dimension flag (min == max: the
+    dimension carries NO information — a truncation/export bug the
+    x198 recall audit would only catch after the damage).
+
+    One posexplode → one keyed 64-group aggregate: map-side combine
+    absorbs the corpus; output is exactly 64 rows at any scale.
+    sumsq_q widens through DECIMAL(38,0) (q ≤ 10³-scale, q² ≤ 10⁶;
+    the cast back to BIGINT raises loudly under ANSI past ~10¹⁸ —
+    the 10¹² -vector envelope, far beyond one corpus). mean is left
+    as (sum_q, n) rational — per-dim means are near zero and a
+    truncating DIV would shed the signal; downstream divides at
+    whatever scale it needs.
+
+    Reference parity: no embedding surface in the reference; engine
+    extension (SURVEY §2 ANN/embedding family beside x9/x178/x198).
+    """
+    from m5_competition_kaggle_spark.operators.similarity import (
+        quantize_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.posexplode(quantize_expr("embedding")).alias("dim", "q")
+    )
+    dec = "decimal(38,0)"
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").alias("sum_q"),
+            F.sum((F.col("q") * F.col("q")).cast(dec))
+            .cast("long")
+            .alias("sumsq_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .select(
+            "dim",
+            "n",
+            "sum_q",
+            "sumsq_q",
+            "min_q",
+            "max_q",
+            F.when(F.col("min_q") == F.col("max_q"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_dead"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_X205 = f"""
+WITH q AS (
+    SELECT i - 1 AS dim,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * 1000)
+                AS BIGINT) AS q
+    FROM embeddings, generate_series(1, {EMB_DIM}) AS g(i)
+)
+SELECT dim,
+       count(*) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+       min(q) AS min_q,
+       max(q) AS max_q,
+       CAST(CASE WHEN min(q) = max(q) THEN 1 ELSE 0 END
+            AS BIGINT) AS is_dead
+FROM q GROUP BY dim ORDER BY dim
+"""
+
+
 QUERIES = {
     "x176_interarrival_cv2": x176_interarrival_cv2,
     "x177_dup_cluster_profile": x177_dup_cluster_profile,
     "x178_centroid_drift": x178_centroid_drift,
     "x179_topk_churn": x179_topk_churn,
     "s27_stream_gini": s27_stream_gini,
+    "x205_embedding_health": x205_embedding_health,
 }
 
 ORACLES = {
@@ -595,4 +685,5 @@ ORACLES = {
     "x178_centroid_drift": ORACLE_X178,
     "x179_topk_churn": ORACLE_X179,
     "s27_stream_gini": ORACLE_S27,
+    "x205_embedding_health": ORACLE_X205,
 }

@@ -437,3 +437,68 @@ def test_interarrival_day_cell_decomposition_equivalence(spark):
         ) // (sg * sg)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------- x205 pins
+
+
+def _write_embeddings_x205(spark, rows, d):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+
+
+def test_embedding_health_planted_dead_dim(spark):
+    """Three 64-dim vectors whose dim 7 is constant 0.5 and dim 9 is
+    constant 0.0: both flagged dead; a varying dim is not; hand
+    moments check the quantized arithmetic (q = round(x*1000))."""
+    import random
+
+    rng = random.Random(205)
+    rows = []
+    for vid in range(3):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        v[7] = 0.5
+        v[9] = 0.0
+        v[0] = float(vid)  # 0.0, 1.0, 2.0 -> q = 0, 1000, 2000
+        rows.append((vid, v, "a"))
+    d = tempfile.mkdtemp(prefix="x205_dead_")
+    try:
+        _write_embeddings_x205(spark, rows, d)
+        out = {
+            r["dim"]: r
+            for r in extensions_r15.x205_embedding_health(
+                spark, d
+            ).collect()
+        }
+        assert len(out) == 64
+        assert out[7]["is_dead"] == 1
+        assert out[7]["min_q"] == out[7]["max_q"] == 500
+        assert out[9]["is_dead"] == 1
+        assert out[9]["min_q"] == out[9]["max_q"] == 0
+        assert out[0]["is_dead"] == 0
+        assert out[0]["n"] == 3
+        assert out[0]["sum_q"] == 3000          # 0 + 1000 + 2000
+        assert out[0]["sumsq_q"] == 5_000_000   # 0 + 10^6 + 4*10^6
+        assert out[0]["min_q"] == 0
+        assert out[0]["max_q"] == 2000
+        dead = [r["dim"] for r in out.values() if r["is_dead"] == 1]
+        assert set(dead) == {7, 9}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_embedding_health_corpus_sanity(spark):
+    """Real corpus at sf0.01: exactly 64 rows, no dead dims (the
+    generator fills every dim), moments satisfy the Cauchy-Schwarz
+    bound n*sumsq >= sum^2."""
+    out = extensions_r15.x205_embedding_health(
+        spark, SF01
+    ).collect()
+    assert len(out) == 64
+    for r in out:
+        assert r["is_dead"] == 0
+        assert r["n"] * r["sumsq_q"] >= r["sum_q"] ** 2
+        assert r["min_q"] < r["max_q"]
