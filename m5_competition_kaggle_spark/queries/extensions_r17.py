@@ -443,6 +443,12 @@ def x200_concurrency_profile(
     before a +1 at the same nanosecond, so a session ending exactly
     when another starts never inflates the peak.
 
+    Output contract: one row per day that has at least one boundary
+    event. A day a session merely spans (opened before, closes after,
+    nothing starts or ends) emits no row — its whole-day level is the
+    previous emitted day's close_level, which the cumulative
+    close_level column carries across the gap by construction.
+
     .. note:: calls ``global_running_sum``, which launches a Spark
        job at call time (eager localCheckpoint) — not a lazy plan.
 
