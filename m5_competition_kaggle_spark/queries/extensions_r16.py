@@ -30,6 +30,13 @@ with the same Spark-vs-DuckDB differential as
   applyInPandasWithState stream carrying each user's last event —
   the s14 integration style applied to sequences; pairs straddling
   micro-batches emit exactly once (proven in the queue tests).
+- x206 watermark audit (added r13 second session): the measurement
+  behind the withWatermark delay — replay in arrival order, lateness
+  = event-time high-water mark minus own event time, exact
+  p50/p95/p99/max in minutes. The running max goes through the NEW
+  two-phase max scan (operators/prefix_max.py, the sum scan's
+  monoid sibling); honest fixture finding: the generator emits in
+  timestamp order, so the corpus reads exactly 0 everywhere.
 """
 
 from __future__ import annotations
@@ -572,12 +579,151 @@ ORDER BY day, a, b
 """
 
 
+# --------------------------------------------------------------- x206
+
+
+def x206_watermark_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-lateness audit: the measurement behind THE streaming
+    config decision — ``withWatermark`` needs a delay, and the right
+    delay is a quantile of how late events actually arrive. Replaying
+    the corpus in arrival order (event_id — the generator's emit
+    sequence, the stream's arrival contract), each event's lateness
+    is the event-time HIGH-WATER MARK so far minus its own event
+    time: exactly what Structured Streaming's watermark tracks.
+    Output: one row — event counts, exact p50/p95/p99/max lateness in
+    minutes (value-at-rank over minute cells, the x187 rank math).
+    Set the watermark at p99 and you know you drop at most 1% under
+    the measured arrival process.
+
+    Scale shape: the running max goes through the two-phase
+    range-partitioned scan (``operators/prefix_max.py`` — the max
+    monoid sibling of the x29 sum scan, never a single-partition
+    window over the corpus); lateness reduces to minute cells
+    (calendar-bounded: a 31-day span has ≤ 44,641 distinct values —
+    the x124/x187 allowance class for the cumulative window), then
+    one global aggregate.
+
+    Reference parity: no streaming surface in the reference; engine
+    extension (SURVEY §2 streaming-ops family beside s1–s30).
+
+    HONEST FIXTURE FINDING: the synthetic generator assigns event_id
+    in timestamp order, so the replayed corpus is perfectly in-order
+    and every lateness statistic is exactly 0 (watermark 0 — nothing
+    would drop). That is the audit doing its job on an in-order
+    stream; the nonzero arithmetic is pinned by the hand-walked
+    out-of-order test.
+
+    .. note:: calls ``global_running_max``, which launches a Spark
+       job at call time (eager localCheckpoint) — not a lazy plan.
+    """
+    from m5_competition_kaggle_spark.operators.prefix_max import (
+        global_running_max,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_nanos"
+    )
+    hw = global_running_max(
+        ev, "ts_nanos", ("event_id",), "hw"
+    )
+    l = hw.select(
+        F.expr(f"(hw - ts_nanos) DIV {NANOS_PER_MIN}").alias("lm"),
+        F.when(F.col("hw") > F.col("ts_nanos"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("late"),
+    )
+    tot = l.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("late").alias("n_late"),
+        F.max("lm").alias("max_lateness_min"),
+    )
+    cells = l.groupBy("lm").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = Window.orderBy("lm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = cells.withColumn(
+        "cum", F.sum("c").over(w_cum)
+    ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+    qs = scored.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 50 + 99) DIV 100"),
+                F.col("lm"),
+            )
+        ).alias("p50_min"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 95 + 99) DIV 100"),
+                F.col("lm"),
+            )
+        ).alias("p95_min"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 99 + 99) DIV 100"),
+                F.col("lm"),
+            )
+        ).alias("p99_min"),
+    )
+    return tot.crossJoin(qs).select(
+        "n_events", "n_late", "p50_min", "p95_min", "p99_min",
+        "max_lateness_min",
+    )
+
+
+ORACLE_X206 = f"""
+WITH hw AS (
+    SELECT event_id, epoch_ns(ts) AS tsn,
+           max(epoch_ns(ts)) OVER (ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS hw
+    FROM events
+),
+l AS (
+    SELECT (hw - tsn) // {NANOS_PER_MIN} AS lm,
+           CASE WHEN hw > tsn THEN 1 ELSE 0 END AS late
+    FROM hw
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late) AS BIGINT) AS n_late,
+           max(lm) AS max_lateness_min
+    FROM l
+),
+cells AS (SELECT lm, CAST(count(*) AS BIGINT) AS c
+          FROM l GROUP BY lm),
+scored AS (
+    SELECT lm,
+           CAST(sum(c) OVER (ORDER BY lm
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(c) OVER () AS BIGINT) AS n
+    FROM cells
+),
+qs AS (
+    SELECT min(CASE WHEN cum >= (n * 50 + 99) // 100
+                    THEN lm END) AS p50_min,
+           min(CASE WHEN cum >= (n * 95 + 99) // 100
+                    THEN lm END) AS p95_min,
+           min(CASE WHEN cum >= (n * 99 + 99) // 100
+                    THEN lm END) AS p99_min
+    FROM scored
+)
+SELECT t.n_events, t.n_late, q.p50_min, q.p95_min, q.p99_min,
+       t.max_lateness_min
+FROM tot t CROSS JOIN qs q
+"""
+
+
 QUERIES = {
     "x180_entropy_rate": x180_entropy_rate,
     "x181_runs_test": x181_runs_test,
     "x182_label_margin": x182_label_margin,
     "x183_conversion_lag": x183_conversion_lag,
     "s28_stateful_transitions": s28_stateful_transitions,
+    "x206_watermark_audit": x206_watermark_audit,
 }
 
 ORACLES = {
@@ -586,4 +732,5 @@ ORACLES = {
     "x182_label_margin": ORACLE_X182,
     "x183_conversion_lag": ORACLE_X183,
     "s28_stateful_transitions": ORACLE_S28,
+    "x206_watermark_audit": ORACLE_X206,
 }

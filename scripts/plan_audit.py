@@ -103,6 +103,15 @@ ALLOWED_SINGLE_PARTITION = {
         " size; the x124 class); the corpus reduces through the"
         " keyed per-user first-seen aggregate first"
     ),
+    "x206_watermark_audit": (
+        "the value-at-rank cumulative window walks the DISTINCT"
+        " lateness-minute cells — bounded by the CALENDAR (a 31-day"
+        " span has <= 44,641 minute values at any corpus size; the"
+        " x124/x187 class); the corpus-sized running max runs through"
+        " the two-phase range-partitioned scan"
+        " (operators/prefix_max.py), plan-asserted single-partition-"
+        "free by tests/test_prefix_max.py"
+    ),
     "x200_concurrency_profile": (
         "the close_level window walks the per-DAY boundary rollup —"
         " bounded by the CALENDAR (one row per day at any corpus"

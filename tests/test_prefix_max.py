@@ -1,0 +1,46 @@
+"""Brute-force property tests for operators/prefix_max.py — the
+running-MAX two-phase scan (the max-monoid sibling of test_prefix.py's
+sum scan): result must equal a literal sorted walk for random frames,
+including negative values, duplicates of the max, and frames smaller
+than the partition count."""
+
+from __future__ import annotations
+
+import random
+
+from m5_competition_kaggle_spark.operators.prefix_max import (
+    global_running_max,
+)
+
+
+def test_running_max_matches_brute_force(spark):
+    rng = random.Random(4242)
+    for trial in range(4):
+        n = rng.randrange(1, 300)
+        rows = [
+            (i, rng.randrange(-(10**12), 10**12)) for i in range(n)
+        ]
+        rng.shuffle(rows)
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: r["rm"]
+            for r in global_running_max(
+                df, "v", ("k",), "rm"
+            ).collect()
+        }
+        best = None
+        expected = {}
+        for k, v in sorted(rows):
+            best = v if best is None else max(best, v)
+            expected[k] = best
+        assert got == expected, f"trial {trial}"
+
+
+def test_running_max_plan_has_no_single_partition_window(spark):
+    """The point of the operator: the per-partition window partitions
+    by __pid — no WindowExec over one global partition."""
+    rows = [(i, i % 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = global_running_max(df, "v", ("k",), "rm")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

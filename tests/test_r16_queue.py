@@ -372,3 +372,71 @@ def test_s28_stream_pairs_straddle_microbatches(spark):
         shutil.rmtree(d, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         spark.catalog.dropTempView("s28_out")
+
+
+# ------------------------------------------------------- x206 pins
+
+
+def test_watermark_audit_hand_walked(spark):
+    """Planted arrival sequence with hand-computed lateness: arrival
+    order (event_id) carries event times [t0, t0+5m, t0+1m, t0+10m,
+    t0-2m] -> high-water [t0, +5m, +5m, +10m, +10m] -> lateness
+    minutes [0, 0, 4, 0, 12]. n_late=2; minute cells {0:3, 4:1,
+    12:1}: p50 = 0 (cum 3 >= ceil(5*50/100)=3), p95 = p99 = 12,
+    max = 12."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    t0 = 1_704_067_200_000_000_000
+    m = 60_000_000_000
+    seq = [t0, t0 + 5 * m, t0 + 1 * m, t0 + 10 * m, t0 - 2 * m]
+    rows = [(i, ns, 1, "view") for i, ns in enumerate(seq)]
+    d = tempfile.mkdtemp(prefix="x206_hand_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, __ns long, user_id long,"
+            " event_type string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(
+                (F.col("__ns") / 1000).cast("long")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "events.parquet")
+        )
+        r = extensions_r16.x206_watermark_audit(
+            spark, d
+        ).collect()[0]
+        assert r["n_events"] == 5
+        assert r["n_late"] == 2
+        assert r["p50_min"] == 0
+        assert r["p95_min"] == 12
+        assert r["p99_min"] == 12
+        assert r["max_lateness_min"] == 12
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_audit_corpus_invariants(spark):
+    """Real corpus at sf0.01: quantiles monotone and HONEST FIXTURE
+    FINDING pinned — the generator assigns event_id in timestamp
+    order, so the replayed stream is perfectly in-order and the audit
+    correctly reads zero lateness everywhere (watermark 0: nothing
+    would drop). The hand-walked planted test above is where nonzero
+    lateness arithmetic is exercised."""
+    r = extensions_r16.x206_watermark_audit(spark, SF01).collect()[0]
+    assert r["n_events"] == 10_000
+    assert r["n_late"] == 0
+    assert (
+        r["p50_min"]
+        == r["p95_min"]
+        == r["p99_min"]
+        == r["max_lateness_min"]
+        == 0
+    )
