@@ -29,8 +29,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-_NEG_INF = -(2**62)  # identity for the int64 max monoid
-
 
 def global_running_max(
     df: DataFrame,
@@ -71,11 +69,16 @@ def global_running_max(
         .agg(F.max(value_col).alias("__top"))
         .collect()
     )
-    carry, carries = _NEG_INF, []
+    # The identity is NULL, not a finite sentinel: Spark's greatest()
+    # returns the largest NON-NULL operand, so the first partition
+    # (no carry-in) keeps its local max untouched even at the bottom
+    # of the int64 range — a finite "-inf" would silently floor
+    # values below it.
+    carry, carries = None, []
     for row in sorted(tops, key=lambda r: r["__pid"]):
         carries.append((row["__pid"], carry))
         top = row["__top"]
-        if top is not None and top > carry:
+        if top is not None and (carry is None or top > carry):
             carry = top
     carry_df = df.sparkSession.createDataFrame(
         carries, "__pid int, __carry long"

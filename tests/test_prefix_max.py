@@ -44,3 +44,16 @@ def test_running_max_plan_has_no_single_partition_window(spark):
     out = global_running_max(df, "v", ("k",), "rm")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_running_max_at_int64_bottom(spark):
+    """Values below -2^62 pin the NULL-identity fix: a finite '-inf'
+    sentinel would floor the first partition's maxima."""
+    lo = -(2**63) + 1
+    rows = [(0, lo), (1, lo + 1), (2, lo)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["rm"]
+        for r in global_running_max(df, "v", ("k",), "rm").collect()
+    }
+    assert got == {0: lo, 1: lo + 1, 2: lo + 1}
