@@ -31,6 +31,12 @@ as ``scripts/check_oracle.py``.
   correlation of edge-endpoint degrees certifies bit-exact
   (disjoint-clique corpora pin r = +1 closed-form; regular graphs
   pin the NULL denominator branch).
+- x207 dedup quality shift (added r13 second session): the
+  survivorship-bias audit — x202's FORCAST grade of the full corpus
+  vs the canonical survivors under the certified LSH config, per
+  source, from ONE corpus scan; population columns cross-pinned to
+  x188 exactly, and a planted boilerplate-family corpus pins the
+  +3750 shift closed-form.
 """
 
 from __future__ import annotations
@@ -607,12 +613,200 @@ def _x201_oracle() -> str:
     return ORACLE_X201.format(ctes=_minhash_verified_ctes(16, 4))
 
 
+# --------------------------------------------------------------- x207
+
+
+def x207_dedup_quality_shift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What dedup does to TEXT QUALITY, per source: the FORCAST
+    milli-grade (x202's from-scratch readability) of the full corpus
+    versus the canonical-survivor corpus under the certified LSH
+    config — the survivorship-bias audit beside x188's mass
+    accounting. A dedup pass that systematically drops the easy
+    boilerplate RAISES the surviving grade; one that eats long-tail
+    natural text LOWERS it; shift_milli reads the direction and size
+    exactly.
+
+    Pure composition of two certified reductions: the x188 dropped
+    set (LSH pairs → connected components → non-canonical members)
+    left-joins onto the x202 per-doc grade projection; one keyed
+    aggregate emits both populations' sums side by side, so the two
+    means come from ONE corpus scan. All-integer (grade sums are
+    BIGINT; truncating DIV on nonnegative operands; the mean shift is
+    a plain BIGINT difference, negative when dedup removes the
+    hard-text tail).
+
+    Reference parity: engine extension (SURVEY §2 dedup + text
+    families; the composition pattern of x94/x98).
+
+    .. note:: calls ``minhash_lsh_pairs`` (eager localCheckpoint) —
+       not a lazy plan.
+    """
+    from m5_competition_kaggle_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from m5_competition_kaggle_spark.operators.graph import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    graded = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(filter(split(lower(text), '[^a-z0-9]+'),"
+            " x -> x <> ''), x -> greatest(1L,"
+            " CAST(size(regexp_extract_all(x, '[aeiou]+', 0))"
+            " AS BIGINT)))"
+        ).alias("__sylls"),
+    ).select(
+        "doc_id",
+        "source",
+        F.expr("CAST(size(__sylls) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "CAST(size(filter(__sylls, s -> s = 1)) AS BIGINT)"
+        ).alias("n_mono"),
+    )
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=4,
+        shingle_size=3, threshold=0.8,
+    ).select("id_a", "id_b")
+    dropped = (
+        dedup_clusters(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    marked = graded.join(
+        dropped.withColumn("__drop", F.lit(1)), "doc_id", "left"
+    ).select(
+        "source",
+        "n_words",
+        F.when(
+            F.col("n_words") > 0,
+            F.lit(20000) - F.expr("(15000 * n_mono) DIV n_words"),
+        ).alias("grade"),
+        (F.col("__drop").isNull()).cast("long").alias("kept"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").alias("n_kept"),
+            F.sum(
+                F.when(F.col("grade").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_scored"),
+            F.sum(
+                F.when(
+                    F.col("grade").isNotNull() & (F.col("kept") == 1),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_scored_kept"),
+            F.sum("grade").alias("__gs_all"),
+            F.sum(F.when(F.col("kept") == 1, F.col("grade")))
+            .alias("__gs_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "n_scored",
+            "n_scored_kept",
+            F.expr(
+                "CASE WHEN n_scored > 0 THEN"
+                " __gs_all DIV n_scored END"
+            ).alias("mean_grade_all"),
+            F.expr(
+                "CASE WHEN n_scored_kept > 0 THEN"
+                " __gs_kept DIV n_scored_kept END"
+            ).alias("mean_grade_kept"),
+            F.expr(
+                "CASE WHEN n_scored > 0 AND n_scored_kept > 0 THEN"
+                " (__gs_kept DIV n_scored_kept)"
+                " - (__gs_all DIV n_scored) END"
+            ).alias("shift_milli"),
+        )
+        .orderBy("source")
+    )
+
+
+def _x207_oracle() -> str:
+    from m5_competition_kaggle_spark.queries.extensions import (
+        _minhash_verified_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE {_minhash_verified_ctes(16, 4)},
+vpairs AS (SELECT id_a, id_b FROM vstats WHERE jaccard >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM vpairs
+          UNION SELECT id_b, id_a FROM vpairs),
+reach(node, reached) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.reached
+),
+comp AS (SELECT node, min(reached) AS cluster_id
+         FROM reach GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM comp
+            WHERE node <> cluster_id),
+graded AS (
+    SELECT d.doc_id, d.source,
+           list_transform(
+               list_filter(regexp_split_to_array(lower(d.text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> ''),
+               x -> greatest(1, len(regexp_extract_all(x,
+                                                       '[aeiou]+')))
+           ) AS sylls,
+           CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM documents d LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+),
+per_doc AS (
+    SELECT source, kept,
+           CASE WHEN len(sylls) > 0 THEN
+               20000 - (15000 * CAST(len(list_filter(sylls,
+                        s -> s = 1)) AS BIGINT))
+                       // CAST(len(sylls) AS BIGINT)
+           END AS grade
+    FROM graded
+),
+agg AS (
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN grade IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN grade IS NOT NULL AND kept = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_scored_kept,
+           CAST(sum(grade) AS BIGINT) AS gs_all,
+           CAST(sum(CASE WHEN kept = 1 THEN grade END) AS BIGINT)
+               AS gs_kept
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_kept, n_scored, n_scored_kept,
+       CASE WHEN n_scored > 0 THEN gs_all // n_scored END
+           AS mean_grade_all,
+       CASE WHEN n_scored_kept > 0 THEN gs_kept // n_scored_kept END
+           AS mean_grade_kept,
+       CASE WHEN n_scored > 0 AND n_scored_kept > 0 THEN
+           (gs_kept // n_scored_kept) - (gs_all // n_scored) END
+           AS shift_milli
+FROM agg ORDER BY source
+"""
+
+
 QUERIES = {
     "x188_dedup_weighted_stats": x188_dedup_weighted_stats,
     "x189_source_ks_matrix": x189_source_ks_matrix,
     "x190_diurnal_profile": x190_diurnal_profile,
     "s29_user_conversions": s29_user_conversions,
     "x201_degree_assortativity": x201_degree_assortativity,
+    "x207_dedup_quality_shift": x207_dedup_quality_shift,
 }
 
 ORACLES = {
@@ -621,4 +815,5 @@ ORACLES = {
     "x190_diurnal_profile": ORACLE_X190,
     "s29_user_conversions": ORACLE_S29,
     "x201_degree_assortativity": _x201_oracle(),
+    "x207_dedup_quality_shift": _x207_oracle(),
 }

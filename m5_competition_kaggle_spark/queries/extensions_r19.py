@@ -37,6 +37,13 @@ as ``scripts/check_oracle.py``.
   the fixture genuinely lacks), all per-doc work in JVM higher-order
   array functions; syllables = [aeiou]+ vowel-group runs floored
   at 1, hand-syllabified pins.
+- x209 fact consistency (added r13 second session): does
+  o_totalprice equal Σ extendedprice·(1−discount)? Per-line integer
+  CENTS quantization before any sum (doubles never sum), deviation
+  ppm per order, capped whole-percent cells for the rank math.
+  HONEST FIXTURE FINDING: the generator draws o_totalprice
+  independently of lineitems — zero orders reconcile, the audit
+  correctly reading a fictional rollup column.
 """
 
 from __future__ import annotations
@@ -495,12 +502,179 @@ FROM agg ORDER BY source
 """
 
 
+# --------------------------------------------------------------- x209
+
+DEV_CAP_PCT = 1000  # deviations >= 10x the total all land in one cell
+
+
+def x209_fact_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table reconciliation audit: does the denormalized
+    ``o_totalprice`` equal the lineitem-level value Σ extendedprice ·
+    (1 − discount)? The referential-VALUE check (x204 audits key
+    overlap; this audits the money) every warehouse runs before
+    trusting a rollup column at 100 TB.
+
+    Float discipline: doubles sum order-dependently, so nothing here
+    sums a double — each line quantizes to integer cents FIRST
+    (``round(x·100)`` per row, deterministic in both engines), cents
+    sum exactly in BIGINT, and the per-order relative deviation is
+    integer ppm. Deviations then floor into whole-percent cells
+    CAPPED at {cap} (≥10× the total is one cell), so the value-at-
+    rank cumulative window walks ≤ {cap}+1 rows by construction at
+    any corpus size — the x124 allowance via an explicit bound, NOT
+    the calendar.
+
+    Orders with no lineitems reconcile against an empty sum (cents 0
+    → deviation = 100% of total → the cap cell). HONEST FIXTURE
+    FINDING: the synthetic generator draws o_totalprice independently
+    of its lineitems, so ZERO orders reconcile and the p50 deviation
+    sits in the hundreds of percent — the audit correctly reading a
+    rollup column that is, in this corpus, fiction.
+
+    Reference parity: engine extension (SURVEY §2 relational-audit
+    family beside x204).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.expr(
+            "CAST(round(l_extendedprice * (1 - l_discount) * 100)"
+            " AS BIGINT)"
+        ).alias("cents"),
+    )
+    sums = li.groupBy("okey").agg(F.sum("cents").alias("line_cents"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+            "total_cents"
+        ),
+    )
+    dev = orders.join(sums, "okey", "left").select(
+        F.expr(
+            "CASE WHEN total_cents > 0 THEN"
+            " (1000000 * abs(total_cents - coalesce(line_cents, 0)))"
+            " DIV total_cents END"
+        ).alias("dev_ppm")
+    ).filter(F.col("dev_ppm").isNotNull())
+    binned = dev.select(
+        F.expr(
+            f"least(dev_ppm DIV 10000, {DEV_CAP_PCT})"
+        ).alias("dev_pct"),
+        "dev_ppm",
+    )
+    tot = binned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("dev_ppm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("dev_ppm") <= 10_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.sum(F.when(F.col("dev_ppm") <= 100_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_10pct"),
+        F.max("dev_pct").alias("max_dev_pct"),
+    )
+    cells = binned.groupBy("dev_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = Window.orderBy("dev_pct").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = cells.withColumn(
+        "cum", F.sum("c").over(w_cum)
+    ).withColumn("n", F.sum("c").over(Window.partitionBy()))
+    qs = scored.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 50 + 99) DIV 100"),
+                F.col("dev_pct"),
+            )
+        ).alias("p50_dev_pct"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n * 90 + 99) DIV 100"),
+                F.col("dev_pct"),
+            )
+        ).alias("p90_dev_pct"),
+    )
+    return tot.crossJoin(qs).select(
+        "n_orders", "n_exact", "n_within_1pct", "n_within_10pct",
+        "p50_dev_pct", "p90_dev_pct", "max_dev_pct",
+    )
+
+
+x209_fact_consistency.__doc__ = x209_fact_consistency.__doc__.format(
+    cap=DEV_CAP_PCT
+)
+
+
+ORACLE_X209 = f"""
+WITH li AS (
+    SELECT l_orderkey AS okey,
+           CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT) AS cents
+    FROM lineitem
+),
+sums AS (SELECT okey, CAST(sum(cents) AS BIGINT) AS line_cents
+         FROM li GROUP BY okey),
+dev AS (
+    SELECT (1000000 * abs(o.total_cents
+                          - coalesce(s.line_cents, 0)))
+               // o.total_cents AS dev_ppm
+    FROM (SELECT o_orderkey AS okey,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS total_cents
+          FROM orders) o
+    LEFT JOIN sums s ON s.okey = o.okey
+    WHERE o.total_cents > 0
+),
+binned AS (
+    SELECT least(dev_ppm // 10000, {DEV_CAP_PCT}) AS dev_pct,
+           dev_ppm
+    FROM dev
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN dev_ppm = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN dev_ppm <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_1pct,
+           CAST(sum(CASE WHEN dev_ppm <= 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_10pct,
+           max(dev_pct) AS max_dev_pct
+    FROM binned
+),
+cells AS (SELECT dev_pct, CAST(count(*) AS BIGINT) AS c
+          FROM binned GROUP BY dev_pct),
+scored AS (
+    SELECT dev_pct,
+           CAST(sum(c) OVER (ORDER BY dev_pct
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           CAST(sum(c) OVER () AS BIGINT) AS n
+    FROM cells
+),
+qs AS (
+    SELECT min(CASE WHEN cum >= (n * 50 + 99) // 100
+                    THEN dev_pct END) AS p50_dev_pct,
+           min(CASE WHEN cum >= (n * 90 + 99) // 100
+                    THEN dev_pct END) AS p90_dev_pct
+    FROM scored
+)
+SELECT t.n_orders, t.n_exact, t.n_within_1pct, t.n_within_10pct,
+       q.p50_dev_pct, q.p90_dev_pct, t.max_dev_pct
+FROM tot t CROSS JOIN qs q
+"""
+
+
 QUERIES = {
     "x191_zipf_slope": x191_zipf_slope,
     "x192_implication_matrix": x192_implication_matrix,
     "x193_user_growth": x193_user_growth,
     "x194_langid_confusion": x194_langid_confusion,
     "x202_readability_forcast": x202_readability_forcast,
+    "x209_fact_consistency": x209_fact_consistency,
 }
 
 ORACLES = {
@@ -509,4 +683,5 @@ ORACLES = {
     "x193_user_growth": ORACLE_X193,
     "x194_langid_confusion": _langid_confusion_oracle(),
     "x202_readability_forcast": ORACLE_X202,
+    "x209_fact_consistency": ORACLE_X209,
 }

@@ -392,3 +392,61 @@ def test_assortativity_corpus_bounds(spark):
     assert r["sum_deg_prod"] >= r["m_directed"]
     if r["assort_ppm"] is not None:
         assert -1_000_000 <= r["assort_ppm"] <= 1_000_000
+
+
+# ------------------------------------------------------- x207 pins
+
+
+def test_quality_shift_cross_pins_x188(spark):
+    """Same dropped set, same grouping: x207's population columns
+    must equal x188's exactly (per source, sf0.001)."""
+    a = {
+        r["source"]: r
+        for r in extensions_r18.x188_dedup_weighted_stats(
+            spark, SF
+        ).collect()
+    }
+    b = {
+        r["source"]: r
+        for r in extensions_r18.x207_dedup_quality_shift(
+            spark, SF
+        ).collect()
+    }
+    assert a.keys() == b.keys()
+    for src in a:
+        assert b[src]["n_docs"] == a[src]["n_docs"]
+        assert b[src]["n_kept"] == a[src]["n_docs_kept"]
+
+
+def test_quality_shift_planted_boilerplate_drop(spark):
+    """Three copies of an all-monosyllable text (grade 5000) plus one
+    unique polysyllabic doc (grade 20000): dedup keeps one of each,
+    so mean_all = 35000 DIV 4 = 8750, mean_kept = 25000 DIV 2 =
+    12500, shift = +3750 — dropping boilerplate RAISES the surviving
+    grade, with every number closed-form."""
+    mono = "the big fast sort with a top key for the new map"
+    poly = (
+        "customer window merger patterns deliver analytic"
+        " pipelines over resilient partition boundaries"
+    )
+    rows = [(i, mono, "en", "s") for i in range(3)] + [
+        (10, poly, "en", "s")
+    ]
+    d = tempfile.mkdtemp(prefix="x207_plant_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        r = extensions_r18.x207_dedup_quality_shift(
+            spark, d
+        ).collect()[0]
+        assert r["n_docs"] == 4 and r["n_kept"] == 2
+        assert r["n_scored"] == 4 and r["n_scored_kept"] == 2
+        assert r["mean_grade_all"] == 8750
+        assert r["mean_grade_kept"] == 12500
+        assert r["shift_milli"] == 3750
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

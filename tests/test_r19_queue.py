@@ -266,3 +266,72 @@ def test_forcast_corpus_bounds(spark):
         assert 5_000 <= r["mean_grade_milli"] <= 20_000
         assert r["syll_per_word_ppm"] >= 1_000_000
         assert 0 <= r["sum_mono"] <= r["sum_words"]
+
+
+# ------------------------------------------------------- x209 pins
+
+
+def test_fact_consistency_planted_walk(spark):
+    """Three planted orders: one exact (dev 0), one 5% off
+    (dev 47619 ppm -> cell 4), one with no lineitems (100% -> cell
+    100). Every output column closed-form."""
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    d = tempfile.mkdtemp(prefix="x209_plant_")
+    try:
+        spark.createDataFrame(
+            [(1, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+              "2024-01-01 00:00:00"),
+             (2, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O",
+              "2024-01-01 00:00:00")],
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double,"
+            " l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate string",
+        ).withColumn(
+            "l_shipdate", F.to_timestamp("l_shipdate")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "lineitem.parquet")
+        )
+        spark.createDataFrame(
+            [(1, 1, "O", 100.0, "2024-01-01 00:00:00", "1-URGENT"),
+             (2, 1, "O", 105.0, "2024-01-01 00:00:00", "1-URGENT"),
+             (3, 1, "O", 50.0, "2024-01-01 00:00:00", "1-URGENT")],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate string,"
+            " o_orderpriority string",
+        ).withColumn(
+            "o_orderdate", F.to_timestamp("o_orderdate")
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(d, "orders.parquet")
+        )
+        r = extensions_r19.x209_fact_consistency(
+            spark, d
+        ).collect()[0]
+        assert r["n_orders"] == 3
+        assert r["n_exact"] == 1          # order 1
+        assert r["n_within_1pct"] == 1    # only the exact one
+        assert r["n_within_10pct"] == 2   # orders 1 and 2
+        assert r["p50_dev_pct"] == 4      # 47619 ppm -> 4%
+        assert r["p90_dev_pct"] == 100    # the empty order
+        assert r["max_dev_pct"] == 100
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_fact_consistency_fixture_is_fiction(spark):
+    """HONEST FIXTURE FINDING pinned: the generator draws
+    o_totalprice independently of lineitems, so no order reconciles
+    at any tolerance and the median deviation is enormous."""
+    r = extensions_r19.x209_fact_consistency(spark, SF01).collect()[0]
+    assert r["n_orders"] > 1000
+    assert r["n_exact"] == 0
+    # a handful of random totals land within 1% by coincidence
+    # (measured 91 of ~15k at sf0.01) — but never more than a sliver
+    assert r["n_within_1pct"] < r["n_orders"] // 50
+    assert r["p50_dev_pct"] >= 1
+    assert r["max_dev_pct"] <= 1000
