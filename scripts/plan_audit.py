@@ -103,6 +103,13 @@ ALLOWED_SINGLE_PARTITION = {
         " size; the x124 class); the corpus reduces through the"
         " keyed per-user first-seen aggregate first"
     ),
+    "x209_fact_consistency": (
+        "the value-at-rank cumulative window walks the deviation"
+        " cells — bounded EXPLICITLY at DEV_CAP_PCT + 1 = 1001 rows"
+        " by the least() cap (every deviation >= 10x the total lands"
+        " in one cell), not by the calendar; the corpus reduces"
+        " through the per-order keyed cents aggregate first"
+    ),
     "x206_watermark_audit": (
         "the value-at-rank cumulative window walks the DISTINCT"
         " lateness-minute cells — bounded by the CALENDAR (a 31-day"

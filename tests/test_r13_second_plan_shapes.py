@@ -46,6 +46,8 @@ NEW_QUERIES = {
     "x202_readability_forcast": extensions_r19.QUERIES,
     "x203_bucket_balance": extensions_r20.QUERIES,
     "x204_join_cardinality_audit": extensions_r20.QUERIES,
+    "x207_dedup_quality_shift": extensions_r18.QUERIES,
+    "x209_fact_consistency": extensions_r19.QUERIES,
 }
 
 
@@ -101,3 +103,15 @@ def test_embedding_health_generate_then_keyed_agg(spark):
     )
     assert "Generate" in ex  # posexplode stayed JVM-side
     assert "keys=[dim" in ex
+
+
+def test_fact_consistency_keyed_sum_before_join(spark):
+    """The lineitem side reduces to one row per order BEFORE meeting
+    orders - the audit never carries line-level rows through the
+    join."""
+    ex = _executed(
+        extensions_r19.QUERIES["x209_fact_consistency"](spark, SF)
+    )
+    assert "CartesianProduct" not in ex
+    # cents aggregate keyed by okey appears below the join
+    assert "keys=[okey" in ex
