@@ -31,6 +31,12 @@ surface a product/ops team actually asks —
   planning's peak-concurrency readout; the running sum goes through
   the two-phase range-partitioned scan (operators/prefix.py), never
   a single-partition window.
+- x208 strict-order funnel (added r13 second session): users
+  progressing view → click → purchase where each step must follow
+  the previous step's completion — a fixed chain of keyed
+  min-aggregates and equi-joins (never a per-user array collect);
+  reach counts and floor-ppm retention per step, strictness pinned
+  by a purchase-before-view plant.
 
 No new streaming entry: this family's streaming counterparts already
 exist (s3 native sessions, s12 interval join, s28 stateful
@@ -577,12 +583,122 @@ FROM days ORDER BY day_idx
 """
 
 
+# --------------------------------------------------------------- x208
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def x208_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: how many users progress view → click →
+    purchase where each step must happen STRICTLY AFTER the previous
+    step's completion time (first view, then the first click after
+    that view, then the first purchase after that click). The
+    classic product funnel x186's free-form signatures and x183's
+    single-pair lag don't compute: a user who purchases BEFORE ever
+    viewing does not convert here.
+
+    Scale shape: one keyed min-aggregate per step plus one keyed
+    join per step — the step count is a constant (3), so the plan is
+    a fixed chain of hash aggregates and equi-joins, never a
+    per-user array collect (a hot user's timeline can exceed memory;
+    the join-chain shape is bounded per step at one row per
+    qualifying user). Output: one row per funnel prefix with the
+    reach count and the ppm retained from the previous step.
+
+    Reference parity: engine extension (SURVEY §2 journey family
+    beside x183/x185/x186).
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def _tag(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached")
+        ).select(
+            F.lit(idx).cast("long").alias("step_idx"),
+            F.lit(name).alias("step"),
+            "n_reached",
+        )
+
+    counts = _tag(ev.select("user_id").distinct(), 0, "all_users")
+    prev = None
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        stage = ev.filter(F.col("event_type") == step).select(
+            "user_id", F.col("ts_nanos").alias("__ts")
+        )
+        if prev is not None:
+            stage = stage.join(prev, "user_id").filter(
+                F.col("__ts") > F.col("__t_prev")
+            )
+        cur = stage.groupBy("user_id").agg(
+            F.min("__ts").alias("__t_prev")
+        )
+        counts = counts.unionAll(_tag(cur, i, step))
+        prev = cur
+    # retained_ppm via a 4-row self-join on step_idx − 1; step 0
+    # retains against itself by definition (10⁶).
+    prev_counts = counts.select(
+        (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("n_reached").alias("__prev_n"),
+    )
+    return (
+        counts.join(prev_counts, "step_idx", "left")
+        .select(
+            "step_idx",
+            "step",
+            "n_reached",
+            F.expr(
+                "CASE WHEN step_idx = 0 THEN 1000000"
+                " WHEN coalesce(__prev_n, 0) > 0 THEN"
+                " (1000000 * n_reached) DIV __prev_n END"
+            ).alias("retained_ppm"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+ORACLE_X208 = """
+WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+           FROM events),
+s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1
+       FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2
+       FROM events e JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t1
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3
+       FROM events e JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t2
+       GROUP BY e.user_id),
+counts AS (
+    SELECT 0 AS step_idx, 'all_users' AS step, u.n AS n_reached,
+           u.n AS prev_n
+    FROM u
+    UNION ALL
+    SELECT 1, 'view', CAST(count(*) AS BIGINT), (SELECT n FROM u)
+    FROM s1
+    UNION ALL
+    SELECT 2, 'click', CAST(count(*) AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM s1)
+    FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM s2)
+    FROM s3
+)
+SELECT step_idx, step, n_reached,
+       CASE WHEN prev_n > 0 THEN (1000000 * n_reached) // prev_n
+       END AS retained_ppm
+FROM counts ORDER BY step_idx
+"""
+
+
 QUERIES = {
     "x184_phrase_search": x184_phrase_search,
     "x185_followed_by": x185_followed_by,
     "x186_path_signatures": x186_path_signatures,
     "x187_conversion_lag_quantiles": x187_conversion_lag_quantiles,
     "x200_concurrency_profile": x200_concurrency_profile,
+    "x208_funnel_steps": x208_funnel_steps,
 }
 
 ORACLES = {
@@ -591,4 +707,5 @@ ORACLES = {
     "x186_path_signatures": ORACLE_X186,
     "x187_conversion_lag_quantiles": ORACLE_X187,
     "x200_concurrency_profile": ORACLE_X200,
+    "x208_funnel_steps": ORACLE_X208,
 }

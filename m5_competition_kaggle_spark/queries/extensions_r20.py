@@ -34,6 +34,11 @@ Two layout/plan-audit certificates added in the r13 second session:
   DECIMAL(38,0) transient) for orders ⋈ customer — computed from the
   two per-key count tables, |keys|-sized bookkeeping instead of the
   join itself; est == actual pinned against a real join.
+- x210 key-skew certificate (added r13 second session): the one-row
+  go/no-go behind the salting decision — exact skew_ppm (hot key as
+  a multiple of fair share) and Herfindahl hhi_ppm per candidate
+  shuffle key, from one map-side-combining count and one global
+  aggregate; uniform and 98/1/1 plants pin the closed forms.
 """
 
 from __future__ import annotations
@@ -617,12 +622,114 @@ FROM both_k
 """
 
 
+# --------------------------------------------------------------- x210
+
+
+def x210_key_skew_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join/shuffle-key skew certificate — the measurement behind the
+    salting decision (``operators/skew.py``) and AQE's skew-join
+    threshold: for each candidate shuffle key over events (user_id:
+    the real join key; event_type: a deliberately pathological
+    5-value key), one row with the exact concentration readout —
+    key count, max/mean frequency, skew_ppm = 10⁶·max·n_keys DIV
+    n_rows (10⁶ = perfectly uniform; a hot key reads directly as its
+    multiple of fair share) and hhi_ppm = 10⁶·Σcnt² DIV n_rows²
+    (the Herfindahl concentration, 10⁶/n_keys at uniform, → 10⁶ as
+    one key takes everything).
+
+    Scale shape: one map-side-combining count per key column, then a
+    1-row global aggregate of the count table — no windows, no
+    sorts, no top-k; Σcnt² widens through DECIMAL(38,0) (two
+    corpus-growing factors — the r12 overflow class) and n_rows² in
+    the same transient; quotients are ppm-bounded so the DIV cannot
+    wrap. Heavy-hitter IDENTITIES are deliberately out of scope —
+    the CMS heavy-hitters family already certifies those; this is
+    the one-row go/no-go number.
+
+    Reference parity: engine extension (SURVEY §2 relational-audit
+    family beside x203/x204).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    outs = []
+    for key_name, col in (
+        ("user_id", F.col("user_id").cast("string")),
+        ("event_type", F.col("event_type")),
+    ):
+        counts = (
+            ev.select(col.alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        agg = counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.sum(
+                (F.col("cnt") * F.col("cnt")).cast(dec)
+            ).alias("__sq"),
+        ).select(
+            F.lit(key_name).alias("key_name"),
+            "n_keys",
+            "n_rows",
+            "max_cnt",
+            F.expr("n_rows DIV n_keys").alias("mean_cnt"),
+            F.expr(
+                "CASE WHEN n_rows > 0 THEN CAST("
+                " (CAST(1000000 AS DECIMAL(38,0)) * max_cnt"
+                "  * n_keys)"
+                " DIV (CAST(n_rows AS DECIMAL(38,0)))"
+                " AS BIGINT) END"
+            ).alias("skew_ppm"),
+            F.expr(
+                "CASE WHEN n_rows > 0 THEN CAST("
+                " (CAST(1000000 AS DECIMAL(38,0)) * __sq)"
+                " DIV (CAST(n_rows AS DECIMAL(38,0)) * n_rows)"
+                " AS BIGINT) END"
+            ).alias("hhi_ppm"),
+        )
+        outs.append(agg)
+    return outs[0].unionAll(outs[1]).orderBy("key_name")
+
+
+ORACLE_X210 = """
+WITH keyed AS (
+    SELECT 'user_id' AS key_name,
+           CAST(user_id AS VARCHAR) AS k
+    FROM events
+    UNION ALL
+    SELECT 'event_type', event_type FROM events
+),
+counts AS (SELECT key_name, k, CAST(count(*) AS BIGINT) AS cnt
+           FROM keyed GROUP BY key_name, k)
+SELECT key_name,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       max(cnt) AS max_cnt,
+       CAST(sum(cnt) AS BIGINT) // CAST(count(*) AS BIGINT)
+           AS mean_cnt,
+       CASE WHEN sum(cnt) > 0 THEN CAST(
+           (1000000 * CAST(max(cnt) AS HUGEINT) * count(*))
+           // sum(cnt) AS BIGINT) END AS skew_ppm,
+       CASE WHEN sum(cnt) > 0 THEN CAST(
+           (1000000 * CAST(sum(cnt * cnt) AS HUGEINT))
+           // (CAST(sum(cnt) AS HUGEINT) * sum(cnt)) AS BIGINT) END
+           AS hhi_ppm
+FROM counts
+GROUP BY key_name
+ORDER BY key_name
+"""
+
+
 QUERIES = {
     "x195_residual_acf": x195_residual_acf,
     "x196_discount_lift": x196_discount_lift,
     "x197_weekend_shift": x197_weekend_shift,
     "x203_bucket_balance": x203_bucket_balance,
     "x204_join_cardinality_audit": x204_join_cardinality_audit,
+    "x210_key_skew_certificate": x210_key_skew_certificate,
 }
 
 ORACLES = {
@@ -631,4 +738,5 @@ ORACLES = {
     "x197_weekend_shift": ORACLE_X197,
     "x203_bucket_balance": ORACLE_X203,
     "x204_join_cardinality_audit": ORACLE_X204,
+    "x210_key_skew_certificate": ORACLE_X210,
 }

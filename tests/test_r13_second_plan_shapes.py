@@ -48,6 +48,8 @@ NEW_QUERIES = {
     "x204_join_cardinality_audit": extensions_r20.QUERIES,
     "x207_dedup_quality_shift": extensions_r18.QUERIES,
     "x209_fact_consistency": extensions_r19.QUERIES,
+    "x208_funnel_steps": extensions_r17.QUERIES,
+    "x210_key_skew_certificate": extensions_r20.QUERIES,
 }
 
 

@@ -309,3 +309,71 @@ def test_concurrency_conservation_vs_g17(spark):
     for r in out:
         assert 1 <= r["peak_level"] <= n_users
         assert r["close_level"] >= 0
+
+
+# ------------------------------------------------------- x208 pins
+
+
+def test_funnel_strict_order_planted(spark):
+    """Hand-built funnel: user 1 converts fully in order; user 2
+    purchases BEFORE viewing (strict order says not converted); user
+    3 views then purchases but never clicks (stops at view); user 4
+    only clicks (clicking without a prior view reaches nothing)."""
+    import shutil
+    import tempfile
+
+    t = _T0_X200
+    m = 60_000_000_000
+    rows = [
+        (1, t, 1, "view"), (2, t + m, 1, "click"),
+        (3, t + 2 * m, 1, "purchase"),
+        (4, t, 2, "purchase"), (5, t + m, 2, "view"),
+        (6, t, 3, "view"), (7, t + m, 3, "purchase"),
+        (8, t, 4, "click"),
+    ]
+    d = tempfile.mkdtemp(prefix="x208_plant_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, __ns long, user_id long,"
+            " event_type string",
+        ).select(
+            "event_id",
+            F.timestamp_micros(
+                (F.col("__ns") / 1000).cast("long")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = {
+            r["step"]: r
+            for r in extensions_r17.x208_funnel_steps(
+                spark, d
+            ).collect()
+        }
+        assert out["all_users"]["n_reached"] == 4
+        assert out["view"]["n_reached"] == 3     # users 1, 2, 3
+        assert out["click"]["n_reached"] == 1    # user 1 only
+        assert out["purchase"]["n_reached"] == 1
+        assert out["all_users"]["retained_ppm"] == 1_000_000
+        assert out["view"]["retained_ppm"] == 750_000
+        assert out["click"]["retained_ppm"] == 333_333
+        assert out["purchase"]["retained_ppm"] == 1_000_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_funnel_monotone_on_corpus(spark):
+    """Reach counts are monotone nonincreasing down the funnel and
+    every retained_ppm is a valid floor-ppm."""
+    out = extensions_r17.x208_funnel_steps(spark, SF01).collect()
+    assert [r["step_idx"] for r in out] == [0, 1, 2, 3]
+    ns = [r["n_reached"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    assert ns[-1] > 0  # purchases do happen in order somewhere
+    for r in out:
+        assert 0 <= r["retained_ppm"] <= 1_000_000

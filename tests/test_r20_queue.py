@@ -294,3 +294,91 @@ def test_join_audit_planted_orphans_both_sides(spark):
         assert r["est_output_rows"] == 2   # 2 orders x 1 customer
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------- x210 pins
+
+
+def test_key_skew_planted_uniform_and_hot(spark):
+    """Closed forms: a perfectly uniform key reads skew_ppm exactly
+    10^6 and hhi_ppm exactly 10^6 DIV n_keys; a 98/1/1 hot-key split
+    reads skew 2,940,000 (2.94x fair share) and hhi 960,600."""
+    import shutil
+    import tempfile
+
+    import os as _os
+
+    rows = []
+    eid = 0
+    # uniform: users 1..4, 25 events each
+    for uid in range(1, 5):
+        for _ in range(25):
+            rows.append((eid, uid, "view"))
+            eid += 1
+    d = tempfile.mkdtemp(prefix="x210_plant_")
+    try:
+        def _write(rs):
+            spark.createDataFrame(
+                rs, "event_id long, user_id long, event_type string"
+            ).select(
+                "event_id",
+                F.timestamp_micros(
+                    F.lit(1_704_067_200_000_000) + F.col("event_id")
+                ).alias("ts"),
+                "user_id",
+                "event_type",
+                F.lit(1.0).alias("value"),
+                F.lit("{}").alias("props"),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(d, "events.parquet")
+            )
+
+        _write(rows)
+        out = {
+            r["key_name"]: r
+            for r in extensions_r20.x210_key_skew_certificate(
+                spark, d
+            ).collect()
+        }
+        u = out["user_id"]
+        assert u["n_keys"] == 4 and u["n_rows"] == 100
+        assert u["max_cnt"] == 25 and u["mean_cnt"] == 25
+        assert u["skew_ppm"] == 1_000_000
+        assert u["hhi_ppm"] == 250_000  # 10^6 / 4
+        # hot key: user 9 gets 98 rows, users 8 and 7 one each
+        hot = [(i, 9, "view") for i in range(98)] + [
+            (98, 8, "view"), (99, 7, "view")
+        ]
+        _write(hot)
+        out = {
+            r["key_name"]: r
+            for r in extensions_r20.x210_key_skew_certificate(
+                spark, d
+            ).collect()
+        }
+        u = out["user_id"]
+        assert u["n_keys"] == 3 and u["max_cnt"] == 98
+        assert u["skew_ppm"] == 2_940_000
+        assert u["hhi_ppm"] == 960_600
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_key_skew_corpus_reads_the_bad_key(spark):
+    """The 5-value event_type key must read near-uniform fair-share
+    hhi (~10^6/5) but the certificate still shows user_id spreading
+    400x wider; skew_ppm >= 10^6 always (max >= mean)."""
+    out = {
+        r["key_name"]: r
+        for r in extensions_r20.x210_key_skew_certificate(
+            spark, SF01
+        ).collect()
+    }
+    et, uid = out["event_type"], out["user_id"]
+    assert et["n_keys"] == 5
+    assert uid["n_keys"] == 150
+    for r in (et, uid):
+        assert r["skew_ppm"] >= 1_000_000
+        assert 0 < r["hhi_ppm"] <= 1_000_000
+    assert 190_000 <= et["hhi_ppm"] <= 220_000  # ~1/5
+    assert uid["hhi_ppm"] < et["hhi_ppm"]       # 150 keys spread
