@@ -36,6 +36,7 @@ from m5_competition_kaggle_spark.queries import (
     extensions_r12,
     extensions_r13,
     extensions_r13b,
+    extensions_r14,
     llm_curation,
     streaming_shaped,
 )
@@ -53,7 +54,7 @@ _MODULES = (
     extensions_r8b, extensions_r8c, extensions_r8d,
     extensions_r8e, extensions_r8f, extensions_r9, extensions_r9b,
     extensions_r10, extensions_r11, extensions_r12, extensions_r13,
-    extensions_r13b,
+    extensions_r13b, extensions_r14,
 )
 
 # Registration order is a driver contract: the driver records correctness
@@ -238,38 +239,63 @@ _MODULES = (
 # exact counterparts + bound flags the oracle asserts, so the head
 # slots x17/x28 previously burned rows-only now carry value-hash
 # evidence; x17/x28 keep their valid rows-only banked greens and
-# leave the deliberate picks). The 42 deliberate picks are
+# leave the deliberate picks). The 42 deliberate picks were
 # oldest-valid-green-first from the regenerated post-r12-fold
-# ledger: the 21 r04 singles (g11/g12, g15–g18, x19–x23, x25, x27,
-# x28, x30–x32, x34–x36, x40), then the oldest 21 r05 singles
-# (q12–q14, q16, q17, q19–q23, x1, x4–x8, x11, x13–x16, x18).
-# 42 picks + 6 + 2 new = 50 exactly.
-# Leftover singles for r14: x17 (rows-only re-bank), the 6
-# remaining r05 rows (x38, x39, x42, x43, g13, g14), the 11 r08
-# singles, the 11 r11 singles, and the 29 r12 singles — against
-# r14's 8 staged registrations (x171–x175, s26, plus the r13-added
-# x198 truncation-recall and x199 dedup-config-stability audits),
-# leaving 42 slots.
+# ledger: the 20 r04 singles (g11/g12, g15–g18, x19–x23, x25, x27,
+# x30–x32, x34–x36, x40 — x28 is NOT picked: its r04 rows-only
+# green stays banked and x28b carries the hash evidence), then the
+# oldest 22 r05 singles (q12–q14, q16, q17, q19–q23, x1, x4–x8,
+# x11, x13–x16, x18). 42 picks + 6 + 2 new = 50 exactly.
+# (ADVICE r13 item 1: the original comment listed x28 among 21 r04
+# picks and called the 22-item r05 list "the oldest 21"; corrected
+# above — the tuple itself was always 20+22=42.)
+#
+# Round-14 head composition (executes the r13-staged plan, corrected
+# against the regenerated post-r13-fold ledger — 240/240 valid
+# greens, 0 stale): the 9 extensions_r14 registrations (x171–x175,
+# s26 staged r12; x198/x199 audit pair added r13; x67b interval
+# cell-decomposition twin added r13-second — each locally certified
+# at sf0.001+sf0.01, 100×-probed, plan-audited,
+# tests/test_r14_queue.py) auto-promote via _promotions.py as
+# never-certified. The 41 deliberate picks are oldest-valid-green-
+# first from the post-r13-fold ledger: x17 (r05 rows-only green —
+# the planned re-bank; x28's r04 rows green stays banked per the
+# x28b policy above), the 6 remaining r05 hash singles (x38, x39,
+# x42, x43, g13, g14), the 11 r08 singles (x73–x76, x78–x83, g20),
+# the 11 r11 singles (q15, q18, x26, x52, x53, x100, x104, x109,
+# x123, x132, x133), then the oldest 12 of the 29 r12 singles in
+# registration order (x2, x3, x37, x24, x29, x41, x51, x58, x60,
+# x65, x77, x94). 41 picks + 9 new = 50 exactly. Nothing may stale
+# mid-round. Leftover singles for r15: the 17 remaining r12 singles
+# (x98, x105, x108, x113, x156–x166, s23, s24) and the 8 r13
+# singles (x167–x170, s25, s30, x17b, x28b) — against r15's 5
+# staged registrations (x176–x179 + s27), leaving 45 slots, so the
+# whole pool re-banks with ~20 slots spare for the oldest r14-green
+# singles.
 _HEAD = (
-    # oldest still-valid greens (r04) — single-green, oldest first
-    "g11_gap_fill_locf", "g12_correlated_subquery",
-    "g15_rank_distribution", "g16_pivot_multi_agg",
-    "g17_sessionize_gaps", "g18_transition_counts",
-    "x25_pii_redact", "x19_chunk_docs", "x20_decontaminate",
-    "x21_stratified_sample", "x22_repetition_quality",
-    "x23_sim_topk_ivf", "x27_importance_sample",
-    "x30_vocab_topk", "x31_lm_surprisal",
-    "x32_tfidf_keywords", "x34_dup_spans", "x35_temperature_mix",
-    "x36_hashed_tf", "x40_length_buckets",
-    # r05 singles, oldest-built first
-    "q12_regex_concat", "q13_time_features", "q14_date_arith",
-    "q16_keyed_update", "q17_feature_attach", "q19_rolling_multi",
-    "q20_rank_functions", "q21_string_functions",
-    "q22_array_functions", "q23_conditional_functions",
-    "x1_dedup_exact", "x4_dedup_simhash", "x5_text_fingerprint",
-    "x6_text_tokens", "x7_text_quality", "x8_text_langid",
-    "x11_multimodal_meta", "x13_asof_join", "x14_simhash_pairs",
-    "x15_json_props", "x16_curation_pipeline", "x18_hash_split",
+    # oldest still-valid green of all: x17's r05 rows-only row
+    # (planned r14 re-bank; x17b carries its hash evidence)
+    "x17_approx_sketches",
+    # remaining r05 singles, registration order
+    "x38_code_detect", "x39_label_centroids",
+    "x42_multimodal_frames", "x43_zorder_key",
+    "g13_cohort_retention", "g14_profile_stats",
+    # r08 singles, registration order
+    "x73_group_ols", "x74_scd2_islands", "x75_basket_lift",
+    "x76_bpe_pairs", "x78_bigram_next", "x79_norm_dedup",
+    "x80_gini_skew", "x81_phash_neardup", "x82_asof_forward",
+    "x83_winsorized_mean", "g20_rolling_distinct",
+    # r11 singles (the persist-leak re-banks + r11 registrations)
+    "q15_label_encode", "q18_feature_pipeline", "x26_pack_shards",
+    "x52_hist_quantiles", "x53_seeded_shuffle", "x100_rfm_segments",
+    "x104_systematic_sample", "x109_zone_map_pruning",
+    "x123_quantile_norm", "x132_shard_source_mix", "x133_gains_lift",
+    # oldest 12 r12 singles, registration order
+    "x2_dedup_minhash", "x3_dedup_ngram", "x37_containment_pairs",
+    "x24_dedup_clusters", "x29_corpus_to_shards", "x41_pagerank",
+    "x51_semantic_dedup", "x58_triangle_counts",
+    "x60_incremental_dedup", "x65_kcore", "x77_cluster_canonical",
+    "x94_dedup_eval",
 )
 
 HEAD_CAP = 50
