@@ -55,6 +55,14 @@ def global_running_sum(
     without a single-partition exchange. ``order_cols`` must be a unique
     key (ties would make "the" global order ambiguous).
 
+    Contract: ``value_col`` must be integral (the driver-side offset
+    relation is typed ``bigint``, and partial sums must not overflow
+    int64 — callers with wider ranges pre-scale or bucket first). The
+    sibling ``prefix_max.global_running_max`` is generic over ordered
+    types because max never widens; sum does, so this operator keeps
+    the explicit bigint contract rather than silently adopting the
+    input type's overflow behavior.
+
     .. note:: Calling this function launches a Spark job IMMEDIATELY
        (eager ``localCheckpoint`` of an intermediate relation) even if
        the returned DataFrame is never acted on — it is not a lazy

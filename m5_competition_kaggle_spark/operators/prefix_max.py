@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -80,8 +81,18 @@ def global_running_max(
         top = row["__top"]
         if top is not None and (carry is None or top > carry):
             carry = top
+    # Carry column typed from the VALUE column (ADVICE r13): max is
+    # defined for any ordered type (long/double/decimal/timestamp/
+    # date/string), and a hardcoded "long" would fail createDataFrame
+    # (or mis-type the greatest()) for every non-bigint value column.
     carry_df = df.sparkSession.createDataFrame(
-        carries, "__pid int, __carry long"
+        carries,
+        StructType(
+            [
+                StructField("__pid", IntegerType(), False),
+                StructField("__carry", df.schema[value_col].dataType, True),
+            ]
+        ),
     )
     return (
         ranged.join(F.broadcast(carry_df), "__pid")

@@ -635,7 +635,10 @@ def x208_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts = counts.unionAll(_tag(cur, i, step))
         prev = cur
     # retained_ppm via a 4-row self-join on step_idx − 1; step 0
-    # retains against itself by definition (10⁶).
+    # retains against itself by definition (10⁶) — but only when any
+    # users exist: the oracle's step-0 row computes n/n under a
+    # prev_n > 0 guard, so an EMPTY corpus must yield NULL on both
+    # engines, not a fabricated 10⁶ (ADVICE r13).
     prev_counts = counts.select(
         (F.col("step_idx") + 1).alias("step_idx"),
         F.col("n_reached").alias("__prev_n"),
@@ -647,7 +650,8 @@ def x208_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "step",
             "n_reached",
             F.expr(
-                "CASE WHEN step_idx = 0 THEN 1000000"
+                "CASE WHEN step_idx = 0 AND n_reached > 0"
+                " THEN 1000000"
                 " WHEN coalesce(__prev_n, 0) > 0 THEN"
                 " (1000000 * n_reached) DIV __prev_n END"
             ).alias("retained_ppm"),

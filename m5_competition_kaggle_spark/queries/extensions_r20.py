@@ -643,8 +643,13 @@ def x210_key_skew_certificate(
     1-row global aggregate of the count table — no windows, no
     sorts, no top-k; Σcnt² widens through DECIMAL(38,0) (two
     corpus-growing factors — the r12 overflow class) and n_rows² in
-    the same transient; quotients are ppm-bounded so the DIV cannot
-    wrap. Heavy-hitter IDENTITIES are deliberately out of scope —
+    the same transient. hhi_ppm's quotient is ppm-bounded (Σcnt² ≤
+    n_rows²) so its DIV cannot wrap; skew_ppm's quotient is bounded
+    only by 10⁶·n_keys (max_cnt ≤ n_rows cancels the denominator,
+    not the key count), so it routes through the shared _SIGNED_DIV
+    loud-envelope guard — a corpus past ~9.2·10¹² distinct keys
+    raises instead of silently wrapping (ADVICE r13).
+    Heavy-hitter IDENTITIES are deliberately out of scope —
     the CMS heavy-hitters family already certifies those; this is
     the one-row go/no-go number.
 
@@ -677,11 +682,14 @@ def x210_key_skew_certificate(
             "max_cnt",
             F.expr("n_rows DIV n_keys").alias("mean_cnt"),
             F.expr(
-                "CASE WHEN n_rows > 0 THEN CAST("
-                " (CAST(1000000 AS DECIMAL(38,0)) * max_cnt"
-                "  * n_keys)"
-                " DIV (CAST(n_rows AS DECIMAL(38,0)))"
-                " AS BIGINT) END"
+                "CASE WHEN n_rows > 0 THEN "
+                + _SIGNED_DIV.format(
+                    num="CAST(max_cnt AS DECIMAL(38,0)) * n_keys",
+                    den="CAST(n_rows AS DECIMAL(38,0))",
+                    scale="1000000",
+                    ctx="x210",
+                )
+                + " END"
             ).alias("skew_ppm"),
             F.expr(
                 "CASE WHEN n_rows > 0 THEN CAST("

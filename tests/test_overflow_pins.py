@@ -331,3 +331,48 @@ def test_x169_guard_raises_past_quotient_envelope(spark):
         "root_forecast long, hist_leaf long, hist_total long",
     ).selectExpr(f"{_X169_ALLOC} AS alloc").collect()
     assert ok[0]["alloc"] == 9_000_000_000_000_000_000 * 5 // 9
+
+
+def test_x210_skew_guard_wired_and_exact(spark):
+    """ADVICE r13: skew_ppm's quotient is bounded by 10^6*n_keys, not
+    10^6 — the x210 expression must route through _SIGNED_DIV. Pins
+    (a) the guard context string in the optimized plan (an edit that
+    reverts to a bare DIV fails here) and (b) the exact value on a
+    skewed frame vs Python bigint arithmetic."""
+    import shutil
+
+    from m5_competition_kaggle_spark.queries import extensions_r20
+
+    d = tempfile.mkdtemp(prefix="x210_pin_")
+    try:
+        rows = []
+        # key 1 hot: 60 rows; keys 2..21 one row each -> n_keys=21,
+        # n_rows=80, max=60
+        for i in range(60):
+            rows.append((i, 1, "view"))
+        for k in range(2, 22):
+            rows.append((100 + k, k, "click"))
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string"
+        ).selectExpr(
+            "event_id",
+            "timestamp_micros(1704067200000000 + event_id) AS ts",
+            "user_id",
+            "event_type",
+            "CAST(1.0 AS DOUBLE) AS value",
+            "'{}' AS props",
+        ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+        out = extensions_r20.x210_key_skew_certificate(spark, d)
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "x210: scaled quotient past int64" in plan
+
+        got = {r["key_name"]: r for r in out.collect()}
+        u = got["user_id"]
+        assert (u["n_keys"], u["n_rows"], u["max_cnt"]) == (21, 80, 60)
+        assert u["skew_ppm"] == 1_000_000 * 60 * 21 // 80
+        assert u["hhi_ppm"] == (
+            1_000_000 * (60 * 60 + 20) // (80 * 80)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -57,3 +57,31 @@ def test_running_max_at_int64_bottom(spark):
         for r in global_running_max(df, "v", ("k",), "rm").collect()
     }
     assert got == {0: lo, 1: lo + 1, 2: lo + 1}
+
+
+def test_running_max_non_bigint_value_types(spark):
+    """ADVICE r13: the carry schema is derived from the value column's
+    type, so double / timestamp value columns work end-to-end (a
+    hardcoded 'long' carry either failed createDataFrame or mis-typed
+    the greatest())."""
+    import datetime as dt
+
+    rows = [(0, 2.5), (1, -7.25), (2, 9.75), (3, 1.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = global_running_max(df, "v", ("k",), "rm")
+    assert dict(out.select("k", "rm").collect()) == {
+        0: 2.5, 1: 2.5, 2: 9.75, 3: 9.75,
+    }
+    assert out.schema["rm"].dataType.typeName() == "double"
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ts_rows = [
+        (0, base + dt.timedelta(hours=5)),
+        (1, base + dt.timedelta(hours=2)),
+        (2, base + dt.timedelta(hours=9)),
+    ]
+    tdf = spark.createDataFrame(ts_rows, "k long, v timestamp")
+    tout = global_running_max(tdf, "v", ("k",), "rm")
+    got = {r["k"]: r["rm"] for r in tout.collect()}
+    assert got[0].hour == 5 and got[1].hour == 5 and got[2].hour == 9
+    assert tout.schema["rm"].dataType.typeName() == "timestamp"

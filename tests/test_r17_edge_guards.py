@@ -104,3 +104,38 @@ def test_quantile_cells_single_value(spark):
         ).alias("p90"),
     ).collect()[0]
     assert row["p10"] == 7 and row["p90"] == 7
+
+
+def test_funnel_empty_corpus_matches_oracle(spark):
+    """ADVICE r13: on an EMPTY events table the Spark side used to
+    fabricate retained_ppm=10^6 for step 0 while the oracle's
+    prev_n > 0 guard yielded NULL — both engines must now emit four
+    rows of (0, NULL)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from m5_competition_kaggle_spark.queries import extensions_r17
+
+    d = tempfile.mkdtemp(prefix="x208_empty_")
+    path = os.path.join(d, "events.parquet")
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = extensions_r17.x208_funnel_steps(spark, d).collect()
+    assert [(r["step_idx"], r["n_reached"], r["retained_ppm"])
+            for r in got] == [(i, 0, None) for i in range(4)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    oracle = con.execute(extensions_r17.ORACLE_X208).fetchall()
+    assert [(r[0], r[2], r[3]) for r in oracle] == [
+        (i, 0, None) for i in range(4)
+    ]
