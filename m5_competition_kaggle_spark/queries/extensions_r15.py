@@ -37,6 +37,12 @@ with the same Spark-vs-DuckDB differential as
   before ANN indexing, beside x178's drift and x198's truncation
   recall; one posexplode → one 64-group aggregate, 64 rows at any
   corpus size.
+- x212 JL distortion (added r14): Johnson–Lindenstrauss 64→8 ±1
+  projection distance-preservation certificate — ratio histogram of
+  projected vs original squared distance over the consecutive-id
+  pair sample, sign table derived from the portable h64 so both
+  engines project identically; the go/no-go for a low-dim ANN
+  pre-filter. Exact integers, ≤ 13 output rows at any scale.
 """
 
 from __future__ import annotations
@@ -670,6 +676,195 @@ FROM q GROUP BY dim ORDER BY dim
 """
 
 
+# --------------------------------------------------------------- x212
+
+# ±1 Rademacher sign table for the 64→8 Johnson–Lindenstrauss
+# projection: sign(i→j) = +1 iff h64("jl:i:j") is even — derived from
+# the engine's portable hash (functions/text.py h64_py), so the SQL
+# oracle embeds the SAME 512 literals and both engines project
+# identically. Generated at import; deterministic, no floats.
+JL_OUT_DIMS = 8
+JL_IN_DIMS = 64
+
+
+def _jl_signs() -> tuple[tuple[int, ...], ...]:
+    from m5_competition_kaggle_spark.functions.text import h64_py
+
+    return tuple(
+        tuple(
+            1 if h64_py(f"jl:{i}:{j}") % 2 == 0 else -1
+            for i in range(JL_IN_DIMS)
+        )
+        for j in range(JL_OUT_DIMS)
+    )
+
+
+_JL_SIGNS = _jl_signs()
+
+
+def _jl_proj_cols(q_col: str) -> list:
+    """Eight projection expressions p_j = Σ_i sign(i→j)·q_i over a
+    quantized array column — literal-array zip_with dot products,
+    whole-stage-codegen JVM arithmetic (no UDF)."""
+    cols = []
+    for j, signs in enumerate(_JL_SIGNS):
+        arr = "array({})".format(
+            ", ".join(f"{s}L" for s in signs)
+        )
+        cols.append(
+            F.expr(
+                f"aggregate(zip_with({q_col}, {arr},"
+                " (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+            ).alias(f"p{j}")
+        )
+    return cols
+
+
+def x212_jl_distortion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson–Lindenstrauss distance-preservation certificate: project
+    the 64-dim quantized embeddings onto 8 Rademacher (±1) dimensions
+    and profile, over the deterministic consecutive-id pair sample,
+    the ratio of projected to original squared distance —
+    E[‖Pa−Pb‖²] = 8·‖a−b‖² for ±1 signs, so ratio_ppm concentrates
+    at 10⁶. The go/no-go audit for using a cheap low-dim pre-filter
+    in front of the exact ANN kernels (a skewed histogram means the
+    projection is NOT preserving this corpus's geometry — e.g. mass
+    concentrated on a few dims the sign table cancels).
+
+    Exact integers end-to-end: quantized components (the certified
+    1e-3 grid), dot-product identity d64 = ⟨a,a⟩ − 2⟨a,b⟩ + ⟨b,b⟩,
+    projections are literal-array dot products, and the ratio widens
+    through DECIMAL(38,0). Identical-vector pairs (d64 = 0) are
+    excluded (ratio undefined); the histogram buckets ratio_ppm in
+    quarter-steps capped at 12 (≥ 3×), so the output is ≤ 13 rows at
+    any corpus size.
+
+    Scale shape: one narrow projection scan (8 literal dots per row),
+    one self-join on vec_id+1 (equi-join, co-partitioned by id), one
+    bounded-bucket aggregate. No all-pairs anywhere — the pair set is
+    O(n).
+
+    Reference parity: engine extension (SURVEY §2 ANN/embedding
+    family beside x198 truncation recall and x205 health).
+    """
+    from m5_competition_kaggle_spark.operators.similarity import (
+        quantize_expr,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_expr("embedding").alias("__q")
+    )
+    proj = emb.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(__q, __q, (x, y) -> x * y),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("ipself"),
+        "__q",
+        *_jl_proj_cols("__q"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("ipself").alias("ipb"),
+        F.col("__q").alias("__qb"),
+        *[
+            F.col(f"p{j}").alias(f"b{j}")
+            for j in range(JL_OUT_DIMS)
+        ],
+    )
+    pairs = proj.join(b, "vec_id").select(
+        F.col("ipself").alias("ipa"),
+        "ipb",
+        F.expr(
+            "aggregate(zip_with(__q, __qb, (x, y) -> x * y),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("ipab"),
+        sum(
+            (
+                (F.col(f"p{j}") - F.col(f"b{j}"))
+                * (F.col(f"p{j}") - F.col(f"b{j}"))
+                for j in range(JL_OUT_DIMS)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("d8"),
+    )
+    d = pairs.select(
+        (
+            F.col("ipa") - 2 * F.col("ipab") + F.col("ipb")
+        ).alias("d64"),
+        "d8",
+    ).filter(F.col("d64") > 0)
+    ratio = d.select(
+        "d64",
+        "d8",
+        F.expr(
+            "least(CAST((CAST(1000000 AS DECIMAL(38,0)) * d8)"
+            f" DIV ({JL_OUT_DIMS} * CAST(d64 AS DECIMAL(38,0)))"
+            " AS BIGINT) DIV 250000, 12L)"
+        ).alias("bucket"),
+    )
+    return (
+        ratio.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("d64").alias("sum_d64"),
+            F.sum("d8").alias("sum_d8"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _x212_oracle() -> str:
+    sign_lists = {
+        j: "[{}]".format(", ".join(str(s) for s in signs))
+        for j, signs in enumerate(_JL_SIGNS)
+    }
+    proj_cols = ",\n           ".join(
+        f"CAST(list_inner_product(qv, {sign_lists[j]})"
+        f" AS BIGINT) AS p{j}"
+        for j in range(JL_OUT_DIMS)
+    )
+    d8 = " + ".join(
+        f"(a.p{j} - b.p{j}) * (a.p{j} - b.p{j})"
+        for j in range(JL_OUT_DIMS)
+    )
+    return f"""
+WITH q AS (
+    SELECT vec_id,
+           list_transform(embedding, x ->
+               CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               AS qv
+    FROM embeddings
+),
+proj AS (
+    SELECT vec_id,
+           CAST(list_inner_product(qv, qv) AS BIGINT) AS ipself,
+           qv,
+           {proj_cols}
+    FROM q
+),
+pairs AS (
+    SELECT a.ipself AS ipa, b.ipself AS ipb,
+           CAST(list_inner_product(a.qv, b.qv) AS BIGINT) AS ipab,
+           {d8} AS d8
+    FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+),
+d AS (
+    SELECT ipa - 2 * ipab + ipb AS d64, d8 FROM pairs
+    WHERE ipa - 2 * ipab + ipb > 0
+)
+SELECT least(CAST((1000000 * CAST(d8 AS HUGEINT))
+                  // ({JL_OUT_DIMS} * CAST(d64 AS HUGEINT))
+                  AS BIGINT) // 250000, 12) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d64) AS BIGINT) AS sum_d64,
+       CAST(sum(d8) AS BIGINT) AS sum_d8
+FROM d GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES = {
     "x176_interarrival_cv2": x176_interarrival_cv2,
     "x177_dup_cluster_profile": x177_dup_cluster_profile,
@@ -677,6 +872,7 @@ QUERIES = {
     "x179_topk_churn": x179_topk_churn,
     "s27_stream_gini": s27_stream_gini,
     "x205_embedding_health": x205_embedding_health,
+    "x212_jl_distortion": x212_jl_distortion,
 }
 
 ORACLES = {
@@ -686,4 +882,5 @@ ORACLES = {
     "x179_topk_churn": ORACLE_X179,
     "s27_stream_gini": ORACLE_S27,
     "x205_embedding_health": ORACLE_X205,
+    "x212_jl_distortion": _x212_oracle(),
 }

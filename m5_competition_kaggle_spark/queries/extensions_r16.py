@@ -37,6 +37,11 @@ with the same Spark-vs-DuckDB differential as
   two-phase max scan (operators/prefix_max.py, the sum scan's
   monoid sibling); honest fixture finding: the generator emits in
   timestamp order, so the corpus reads exactly 0 everywhere.
+- x211 weekly spectrum (added r14): single-bin DFT (Goertzel) power
+  at period 7 of each type's daily unit series via a shared
+  quantized twiddle table — the frequency-domain seasonality
+  certificate the lag-domain ACF (x170) and the hour-of-day shape
+  (x190) don't carry; exact integers, DECIMAL(38,0) squares.
 """
 
 from __future__ import annotations
@@ -717,6 +722,135 @@ FROM tot t CROSS JOIN qs q
 """
 
 
+# --------------------------------------------------------------- x211
+
+# round(1000·cos(2πr/7)) / round(1000·sin(2πr/7)), r = 0..6 — the
+# quantized weekly-frequency twiddle table. Both engines read the SAME
+# integer literals, so the spectrum is exact integer arithmetic; the
+# 1e-3 trig quantization deviates the power ratio from the true DFT by
+# < ~0.1% relative, which is part of the metric's definition (not an
+# engine tolerance). TRIG_Q = 1000 (not 10⁶) keeps sc² inside
+# DECIMAL(38,0) up to sum_y ≈ 7·10¹² — the envelope note in the
+# docstring.
+_C7 = (1000, 623, -223, -901, -901, -223, 623)
+_S7 = (0, 782, 975, 434, -434, -975, -782)
+_TRIG_Q = 1000
+
+
+def x211_weekly_spectrum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-bin DFT (Goertzel) power at the weekly frequency of each
+    event type's daily unit series — the frequency-domain seasonality
+    certificate beside the time-domain readouts: x170's ACF sees
+    correlation at EVERY lag, x190's diurnal profile sees the 24-hour
+    shape; this is the one number saying how much of the series'
+    energy sits exactly at period 7. weekly_power_ppm =
+    10⁶·(sc² + ss²) / (TRIG_Q·Σy)² — the bin power as ppm of the DC
+    (mean²) power, ≈ 0 for a flat/aperiodic series, → large for a
+    strong weekly cycle (for y ≥ 0 the true ratio is ≤ 10⁶; the 1e-3
+    trig rounding can nudge it marginally past, so the column is
+    bounded by ~2·10⁶ — the quotient cannot approach the int64 DIV
+    wrap).
+
+    Days with no events contribute y = 0 to every sum, so absent rows
+    are correct by construction (no calendar spine needed); n_days
+    counts OBSERVED days. Exact integers end-to-end: y sums the
+    x195-convention round(value) units, the twiddle factors are the
+    shared quantized table, and the squares widen through
+    DECIMAL(38,0) (ANSI raises loudly past sum_y ≈ 7·10¹² per type —
+    ~1000× the 100×-probe magnitude).
+
+    Scale shape: one map-side-combining (type, day) aggregate, a
+    7-element broadcast-free literal lookup, then a per-type 1-row
+    aggregate — the x170/x195 day-cell scan family, flat in every
+    growth dimension except span (rows stay |types|).
+
+    Reference parity: engine extension (SURVEY §2 temporal family
+    beside x170/x181/x195).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("t"),
+        F.expr("CAST(round(value) AS BIGINT)").alias("q"),
+    )
+    series = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    )
+    c_arr = "array({})".format(
+        ", ".join(f"{c}L" for c in _C7)
+    )
+    s_arr = "array({})".format(
+        ", ".join(f"{s}L" for s in _S7)
+    )
+    phased = series.select(
+        "event_type",
+        "y",
+        F.expr(
+            f"element_at({c_arr}, CAST(t % 7 AS INT) + 1)"
+        ).alias("c"),
+        F.expr(
+            f"element_at({s_arr}, CAST(t % 7 AS INT) + 1)"
+        ).alias("s"),
+    )
+    agg = phased.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("y") * F.col("c")).alias("sc"),
+        F.sum(F.col("y") * F.col("s")).alias("ss"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "sum_y",
+        "sc",
+        "ss",
+        F.expr(
+            "CASE WHEN sum_y > 0 THEN CAST("
+            " (CAST(1000000 AS DECIMAL(38,0))"
+            "  * (CAST(sc AS DECIMAL(38,0)) * sc"
+            "     + CAST(ss AS DECIMAL(38,0)) * ss))"
+            f" DIV (CAST({_TRIG_Q} AS DECIMAL(38,0)) * sum_y"
+            f"      * (CAST({_TRIG_Q} AS DECIMAL(38,0)) * sum_y))"
+            " AS BIGINT) END"
+        ).alias("weekly_power_ppm"),
+    ).orderBy("event_type")
+
+
+ORACLE_X211 = f"""
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // {NANOS_PER_DAY} AS t,
+           CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY event_type, epoch_ns(ts) // {NANOS_PER_DAY}
+),
+phased AS (
+    SELECT event_type, y,
+           ([{", ".join(str(c) for c in _C7)}])[
+               CAST(t % 7 AS BIGINT) + 1] AS c,
+           ([{", ".join(str(s) for s in _S7)}])[
+               CAST(t % 7 AS BIGINT) + 1] AS s
+    FROM series
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(y) AS BIGINT) AS sum_y,
+           CAST(sum(y * c) AS BIGINT) AS sc,
+           CAST(sum(y * s) AS BIGINT) AS ss
+    FROM phased GROUP BY event_type
+)
+SELECT event_type, n_days, sum_y, sc, ss,
+       CASE WHEN sum_y > 0 THEN CAST(
+           (1000000 * (CAST(sc AS HUGEINT) * sc
+                       + CAST(ss AS HUGEINT) * ss))
+           // (CAST({_TRIG_Q} AS HUGEINT) * sum_y
+               * ({_TRIG_Q} * sum_y)) AS BIGINT) END
+           AS weekly_power_ppm
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "x180_entropy_rate": x180_entropy_rate,
     "x181_runs_test": x181_runs_test,
@@ -724,6 +858,7 @@ QUERIES = {
     "x183_conversion_lag": x183_conversion_lag,
     "s28_stateful_transitions": s28_stateful_transitions,
     "x206_watermark_audit": x206_watermark_audit,
+    "x211_weekly_spectrum": x211_weekly_spectrum,
 }
 
 ORACLES = {
@@ -733,4 +868,5 @@ ORACLES = {
     "x183_conversion_lag": ORACLE_X183,
     "s28_stateful_transitions": ORACLE_S28,
     "x206_watermark_audit": ORACLE_X206,
+    "x211_weekly_spectrum": ORACLE_X211,
 }

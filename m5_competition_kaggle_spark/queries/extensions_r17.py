@@ -37,6 +37,10 @@ surface a product/ops team actually asks —
   min-aggregates and equi-joins (never a per-user array collect);
   reach counts and floor-ppm retention per step, strictness pinned
   by a purchase-before-view plant.
+- x213 mutual information (added r14): exact quantized-log MI
+  between event type and hour-of-day on x180's micro-nat kernel —
+  the cross-type time-dependence number x190's per-type diurnal
+  shapes don't carry; ≤ |types|·24 cells at any corpus size.
 
 No new streaming entry: this family's streaming counterparts already
 exist (s3 native sessions, s12 interval join, s28 stateful
@@ -696,6 +700,133 @@ FROM counts ORDER BY step_idx
 """
 
 
+# --------------------------------------------------------------- x213
+
+NANOS_PER_HOUR = 3_600_000_000_000
+LOG_Q = 1_000_000
+
+
+def x213_mutual_information(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact quantized-log mutual information between event type and
+    hour-of-day (UTC) — the dependence certificate: MI = 0 iff a
+    type's traffic is spread like the corpus's hourly shape, large
+    when types own time slots. The information-theoretic summary
+    UNDER x190's per-type diurnal profile (which shows each shape
+    but no cross-type dependence number), built on x180's micro-nat
+    kernel: L(x) = round(ln(x)·10⁶) is computed identically by both
+    engines, so mi_num = Σ_h c_ah·(L(N·c_ah) − L(c_a·c_h)) is exact
+    integer micro-nat·count units (terms signed; the total is ≥ 0 up
+    to quantization). Products are evaluated in DOUBLE inside ln()
+    (identical IEEE multiply both engines), so no int64 product
+    envelope. total_mi_num (corpus sum) rides on every row — the
+    x180 1-row broadcast idiom; divide by N downstream at whatever
+    scale you need.
+
+    Scale shape: one map-side-combining (type, hour) count — at most
+    |types|·24 cells at any corpus size — then cell-local arithmetic
+    and a |types|-row aggregate. Flat in every growth dimension.
+
+    Reference parity: engine extension (SURVEY §2 info-theoretic
+    family beside x180 entropy rate / x171 surprisal).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.expr(
+            f"(ts_nanos DIV {NANOS_PER_HOUR}) % 24"
+        ).alias("h"),
+    )
+    cah = ev.groupBy("a", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ah")
+    )
+    ca = cah.groupBy("a").agg(
+        F.sum("c_ah").alias("c_a"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    ch = cah.groupBy("h").agg(F.sum("c_ah").alias("c_h"))
+    n = cah.agg(F.sum("c_ah").alias("n_total"))
+    terms = (
+        cah.join(ca, "a")
+        .join(F.broadcast(ch), "h")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "c_a",
+            "n_hours",
+            "n_total",
+            F.expr(
+                "c_ah * ("
+                f" CAST(round(ln(CAST(n_total AS DOUBLE) * c_ah)"
+                f" * {LOG_Q}) AS BIGINT)"
+                f" - CAST(round(ln(CAST(c_a AS DOUBLE) * c_h)"
+                f" * {LOG_Q}) AS BIGINT))"
+            ).alias("term"),
+        )
+    )
+    per_type = terms.groupBy(
+        "a", "c_a", "n_hours", "n_total"
+    ).agg(F.sum("term").alias("mi_num"))
+    total = per_type.agg(
+        F.sum("mi_num").alias("total_mi_num")
+    )
+    return (
+        per_type.crossJoin(F.broadcast(total))
+        .select(
+            F.col("a").alias("event_type"),
+            "c_a",
+            "n_hours",
+            "n_total",
+            "mi_num",
+            "total_mi_num",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_X213 = f"""
+WITH cah AS (
+    SELECT event_type AS a,
+           (epoch_ns(ts) // {NANOS_PER_HOUR}) % 24 AS h,
+           CAST(count(*) AS BIGINT) AS c_ah
+    FROM events GROUP BY 1, 2
+),
+ca AS (
+    SELECT a, CAST(sum(c_ah) AS BIGINT) AS c_a,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM cah GROUP BY a
+),
+ch AS (
+    SELECT h, CAST(sum(c_ah) AS BIGINT) AS c_h FROM cah GROUP BY h
+),
+n AS (SELECT CAST(sum(c_ah) AS BIGINT) AS n_total FROM cah),
+terms AS (
+    SELECT cah.a, ca.c_a, ca.n_hours, n.n_total,
+           cah.c_ah * (
+               CAST(round(ln(CAST(n.n_total AS DOUBLE) * cah.c_ah)
+                    * {LOG_Q}) AS BIGINT)
+               - CAST(round(ln(CAST(ca.c_a AS DOUBLE) * ch.c_h)
+                      * {LOG_Q}) AS BIGINT)) AS term
+    FROM cah
+    JOIN ca ON ca.a = cah.a
+    JOIN ch ON ch.h = cah.h
+    CROSS JOIN n
+),
+per_type AS (
+    SELECT a, c_a, n_hours, n_total,
+           CAST(sum(term) AS BIGINT) AS mi_num
+    FROM terms GROUP BY a, c_a, n_hours, n_total
+),
+tot AS (
+    SELECT CAST(sum(mi_num) AS BIGINT) AS total_mi_num FROM per_type
+)
+SELECT p.a AS event_type, p.c_a, p.n_hours, p.n_total, p.mi_num,
+       t.total_mi_num
+FROM per_type p CROSS JOIN tot t
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "x184_phrase_search": x184_phrase_search,
     "x185_followed_by": x185_followed_by,
@@ -703,6 +834,7 @@ QUERIES = {
     "x187_conversion_lag_quantiles": x187_conversion_lag_quantiles,
     "x200_concurrency_profile": x200_concurrency_profile,
     "x208_funnel_steps": x208_funnel_steps,
+    "x213_mutual_information": x213_mutual_information,
 }
 
 ORACLES = {
@@ -712,4 +844,5 @@ ORACLES = {
     "x187_conversion_lag_quantiles": ORACLE_X187,
     "x200_concurrency_profile": ORACLE_X200,
     "x208_funnel_steps": ORACLE_X208,
+    "x213_mutual_information": ORACLE_X213,
 }

@@ -37,6 +37,13 @@ as ``scripts/check_oracle.py``.
   source, from ONE corpus scan; population columns cross-pinned to
   x188 exactly, and a planted boilerplate-family corpus pins the
   +3750 shift closed-form.
+- x214 KM return-time hazard (added r14): Kaplan–Meier curve of a
+  user's return after d days away on x124's certified km_curve
+  kernel (different duration variable: inter-visit spells, the open
+  final spell right-censored at corpus end), with the discrete
+  hazard 10⁶·d DIV n_risk added beside the product-limit surv_ppm —
+  the unbiased retention curve a raw gap histogram (which silently
+  drops open spells) can't give. Calendar-bounded rows.
 """
 
 from __future__ import annotations
@@ -800,6 +807,134 @@ FROM agg ORDER BY source
 """
 
 
+# --------------------------------------------------------------- x214
+
+NANOS_PER_DAY = 86_400_000_000_000
+
+
+def x214_km_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier RETURN-TIME curve with right-censoring, on the
+    certified ``operators/survival.py::km_curve`` kernel (x124's
+    operator, different duration variable): each user-active-day's
+    duration to that user's NEXT active day is an observed return
+    ("death" in KM terms); each user's final active day contributes
+    a CENSORED spell t_max − last_day (the user hadn't returned when
+    observation ended — a naive gap histogram drops these open
+    spells and biases return rates up). x124 survives the LIFETIME
+    (last − first day per subject); this is the complementary
+    "probability of coming back after d days away" curve, with the
+    discrete hazard h(d) = 10⁶·returns DIV at_risk added beside
+    km_curve's product-limit surv_ppm. g13's cohort matrix and
+    x176's gap CV² both read raw gaps and ignore the open final
+    spell; the KM risk-set denominator makes this tail honest.
+
+    Scale shape: one distinct (user, day) collapse, one per-user
+    lead over active days (partitioned by user), then km_curve's
+    duration-cell windows — bounded by the CALENDAR (≤ span distinct
+    durations at any corpus size; the x124 allowance class).
+
+    Reference parity: engine extension (SURVEY §2 retention family
+    beside x124 lifetime KM / g13 / x193 user growth).
+    """
+    from m5_competition_kaggle_spark.operators.survival import (
+        km_curve,
+    )
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("t"),
+        )
+        .distinct()
+    )
+    horizon = days.agg(F.max("t").alias("t_max"))
+    w_next = Window.partitionBy("user_id").orderBy("t")
+    spells = days.withColumn(
+        "next_t", F.lead("t").over(w_next)
+    ).crossJoin(F.broadcast(horizon))
+    durations = spells.select(
+        F.when(
+            F.col("next_t").isNotNull(),
+            F.col("next_t") - F.col("t"),
+        )
+        .otherwise(F.col("t_max") - F.col("t"))
+        .alias("duration"),
+        F.col("next_t").isNotNull().cast("int").alias("event"),
+    )
+    return (
+        km_curve(durations)
+        .select(
+            F.col("t").alias("dur_days"),
+            "n_risk",
+            F.col("d").alias("n_returns"),
+            F.expr(
+                "CASE WHEN n_risk > 0 THEN"
+                " (1000000 * d) DIV n_risk END"
+            ).alias("hazard_ppm"),
+            "surv_ppm",
+        )
+        .orderBy("dur_days")
+    )
+
+
+ORACLE_X214 = f"""
+WITH days AS (
+    SELECT DISTINCT user_id,
+           epoch_ns(ts) // {NANOS_PER_DAY} AS t
+    FROM events
+),
+horizon AS (SELECT max(t) AS t_max FROM days),
+spells AS (
+    SELECT t, lead(t) OVER (PARTITION BY user_id ORDER BY t)
+               AS next_t
+    FROM days
+),
+subj AS (
+    SELECT CASE WHEN s.next_t IS NOT NULL THEN s.next_t - s.t
+                ELSE h.t_max - s.t END AS duration,
+           CASE WHEN s.next_t IS NOT NULL THEN 1 ELSE 0 END
+               AS event
+    FROM spells s CROSS JOIN horizon h
+),
+cells AS (
+    SELECT duration AS t, CAST(sum(event) AS BIGINT) AS d,
+           CAST(count(*) AS BIGINT) AS c_all
+    FROM subj GROUP BY duration
+),
+tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n FROM cells),
+risk AS (
+    SELECT c.t, c.d,
+           t2.n - CAST(coalesce(sum(c.c_all) OVER (ORDER BY c.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS n_risk
+    FROM cells c CROSS JOIN tot t2
+),
+curve AS (
+    SELECT t, n_risk, d,
+           CASE WHEN max(CASE WHEN d > 0 AND d >= n_risk
+                              THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) = 1
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(round(1e6 * exp(sum(
+                    CASE WHEN d > 0 AND n_risk > d
+                         THEN ln(CAST(n_risk - d AS DOUBLE)
+                                 / n_risk)
+                         ELSE 0.0 END)
+                    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW))) AS BIGINT)
+           END AS surv_ppm
+    FROM risk
+)
+SELECT t AS dur_days, n_risk, d AS n_returns,
+       CASE WHEN n_risk > 0 THEN (1000000 * d) // n_risk END
+           AS hazard_ppm,
+       surv_ppm
+FROM curve WHERE d > 0 ORDER BY dur_days
+"""
+
+
 QUERIES = {
     "x188_dedup_weighted_stats": x188_dedup_weighted_stats,
     "x189_source_ks_matrix": x189_source_ks_matrix,
@@ -807,6 +942,7 @@ QUERIES = {
     "s29_user_conversions": s29_user_conversions,
     "x201_degree_assortativity": x201_degree_assortativity,
     "x207_dedup_quality_shift": x207_dedup_quality_shift,
+    "x214_km_hazard": x214_km_hazard,
 }
 
 ORACLES = {
@@ -816,4 +952,5 @@ ORACLES = {
     "s29_user_conversions": ORACLE_S29,
     "x201_degree_assortativity": _x201_oracle(),
     "x207_dedup_quality_shift": _x207_oracle(),
+    "x214_km_hazard": ORACLE_X214,
 }

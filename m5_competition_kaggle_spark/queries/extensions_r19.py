@@ -44,6 +44,13 @@ as ``scripts/check_oracle.py``.
   HONEST FIXTURE FINDING: the generator draws o_totalprice
   independently of lineitems — zero orders reconcile, the audit
   correctly reading a fictional rollup column.
+- x216 Benford digits (added r14): first-significant-digit shares
+  of integer-cents event values vs Benford's log10(1+1/d) ppm
+  literals, zero-filled |types|·9 grid with an exact
+  total-variation distance per type — the fabricated-data /
+  unit-mixing instrument beside x209; the bounded fixture honestly
+  reads far from Benford, pinned beside a planted log-uniform
+  corpus that reads close.
 """
 
 from __future__ import annotations
@@ -668,6 +675,168 @@ FROM tot t CROSS JOIN qs q
 """
 
 
+# --------------------------------------------------------------- x216
+
+# round(10⁶·log10(1 + 1/d)), d = 1..9 — Benford's law expected
+# first-digit shares in ppm. Integer literals shared by both engines;
+# they sum to exactly 1,000,000.
+_BENFORD_PPM = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757,
+)
+
+
+def x216_benford_digits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford first-significant-digit audit of event values per
+    type — the classic fabricated-data / unit-mixing instrument: a
+    measured process spanning decades follows log10(1+1/d); a
+    capped, uniform, or hand-entered column does not. Values are
+    quantized to integer cents FIRST (round(value·100) — the x209
+    convention; doubles never drive the digit), the first digit is
+    the leading character of the integer's decimal string (identical
+    cross-engine for integers — no float log10 anywhere), and every
+    (type, digit) cell is zero-filled over the full 9-digit spine so
+    the output is exactly |types|·9 rows with an exact
+    total-variation distance tvd_ppm = Σ|share − benford| / 2 riding
+    on each row (the one-number go/no-go).
+
+    The fixture's values are bounded draws, so the corpus honestly
+    reads FAR from Benford (large tvd_ppm) — the instrument's
+    correct reading on synthetic data, pinned in the queue tests
+    alongside a planted log-uniform corpus that reads close.
+
+    Scale shape: one map-side-combining (type, digit) count — ≤
+    |types|·9 cells at any corpus size — then cell-local arithmetic;
+    flat in every growth dimension.
+
+    Reference parity: engine extension (SURVEY §2 data-quality audit
+    family beside x209 fact consistency / x203 bucket balance).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("q"),
+    ).filter(F.col("q") >= 1)
+    counts = (
+        ev.select(
+            "event_type",
+            F.expr(
+                "CAST(substring(CAST(q AS STRING), 1, 1)"
+                " AS BIGINT)"
+            ).alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    )
+    spine = (
+        counts.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1, 10).select(
+                    F.col("id").cast("long").alias("digit")
+                )
+            )
+        )
+    )
+    benford = "array({})".format(
+        ", ".join(f"{p}L" for p in _BENFORD_PPM)
+    )
+    grid = (
+        spine.join(counts, ["event_type", "digit"], "left")
+        .select(
+            "event_type",
+            "digit",
+            F.coalesce("n_d", F.lit(0).cast("long")).alias("n_d"),
+            F.expr(
+                f"element_at({benford}, CAST(digit AS INT))"
+            ).alias("benford_ppm"),
+        )
+    )
+    totals = grid.groupBy("event_type").agg(
+        F.sum("n_d").alias("n_total")
+    )
+    shared = grid.join(totals, "event_type").select(
+        "event_type",
+        "digit",
+        "n_d",
+        "n_total",
+        F.expr("(1000000 * n_d) DIV n_total").alias("share_ppm"),
+        "benford_ppm",
+    )
+    tvd = shared.groupBy("event_type").agg(
+        F.expr(
+            "sum(abs(share_ppm - benford_ppm)) DIV 2"
+        ).alias("tvd_ppm")
+    )
+    return (
+        shared.join(F.broadcast(tvd), "event_type")
+        .select(
+            "event_type",
+            "digit",
+            "n_d",
+            "n_total",
+            "share_ppm",
+            "benford_ppm",
+            (F.col("share_ppm") - F.col("benford_ppm")).alias(
+                "dev_ppm"
+            ),
+            "tvd_ppm",
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+ORACLE_X216 = f"""
+WITH q AS (
+    SELECT event_type,
+           CAST(round(value * 100) AS BIGINT) AS q
+    FROM events
+),
+counts AS (
+    SELECT event_type,
+           CAST(substr(CAST(q AS VARCHAR), 1, 1) AS BIGINT)
+               AS digit,
+           CAST(count(*) AS BIGINT) AS n_d
+    FROM q WHERE q >= 1 GROUP BY 1, 2
+),
+spine AS (
+    SELECT DISTINCT event_type, d.digit
+    FROM counts
+    CROSS JOIN (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT)
+                AS digit) d
+),
+grid AS (
+    SELECT s.event_type, s.digit,
+           COALESCE(c.n_d, 0) AS n_d,
+           ([{", ".join(str(p) for p in _BENFORD_PPM)}])[
+               CAST(s.digit AS BIGINT)] AS benford_ppm
+    FROM spine s LEFT JOIN counts c
+        ON c.event_type = s.event_type AND c.digit = s.digit
+),
+shared AS (
+    SELECT g.event_type, g.digit, g.n_d, t.n_total,
+           (1000000 * g.n_d) // t.n_total AS share_ppm,
+           g.benford_ppm
+    FROM grid g
+    JOIN (SELECT event_type, CAST(sum(n_d) AS BIGINT) AS n_total
+          FROM grid GROUP BY event_type) t
+        ON t.event_type = g.event_type
+),
+tvd AS (
+    SELECT event_type,
+           CAST(sum(abs(share_ppm - benford_ppm)) // 2 AS BIGINT)
+               AS tvd_ppm
+    FROM shared GROUP BY event_type
+)
+SELECT s.event_type, s.digit, s.n_d, s.n_total, s.share_ppm,
+       s.benford_ppm, s.share_ppm - s.benford_ppm AS dev_ppm,
+       t.tvd_ppm
+FROM shared s JOIN tvd t ON t.event_type = s.event_type
+ORDER BY s.event_type, s.digit
+"""
+
+
 QUERIES = {
     "x191_zipf_slope": x191_zipf_slope,
     "x192_implication_matrix": x192_implication_matrix,
@@ -675,6 +844,7 @@ QUERIES = {
     "x194_langid_confusion": x194_langid_confusion,
     "x202_readability_forcast": x202_readability_forcast,
     "x209_fact_consistency": x209_fact_consistency,
+    "x216_benford_digits": x216_benford_digits,
 }
 
 ORACLES = {
@@ -684,4 +854,5 @@ ORACLES = {
     "x194_langid_confusion": _langid_confusion_oracle(),
     "x202_readability_forcast": ORACLE_X202,
     "x209_fact_consistency": ORACLE_X209,
+    "x216_benford_digits": ORACLE_X216,
 }

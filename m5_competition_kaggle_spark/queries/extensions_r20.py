@@ -39,12 +39,18 @@ Two layout/plan-audit certificates added in the r13 second session:
   a multiple of fair share) and Herfindahl hhi_ppm per candidate
   shuffle key, from one map-side-combining count and one global
   aggregate; uniform and 98/1/1 plants pin the closed forms.
+- x215 MAD outliers (added r14): per-type lower median, median
+  absolute deviation, and the beyond-3·MAD outlier count in exact
+  integer rank math over the value HISTOGRAM (state bounded by the
+  value range, not the corpus) — the robust-fence audit beside
+  x83's winsorized mean; the MAD = 0 degenerate fence pinned.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from m5_competition_kaggle_spark.sources.catalog import load_table
 
@@ -731,6 +737,167 @@ ORDER BY key_name
 """
 
 
+# --------------------------------------------------------------- x215
+
+
+def x215_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier certificate per event type: the
+    lower median of the milli-quantized values, the median absolute
+    deviation around it, and the count of values beyond 3·MAD — the
+    scale-robust companion to x83's winsorized mean (whose trim
+    fractions a heavy tail can still drag) and the robust
+    alternative to a σ-based z-score (where the outliers inflate the
+    σ that is supposed to catch them). All rank math is exact
+    integer: medians are "smallest value whose cumulative count
+    reaches ceil(n/2)" over the per-type VALUE HISTOGRAM, so the two
+    window scans run over distinct-value rows — state bounded by the
+    value RANGE (the operators/quantiles.py argument), not the
+    corpus; the corpus itself is touched by exactly two map-side-
+    combining aggregates (value counts, deviation counts).
+
+    MAD = 0 (≥ half the mass on one value) makes the 3·MAD fence
+    degenerate — every off-median value counts as an outlier, the
+    standard behavior, pinned in the queue tests.
+
+    Reference parity: engine extension (SURVEY §2 robust-stats
+    family beside x83 winsorized mean / x52 exact quantiles).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(round(value * 1000) AS BIGINT)").alias("q"),
+    )
+    counts = ev.groupBy("event_type", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_tot = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = counts.select(
+        "event_type",
+        "q",
+        "cnt",
+        F.sum("cnt").over(w_tot).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+    )
+    med = (
+        with_cum.filter(
+            F.col("cum") >= F.expr("(n + 1) DIV 2")
+        )
+        .groupBy("event_type", "n")
+        .agg(F.min("q").alias("med_q"))
+    )
+    devs = (
+        counts.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "med_q",
+            F.abs(F.col("q") - F.col("med_q")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "n", "med_q", "dev")
+        .agg(F.sum("cnt").alias("dcnt"))
+    )
+    w_dcum = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_dcum = devs.withColumn(
+        "dcum", F.sum("dcnt").over(w_dcum)
+    )
+    mad = (
+        with_dcum.filter(
+            F.col("dcum") >= F.expr("(n + 1) DIV 2")
+        )
+        .groupBy("event_type", "n", "med_q")
+        .agg(F.min("dev").alias("mad_q"))
+    )
+    out = (
+        devs.select("event_type", "dev", "dcnt")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med_q", "mad_q")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dev") > 3 * F.col("mad_q"),
+                    F.col("dcnt"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("n_outliers")
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        "med_q",
+        "mad_q",
+        "n_outliers",
+        F.expr(
+            "CASE WHEN n > 0 THEN (1000000 * n_outliers) DIV n END"
+        ).alias("outlier_ppm"),
+    ).orderBy("event_type")
+
+
+ORACLE_X215 = """
+WITH q AS (
+    SELECT event_type,
+           CAST(round(value * 1000) AS BIGINT) AS q
+    FROM events
+),
+counts AS (
+    SELECT event_type, q, CAST(count(*) AS BIGINT) AS cnt
+    FROM q GROUP BY event_type, q
+),
+with_cum AS (
+    SELECT event_type, q, cnt,
+           CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n,
+           CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM counts
+),
+med AS (
+    SELECT event_type, n, min(q) AS med_q
+    FROM with_cum WHERE cum >= (n + 1) // 2
+    GROUP BY event_type, n
+),
+devs AS (
+    SELECT c.event_type, m.n, m.med_q,
+           abs(c.q - m.med_q) AS dev,
+           CAST(sum(c.cnt) AS BIGINT) AS dcnt
+    FROM counts c JOIN med m ON m.event_type = c.event_type
+    GROUP BY c.event_type, m.n, m.med_q, abs(c.q - m.med_q)
+),
+with_dcum AS (
+    SELECT event_type, n, med_q, dev, dcnt,
+           CAST(sum(dcnt) OVER (PARTITION BY event_type
+                ORDER BY dev ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS dcum
+    FROM devs
+),
+mad AS (
+    SELECT event_type, n, med_q, min(dev) AS mad_q
+    FROM with_dcum WHERE dcum >= (n + 1) // 2
+    GROUP BY event_type, n, med_q
+),
+agg AS (
+    SELECT d.event_type, m.n, m.med_q, m.mad_q,
+           CAST(sum(CASE WHEN d.dev > 3 * m.mad_q
+                    THEN d.dcnt ELSE 0 END) AS BIGINT)
+               AS n_outliers
+    FROM devs d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type, m.n, m.med_q, m.mad_q
+)
+SELECT event_type, n, med_q, mad_q, n_outliers,
+       CASE WHEN n > 0 THEN (1000000 * n_outliers) // n END
+           AS outlier_ppm
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "x195_residual_acf": x195_residual_acf,
     "x196_discount_lift": x196_discount_lift,
@@ -738,6 +905,7 @@ QUERIES = {
     "x203_bucket_balance": x203_bucket_balance,
     "x204_join_cardinality_audit": x204_join_cardinality_audit,
     "x210_key_skew_certificate": x210_key_skew_certificate,
+    "x215_mad_outliers": x215_mad_outliers,
 }
 
 ORACLES = {
@@ -747,4 +915,5 @@ ORACLES = {
     "x203_bucket_balance": ORACLE_X203,
     "x204_join_cardinality_audit": ORACLE_X204,
     "x210_key_skew_certificate": ORACLE_X210,
+    "x215_mad_outliers": ORACLE_X215,
 }

@@ -119,6 +119,14 @@ ALLOWED_SINGLE_PARTITION = {
         " (operators/prefix_max.py), plan-asserted single-partition-"
         "free by tests/test_prefix_max.py"
     ),
+    "x214_km_hazard": (
+        "km_curve (the x124 kernel) walks the duration-CELL table"
+        " with global windows — one row per DISTINCT inter-visit"
+        " spell length, bounded by the CALENDAR span in days at any"
+        " corpus size (the x124/x193 class); the corpus reduces"
+        " through the distinct (user, day) collapse and the per-user"
+        " lead before any global window sees a row"
+    ),
     "x200_concurrency_profile": (
         "the close_level window walks the per-DAY boundary rollup —"
         " bounded by the CALENDAR (one row per day at any corpus"

@@ -1,0 +1,377 @@
+"""Hand pins and degenerate-input guards for the six queries staged
+during round 14 (x211 weekly spectrum → r16 queue, x212 JL distortion
+→ r15, x213 mutual information → r17, x214 KM return-time hazard →
+r18, x216 Benford digits → r19, x215 MAD outliers → r20). The
+Spark-vs-DuckDB differential at sf0.001 AND sf0.01 runs in each
+round's queue test via the QUERIES-dict parametrization; these are
+the closed-form plants the differential can't provide (it proves the
+engines AGREE; the plants prove they agree on the RIGHT answer)."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from m5_competition_kaggle_spark.queries import (
+    extensions_r15,
+    extensions_r16,
+    extensions_r17,
+    extensions_r18,
+    extensions_r19,
+    extensions_r20,
+)
+
+NS_PER_DAY = 86_400_000_000_000
+NS_PER_HOUR = 3_600_000_000_000
+# 2024-01-01 00:00 UTC — epoch day 19723 (19723 % 7 == 4).
+T0_DAY = 19723
+
+
+def _write_events(spark, rows, d):
+    """rows: (event_id, epoch_nanos, user_id, event_type, value)."""
+    spark.createDataFrame(
+        rows,
+        "event_id long, __ns long, user_id long,"
+        " event_type string, value double",
+    ).select(
+        "event_id",
+        F.timestamp_micros(
+            (F.col("__ns") / 1000).cast("long")
+        ).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+
+
+def _write_embeddings(spark, vecs, d):
+    """vecs: (vec_id, list[float] of len 64)."""
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    ).withColumn("label", F.lit(0)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "embeddings.parquet"))
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="r14_additions_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------------------- x211
+
+
+def test_weekly_spectrum_spike_train_closed_form(spark, tdir):
+    """A pure period-7 spike train concentrates ALL its energy in the
+    weekly bin: every active day shares one phase r0, so
+    sc = A·k·C7[r0], ss = A·k·S7[r0] and weekly_power_ppm reduces to
+    C7[r0]² + S7[r0]² exactly (= 10⁶ at r0 = 0 up to the quantized
+    table; 999653 at the phase used here) — independent of amplitude
+    and week count."""
+    rows = []
+    # 6 spikes, one per week, all at day ≡ T0_DAY+1 (phase r0 = 5)
+    for k in range(6):
+        day = T0_DAY + 1 + 7 * k
+        rows.append((k, day * NS_PER_DAY, 1, "view", 100.0))
+    _write_events(spark, rows, tdir)
+    out = extensions_r16.x211_weekly_spectrum(spark, tdir).collect()
+    assert len(out) == 1
+    r = out[0]
+    r0 = (T0_DAY + 1) % 7
+    c, s = (
+        extensions_r16._C7[r0],
+        extensions_r16._S7[r0],
+    )
+    assert r["n_days"] == 6
+    assert r["sum_y"] == 600
+    assert r["sc"] == 600 * c and r["ss"] == 600 * s
+    assert r["weekly_power_ppm"] == c * c + s * s
+
+
+def test_weekly_spectrum_flat_series_near_zero(spark, tdir):
+    """A constant daily series has (near-)zero weekly power: over
+    whole weeks Σc = −2 and Σs = 0 in the quantized table, so the
+    ratio is ~0 ppm (the table's rounding residual), nowhere near a
+    real weekly cycle's reading."""
+    rows = []
+    for k in range(28):  # 4 whole weeks, constant y = 100
+        rows.append((k, (T0_DAY + k) * NS_PER_DAY, 1, "view", 100.0))
+    _write_events(spark, rows, tdir)
+    r = extensions_r16.x211_weekly_spectrum(spark, tdir).collect()[0]
+    assert r["sc"] == 100 * 4 * sum(extensions_r16._C7)
+    assert r["ss"] == 0
+    assert r["weekly_power_ppm"] == 0
+
+
+def test_weekly_spectrum_zero_mass_null(spark, tdir):
+    """Values that all round to 0 leave sum_y = 0 — the ratio is NULL
+    (guarded), not a division error."""
+    rows = [(0, T0_DAY * NS_PER_DAY, 1, "view", 0.2)]
+    _write_events(spark, rows, tdir)
+    r = extensions_r16.x211_weekly_spectrum(spark, tdir).collect()[0]
+    assert r["sum_y"] == 0 and r["weekly_power_ppm"] is None
+
+
+# ------------------------------------------------------------- x212
+
+
+def test_jl_distortion_single_axis_pairs_exact(spark, tdir):
+    """Vectors differing in exactly ONE dimension by δ pin the ±1
+    projection algebra: d64 = δ² and every output dim moves by
+    ±δ, so d8 = 8·δ² and ratio_ppm = 10⁶ exactly → every pair lands
+    in bucket 4 (10⁶ DIV 250000)."""
+    # vec k = zeros except dim 0 = 0.1·k — consecutive pairs differ
+    # in exactly one dimension by δ = 0.1 (100 millis)
+    vecs = [
+        (k, [0.1 * k if i == 0 else 0.0 for i in range(64)])
+        for k in range(5)
+    ]
+    _write_embeddings(spark, vecs, tdir)
+    out = extensions_r15.x212_jl_distortion(spark, tdir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["bucket"] == 4
+    assert r["n_pairs"] == 4
+    # δ_k = 100 millis between k-1 and k → d64 = 100², sum over 4
+    assert r["sum_d64"] == 4 * 100 * 100
+    assert r["sum_d8"] == 8 * 4 * 100 * 100
+
+
+def test_jl_distortion_identical_and_empty(spark, tdir):
+    """Identical consecutive vectors (d64 = 0) are excluded; a
+    single-vector corpus has no pairs — both yield well-formed empty
+    results."""
+    _write_embeddings(
+        spark, [(0, [1.0] * 64), (1, [1.0] * 64)], tdir
+    )
+    assert (
+        extensions_r15.x212_jl_distortion(spark, tdir).count() == 0
+    )
+    _write_embeddings(spark, [(0, [1.0] * 64)], tdir)
+    assert (
+        extensions_r15.x212_jl_distortion(spark, tdir).count() == 0
+    )
+
+
+def test_jl_signs_are_h64_derived(spark):
+    """The sign table is pinned to the portable hash — a drifted
+    regeneration (different seed string, different parity rule)
+    fails here, because the oracle embeds these exact literals."""
+    from m5_competition_kaggle_spark.functions.text import h64_py
+
+    for j in (0, 7):
+        for i in (0, 63):
+            expect = 1 if h64_py(f"jl:{i}:{j}") % 2 == 0 else -1
+            assert extensions_r15._JL_SIGNS[j][i] == expect
+
+
+# ------------------------------------------------------------- x213
+
+
+def test_mutual_information_exact_independence_is_zero(spark, tdir):
+    """Counts in exact product form (type ⟂ hour) make every term
+    L(N·c_ah) − L(c_a·c_h) literally zero — integer MI certifies
+    independence with no tolerance: type A {10@h0, 20@h1}, type B
+    {30@h0, 60@h1} → N·c_ah = c_a·c_h in every cell."""
+    rows = []
+    eid = 0
+    for a, h, n in (
+        ("alpha", 0, 10),
+        ("alpha", 1, 20),
+        ("beta", 0, 30),
+        ("beta", 1, 60),
+    ):
+        for k in range(n):
+            eid += 1
+            ns = T0_DAY * NS_PER_DAY + h * NS_PER_HOUR + k * 1000
+            rows.append((eid, ns, 1, a, 1.0))
+    _write_events(spark, rows, tdir)
+    out = extensions_r17.x213_mutual_information(
+        spark, tdir
+    ).collect()
+    assert [(r["event_type"], r["mi_num"]) for r in out] == [
+        ("alpha", 0),
+        ("beta", 0),
+    ]
+    assert out[0]["total_mi_num"] == 0
+
+
+def test_mutual_information_disjoint_hours_closed_form(spark, tdir):
+    """Perfect dependence (each type owns one hour) pins the micro-nat
+    arithmetic against the same formula in Python bigints."""
+    rows = []
+    eid = 0
+    for a, h, n in (("alpha", 0, 12), ("beta", 1, 36)):
+        for k in range(n):
+            eid += 1
+            ns = T0_DAY * NS_PER_DAY + h * NS_PER_HOUR + k * 1000
+            rows.append((eid, ns, 1, a, 1.0))
+    _write_events(spark, rows, tdir)
+    out = extensions_r17.x213_mutual_information(
+        spark, tdir
+    ).collect()
+    N = 48
+
+    def L(x: float) -> int:
+        return round(math.log(x) * 1_000_000)
+
+    expect = {
+        "alpha": 12 * (L(float(N) * 12) - L(12.0 * 12)),
+        "beta": 36 * (L(float(N) * 36) - L(36.0 * 36)),
+    }
+    got = {r["event_type"]: r["mi_num"] for r in out}
+    assert got == expect
+    assert out[0]["total_mi_num"] == sum(expect.values())
+
+
+# ------------------------------------------------------------- x214
+
+
+def test_km_return_hazard_closed_form(spark, tdir):
+    """Three users with hand-laid visit days pin risk sets, hazards
+    and the product-limit survival: A visits d0,d0+1; B visits
+    d0,d0+3; C visits d0 only; t_max = d0+3. Spells: observed {1, 3},
+    censored {2, 3, 0}. Death times: t=1 (n_risk 4, h=1/4) and t=3
+    (n_risk 2, h=1/2)."""
+    rows = [
+        (1, T0_DAY * NS_PER_DAY, 1, "view", 1.0),
+        (2, (T0_DAY + 1) * NS_PER_DAY, 1, "view", 1.0),
+        (3, T0_DAY * NS_PER_DAY, 2, "view", 1.0),
+        (4, (T0_DAY + 3) * NS_PER_DAY, 2, "view", 1.0),
+        (5, T0_DAY * NS_PER_DAY, 3, "view", 1.0),
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r18.x214_km_hazard(spark, tdir).collect()
+    got = [
+        (
+            r["dur_days"],
+            r["n_risk"],
+            r["n_returns"],
+            r["hazard_ppm"],
+            r["surv_ppm"],
+        )
+        for r in out
+    ]
+    assert got == [
+        (1, 4, 1, 250000, 750000),
+        (3, 2, 1, 500000, 375000),
+    ]
+
+
+def test_km_return_hazard_single_visit_users_empty(spark, tdir):
+    """Every user seen once → only censored spells → no death rows;
+    well-formed empty output, not an error."""
+    rows = [
+        (1, T0_DAY * NS_PER_DAY, u, "view", 1.0)
+        for u in range(1, 4)
+    ]
+    _write_events(spark, rows, tdir)
+    assert extensions_r18.x214_km_hazard(spark, tdir).count() == 0
+
+
+# ------------------------------------------------------------- x215
+
+
+def test_mad_outliers_closed_form(spark, tdir):
+    """Values (1,1,1,5,9,9,9)·10⁻³ per the milli grid: n = 7, lower
+    median = 4th smallest = 5, deviations (4,4,4,0,4,4,4) → MAD = 4,
+    fence 12 → 0 outliers."""
+    vals = [0.001, 0.001, 0.001, 0.005, 0.009, 0.009, 0.009]
+    rows = [
+        (i, T0_DAY * NS_PER_DAY + i, 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, rows, tdir)
+    r = extensions_r20.x215_mad_outliers(spark, tdir).collect()[0]
+    assert (
+        r["n"],
+        r["med_q"],
+        r["mad_q"],
+        r["n_outliers"],
+        r["outlier_ppm"],
+    ) == (7, 5, 4, 0, 0)
+
+
+def test_mad_outliers_degenerate_mad_zero(spark, tdir):
+    """≥ half the mass on one value → MAD = 0 → the 3·MAD fence
+    degenerates and every off-median value is an outlier (the
+    documented standard behavior)."""
+    vals = [0.007] * 4 + [0.1]
+    rows = [
+        (i, T0_DAY * NS_PER_DAY + i, 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, rows, tdir)
+    r = extensions_r20.x215_mad_outliers(spark, tdir).collect()[0]
+    assert (r["med_q"], r["mad_q"], r["n_outliers"]) == (7, 0, 1)
+    assert r["outlier_ppm"] == 200000
+
+
+# ------------------------------------------------------------- x216
+
+
+def test_benford_digit_extraction_and_grid(spark, tdir):
+    """Digit = first char of the integer CENTS string: 0.01→1,
+    12.34→1, 0.95→9, 327.53→3; the 9-digit spine zero-fills the
+    gaps and tvd_ppm matches the Python recomputation."""
+    vals = [0.01, 12.34, 0.95, 327.53]
+    rows = [
+        (i, T0_DAY * NS_PER_DAY + i, 1, "view", v)
+        for i, v in enumerate(vals)
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r19.x216_benford_digits(spark, tdir).collect()
+    assert len(out) == 9
+    by_digit = {r["digit"]: r for r in out}
+    assert by_digit[1]["n_d"] == 2
+    assert by_digit[3]["n_d"] == 1
+    assert by_digit[9]["n_d"] == 1
+    assert by_digit[2]["n_d"] == 0
+    shares = {
+        d: (1_000_000 * by_digit[d]["n_d"]) // 4 for d in range(1, 10)
+    }
+    tvd = (
+        sum(
+            abs(shares[d] - extensions_r19._BENFORD_PPM[d - 1])
+            for d in range(1, 10)
+        )
+        // 2
+    )
+    assert all(r["tvd_ppm"] == tvd for r in out)
+
+
+def test_benford_loguniform_reads_close_uniform_far(spark, tdir):
+    """A log-uniform corpus (the Benford-generating distribution)
+    reads CLOSE to the expected shares while a uniform corpus reads
+    FAR — the instrument discriminates, which is its job."""
+    lognif = [
+        (i, T0_DAY * NS_PER_DAY + i, 1, "lg", 10 ** (i / 400.0))
+        for i in range(1600)  # 4 decades, 0.01×10⁰ .. 10⁴ cents
+    ]
+    unif = [
+        (10000 + i, T0_DAY * NS_PER_DAY + i, 1, "un", 1.0 + i / 10.0)
+        for i in range(1600)
+    ]
+    _write_events(spark, lognif + unif, tdir)
+    out = extensions_r19.x216_benford_digits(spark, tdir).collect()
+    tvd = {r["event_type"]: r["tvd_ppm"] for r in out}
+    assert tvd["lg"] < 30000
+    assert tvd["un"] > 200000
+
+
+def test_benford_all_subcent_empty(spark, tdir):
+    """Values rounding to 0 cents are excluded; an all-subcent corpus
+    yields a well-formed empty grid."""
+    rows = [(0, T0_DAY * NS_PER_DAY, 1, "view", 0.004)]
+    _write_events(spark, rows, tdir)
+    assert extensions_r19.x216_benford_digits(spark, tdir).count() == 0
