@@ -43,6 +43,12 @@ with the same Spark-vs-DuckDB differential as
   pair sample, sign table derived from the portable h64 so both
   engines project identically; the go/no-go for a low-dim ANN
   pre-filter. Exact integers, ≤ 13 output rows at any scale.
+- x218 FK integrity (added r14): referential-integrity certificate
+  over all 7 declared FK edges of the relational catalog — per
+  edge, orphan row/key mass and NULL-key mass from |keys|-sized
+  bookkeeping (per-key child counts ⋈ distinct parent keys), the
+  schema-wide sweep beside x204's single-edge cardinality audit;
+  exactly 7 rows at any scale.
 """
 
 from __future__ import annotations
@@ -865,6 +871,109 @@ FROM d GROUP BY 1 ORDER BY bucket
 """
 
 
+# --------------------------------------------------------------- x218
+
+# Every declared foreign-key edge of the TPC-H-shaped catalog:
+# (child table, child key, parent table, parent key).
+_FK_EDGES = (
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def x218_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity certificate over EVERY declared FK edge
+    of the relational catalog: per edge, the child row/key counts,
+    the orphan mass (child keys absent from the parent — broken
+    joins waiting to happen) and NULL-key mass. The whole-schema
+    sweep x204's single-edge cardinality audit doesn't attempt —
+    the first check a migration or ingest runs, and the one that
+    explains a sudden fan-out collapse (orphans silently vanish
+    through every inner join downstream).
+
+    Scale shape: per edge, one map-side-combining per-key child
+    count (|keys|-sized, never row-sized), one distinct on the
+    parent key, one keyed left join over the two key tables, one
+    1-row aggregate — the x204 bookkeeping argument applied
+    schema-wide; output is exactly |edges| = 7 rows at any scale.
+    NULL child keys never reach the join (they'd false-orphan);
+    they are counted on their own column.
+
+    Reference parity: engine extension (SURVEY §2 relational-audit
+    family beside x204/x209/x210).
+    """
+    outs = []
+    for child, ck, parent, pk in _FK_EDGES:
+        keyed = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ck).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+        par = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        j = keyed.join(par, "k", "left")
+        orphan = F.col("__hit").isNull() & F.col("k").isNotNull()
+        outs.append(
+            j.agg(
+                F.sum("cnt").alias("n_child_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_child_keys"),
+                F.sum(
+                    F.when(orphan, F.col("cnt")).otherwise(0)
+                ).alias("n_orphan_rows"),
+                F.sum(F.when(orphan, 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphan_keys"),
+                F.sum(
+                    F.when(F.col("k").isNull(), F.col("cnt"))
+                    .otherwise(0)
+                ).alias("n_null_rows"),
+            ).select(
+                F.lit(f"{child}.{ck}->{parent}.{pk}").alias("edge"),
+                "n_child_rows",
+                "n_child_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                "n_null_rows",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionAll(o)
+    return result.orderBy("edge")
+
+
+def _x218_oracle() -> str:
+    parts = []
+    for child, ck, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{child}.{ck}->{parent}.{pk}' AS edge,
+       CAST(sum(cnt) AS BIGINT) AS n_child_rows,
+       CAST(count(*) AS BIGINT) AS n_child_keys,
+       CAST(sum(CASE WHEN p.k IS NULL AND keyed.k IS NOT NULL
+                THEN cnt ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+       CAST(sum(CASE WHEN p.k IS NULL AND keyed.k IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+       CAST(sum(CASE WHEN keyed.k IS NULL THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_null_rows
+FROM (SELECT {ck} AS k, CAST(count(*) AS BIGINT) AS cnt
+      FROM {child} GROUP BY 1) keyed
+LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent}) p
+    ON p.k = keyed.k""")
+    return (
+        "\nUNION ALL\n".join(parts) + "\nORDER BY edge"
+    )
+
+
 QUERIES = {
     "x176_interarrival_cv2": x176_interarrival_cv2,
     "x177_dup_cluster_profile": x177_dup_cluster_profile,
@@ -873,6 +982,7 @@ QUERIES = {
     "s27_stream_gini": s27_stream_gini,
     "x205_embedding_health": x205_embedding_health,
     "x212_jl_distortion": x212_jl_distortion,
+    "x218_fk_integrity": x218_fk_integrity,
 }
 
 ORACLES = {
@@ -883,4 +993,5 @@ ORACLES = {
     "s27_stream_gini": ORACLE_S27,
     "x205_embedding_health": ORACLE_X205,
     "x212_jl_distortion": _x212_oracle(),
+    "x218_fk_integrity": _x218_oracle(),
 }

@@ -675,6 +675,59 @@ FROM tot t CROSS JOIN qs q
 """
 
 
+# ---------------------------------------------------------------- s31
+
+
+def s31_stream_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming entropy trajectory
+    (``streaming/entropy_monitor.py``): per-event-time-day exact
+    micro-nat Shannon entropy of that day's integer-quantized value
+    distribution — assembled from the SAME calendar-bounded
+    (day, bucket) cells the s18/s26/s27 monitors maintain (one
+    streaming kernel, four readouts; stream == batch proven in
+    tests/test_r14_additions.py through the shared
+    ``entropy_day_table`` assembly). Entropy reads CARDINALITY
+    collapse (a day's mass landing on few buckets) that the Gini
+    readout can under-report when the surviving buckets are small —
+    the two are separated on planted cells in the queue tests."""
+    from m5_competition_kaggle_spark.streaming.entropy_monitor import (
+        entropy_day_table,
+    )
+    from m5_competition_kaggle_spark.streaming.ks_monitor import (
+        day_bucket_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return entropy_day_table(day_bucket_counts(ev)).orderBy("day")
+
+
+ORACLE_S31 = """
+WITH cells AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(round(value) AS BIGINT) AS q,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+per_day AS (
+    SELECT day, CAST(sum(c) AS BIGINT) AS n_members,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM cells GROUP BY day
+),
+terms AS (
+    SELECT c.day, p.n_members, p.n_cells,
+           c.c * (CAST(round(ln(p.n_members) * 1000000) AS BIGINT)
+                  - CAST(round(ln(c.c) * 1000000) AS BIGINT))
+               AS term
+    FROM cells c JOIN per_day p ON p.day = c.day
+)
+SELECT day, n_members, n_cells,
+       CAST(sum(term) AS BIGINT) AS h_num,
+       CAST(sum(term) AS BIGINT) // n_members AS h_unat
+FROM terms GROUP BY day, n_members, n_cells
+ORDER BY day
+"""
+
+
 # --------------------------------------------------------------- x216
 
 # round(10⁶·log10(1 + 1/d)), d = 1..9 — Benford's law expected
@@ -844,6 +897,7 @@ QUERIES = {
     "x194_langid_confusion": x194_langid_confusion,
     "x202_readability_forcast": x202_readability_forcast,
     "x209_fact_consistency": x209_fact_consistency,
+    "s31_stream_entropy": s31_stream_entropy,
     "x216_benford_digits": x216_benford_digits,
 }
 
@@ -854,5 +908,6 @@ ORACLES = {
     "x194_langid_confusion": _langid_confusion_oracle(),
     "x202_readability_forcast": ORACLE_X202,
     "x209_fact_consistency": ORACLE_X209,
+    "s31_stream_entropy": ORACLE_S31,
     "x216_benford_digits": ORACLE_X216,
 }

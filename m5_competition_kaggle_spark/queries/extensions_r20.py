@@ -44,6 +44,12 @@ Two layout/plan-audit certificates added in the r13 second session:
   integer rank math over the value HISTOGRAM (state bounded by the
   value range, not the corpus) — the robust-fence audit beside
   x83's winsorized mean; the MAD = 0 degenerate fence pinned.
+- x217 changepoint split (added r14): binary-segmentation
+  localization of the best single level-shift split per type's
+  daily series, scored as the exact-integer R² in ppm via one
+  cross-multiplied DECIMAL(38,0) ratio — the WHERE beside s23's
+  streaming WHEN; planted step series pin the split day and R²
+  closed-form; constant series pin the NULLS LAST argmax.
 """
 
 from __future__ import annotations
@@ -898,6 +904,152 @@ FROM agg ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------- x217
+
+
+def x217_changepoint_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-segmentation changepoint localization: for each event
+    type's daily unit series, the single split that maximizes the
+    two-segment variance reduction, scored as the exact-integer R²
+    of the split in ppm — r2 = (m·f(k) − S²) / (m·Σy² − S²) with
+    f(k) cross-multiplied to the common denominator k(m−k), so the
+    whole score is one DECIMAL(38,0) ratio both engines floor
+    identically (quotient ≤ 10⁶ since R² ≤ 1 — no DIV wrap
+    possible). The WHERE of a level shift, complementing s23's
+    streaming CUSUM (which says WHEN the monitor would alarm) and
+    x181's runs test (which says IF the series trends at all).
+    Constant series (zero total variance) emit a NULL score with the
+    earliest candidate day — explicit NULLS LAST ordering keeps the
+    argmax deterministic and identical cross-engine.
+
+    Scale shape: one map-side-combining (type, day) aggregate, then
+    per-type windows over DAY cells (calendar-bounded, partitioned
+    by type — never a global window) and a per-type 1-row argmax.
+    Envelope: m·S² and the 10⁶-scaled numerator stay inside
+    DECIMAL(38,0) up to S ≈ 10¹⁵ units per type — ~10⁶× the
+    100×-probe magnitude; ANSI raises loudly past it.
+
+    Reference parity: engine extension (SURVEY §2 temporal family
+    beside x170/x181/x195/x211; streaming twin s23).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("t"),
+        F.expr("CAST(round(value) AS BIGINT)").alias("q"),
+    )
+    series = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    )
+    dec = "decimal(38,0)"
+    w_tot = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scanned = series.select(
+        "event_type",
+        "t",
+        F.count(F.lit(1)).over(w_tot).alias("m"),
+        F.sum("y").over(w_tot).alias("s_tot"),
+        F.sum(F.expr(f"CAST(y AS {dec}) * y"))
+        .over(w_tot)
+        .alias("ssq_tot"),
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("t")
+        ).alias("k"),
+        F.sum("y").over(w_cum).alias("s1"),
+    )
+    cand = scanned.filter(F.col("k") < F.col("m")).select(
+        "event_type",
+        "t",
+        "m",
+        "k",
+        F.expr(
+            "CASE WHEN CAST(m AS DECIMAL(38,0)) * ssq_tot"
+            " - CAST(s_tot AS DECIMAL(38,0)) * s_tot > 0 THEN"
+            " CAST((CAST(1000000 AS DECIMAL(38,0)) *"
+            "  (CAST(m AS DECIMAL(38,0)) *"
+            "   (CAST(s1 AS DECIMAL(38,0)) * s1 * (m - k)"
+            "    + CAST(s_tot - s1 AS DECIMAL(38,0))"
+            "      * (s_tot - s1) * k)"
+            "   - CAST(s_tot AS DECIMAL(38,0)) * s_tot"
+            "     * (CAST(k AS DECIMAL(38,0)) * (m - k))))"
+            " DIV ((CAST(k AS DECIMAL(38,0)) * (m - k))"
+            "      * (CAST(m AS DECIMAL(38,0)) * ssq_tot"
+            "         - CAST(s_tot AS DECIMAL(38,0)) * s_tot))"
+            " AS BIGINT) END"
+        ).alias("r2_ppm"),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.col("r2_ppm").desc_nulls_last(), F.col("t").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("m").alias("n_days"),
+            F.col("t").alias("split_day"),
+            F.col("k").alias("split_k"),
+            "r2_ppm",
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_X217 = f"""
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // {NANOS_PER_DAY} AS t,
+           CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY event_type, epoch_ns(ts) // {NANOS_PER_DAY}
+),
+scanned AS (
+    SELECT event_type, t,
+           CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS m,
+           CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT)
+               AS s_tot,
+           sum(CAST(y AS HUGEINT) * y)
+               OVER (PARTITION BY event_type) AS ssq_tot,
+           CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY t) AS BIGINT) AS k,
+           CAST(sum(y) OVER (PARTITION BY event_type ORDER BY t
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1
+    FROM series
+),
+cand AS (
+    SELECT event_type, t, m, k,
+           CASE WHEN CAST(m AS HUGEINT) * ssq_tot
+                     - CAST(s_tot AS HUGEINT) * s_tot > 0 THEN
+               CAST((1000000 *
+                 (CAST(m AS HUGEINT) *
+                  (CAST(s1 AS HUGEINT) * s1 * (m - k)
+                   + CAST(s_tot - s1 AS HUGEINT)
+                     * (s_tot - s1) * k)
+                  - CAST(s_tot AS HUGEINT) * s_tot
+                    * (CAST(k AS HUGEINT) * (m - k))))
+               // ((CAST(k AS HUGEINT) * (m - k))
+                   * (CAST(m AS HUGEINT) * ssq_tot
+                      - CAST(s_tot AS HUGEINT) * s_tot))
+               AS BIGINT) END AS r2_ppm
+    FROM scanned WHERE k < m
+),
+best AS (
+    SELECT event_type, t, m, k, r2_ppm,
+           row_number() OVER (PARTITION BY event_type
+               ORDER BY r2_ppm DESC NULLS LAST, t ASC) AS rn
+    FROM cand
+)
+SELECT event_type, m AS n_days, t AS split_day, k AS split_k,
+       r2_ppm
+FROM best WHERE rn = 1 ORDER BY event_type
+"""
+
+
 QUERIES = {
     "x195_residual_acf": x195_residual_acf,
     "x196_discount_lift": x196_discount_lift,
@@ -906,6 +1058,7 @@ QUERIES = {
     "x204_join_cardinality_audit": x204_join_cardinality_audit,
     "x210_key_skew_certificate": x210_key_skew_certificate,
     "x215_mad_outliers": x215_mad_outliers,
+    "x217_changepoint_split": x217_changepoint_split,
 }
 
 ORACLES = {
@@ -916,4 +1069,5 @@ ORACLES = {
     "x204_join_cardinality_audit": ORACLE_X204,
     "x210_key_skew_certificate": ORACLE_X210,
     "x215_mad_outliers": ORACLE_X215,
+    "x217_changepoint_split": ORACLE_X217,
 }

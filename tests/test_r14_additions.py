@@ -375,3 +375,239 @@ def test_benford_all_subcent_empty(spark, tdir):
     rows = [(0, T0_DAY * NS_PER_DAY, 1, "view", 0.004)]
     _write_events(spark, rows, tdir)
     assert extensions_r19.x216_benford_digits(spark, tdir).count() == 0
+
+
+# ------------------------------------------------------------- s31
+
+
+def test_s31_stream_equals_batch(spark, tdir):
+    """The streaming entropy trajectory over a real two-file stream
+    must equal the batch twin row-for-row — the s27 identity applied
+    to the fourth readout on the shared distribution-monitor cells."""
+    from m5_competition_kaggle_spark.queries.extensions_r19 import (
+        s31_stream_entropy,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+    from m5_competition_kaggle_spark.streaming.entropy_monitor import (
+        streaming_entropy_trajectory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    expected = sorted(
+        tuple((str(v) if hasattr(v, "year") else v) for v in r)
+        for r in s31_stream_entropy(spark, sf).collect()
+    )
+    assert expected, "batch twin produced no rows"
+
+    d = tempfile.mkdtemp(prefix="events_entropy_stream_")
+    ckpt = tempfile.mkdtemp(prefix="entropy_ckpt_")
+    sink: list = []
+    try:
+        mid = ev.approxQuantile("ts_nanos", [0.5], 0.0)[0]
+        for name, part in (
+            ("a", ev.filter(F.col("ts_nanos") < mid)),
+            ("b", ev.filter(F.col("ts_nanos") >= mid)),
+        ):
+            tmp = os.path.join(d, f"__{name}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    shutil.move(
+                        os.path.join(tmp, f),
+                        os.path.join(d, f"part-{name}.parquet"),
+                    )
+            shutil.rmtree(tmp)
+        q = streaming_entropy_trajectory(
+            spark, d, sink, ckpt, maxFilesPerTrigger=1
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            tuple((str(v) if hasattr(v, "year") else v) for v in r)
+            for r in sink
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_entropy_sees_what_gini_misses(spark):
+    """Planted day cells separating the two reference-free readouts:
+    a day with all mass on ONE value has Gini 0 AND entropy 0; a day
+    spread evenly over three ADJACENT values still has near-zero
+    Gini (mass stays balanced) but entropy ≈ ln 3 — the diversity
+    alarm concentration metrics can't raise. Exact micro-nat pins
+    against the Python recomputation."""
+    import datetime as dt
+
+    from m5_competition_kaggle_spark.streaming.entropy_monitor import (
+        entropy_day_table,
+    )
+    from m5_competition_kaggle_spark.streaming.gini_monitor import (
+        gini_day_table,
+    )
+
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    cells = spark.createDataFrame(
+        [
+            (d1, 10, 99),
+            (d2, 9, 33),
+            (d2, 10, 33),
+            (d2, 11, 33),
+        ],
+        "day date, q long, c_cmp long",
+    )
+    ent = {r["day"]: r for r in entropy_day_table(cells).collect()}
+    gin = {r["day"]: r for r in gini_day_table(cells).collect()}
+
+    def L(x: float) -> int:
+        return round(math.log(x) * 1_000_000)
+
+    assert ent[d1]["h_num"] == 0 and ent[d1]["h_unat"] == 0
+    expect_h2 = 3 * 33 * (L(99.0) - L(33.0))
+    assert ent[d2]["h_num"] == expect_h2
+    assert ent[d2]["h_unat"] == expect_h2 // 99
+    # ln 3 in micro-nats, exactly (99 divides the term sum)
+    assert ent[d2]["h_unat"] == L(99.0) - L(33.0)
+    # Gini barely moves: day 2 stays under 7% concentration
+    assert gin[d1]["gini_ppm"] == 0
+    assert gin[d2]["gini_ppm"] < 70000
+
+
+# ------------------------------------------------------------- x217
+
+
+def test_changepoint_perfect_step_r2_exact(spark, tdir):
+    """A clean two-level step (10 days at 10, then 10 days at 50)
+    pins the exact R² arithmetic: the best split explains ALL the
+    variance — r2_ppm = 10⁶ exactly, split after position 10."""
+    rows = []
+    for k in range(20):
+        v = 10.0 if k < 10 else 50.0
+        rows.append((k, (T0_DAY + k) * NS_PER_DAY, 1, "view", v))
+    _write_events(spark, rows, tdir)
+    r = extensions_r20.x217_changepoint_split(
+        spark, tdir
+    ).collect()[0]
+    assert (
+        r["n_days"],
+        r["split_day"],
+        r["split_k"],
+        r["r2_ppm"],
+    ) == (20, T0_DAY + 9, 10, 1_000_000)
+
+
+def test_changepoint_constant_series_null_score(spark, tdir):
+    """Zero total variance → every candidate's R² is NULL; the
+    NULLS LAST argmax deterministically picks the earliest candidate
+    day with a NULL score (both engines order identically)."""
+    rows = [
+        (k, (T0_DAY + k) * NS_PER_DAY, 1, "view", 7.0)
+        for k in range(5)
+    ]
+    _write_events(spark, rows, tdir)
+    r = extensions_r20.x217_changepoint_split(
+        spark, tdir
+    ).collect()[0]
+    assert (r["split_day"], r["split_k"], r["r2_ppm"]) == (
+        T0_DAY,
+        1,
+        None,
+    )
+
+
+def test_changepoint_single_day_type_absent(spark, tdir):
+    """A type observed on one day has no candidate split (k < m is
+    empty) — it is absent from the output, not an error row."""
+    rows = [
+        (0, T0_DAY * NS_PER_DAY, 1, "solo", 5.0),
+        (1, T0_DAY * NS_PER_DAY, 1, "pair", 5.0),
+        (2, (T0_DAY + 1) * NS_PER_DAY, 1, "pair", 9.0),
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r20.x217_changepoint_split(
+        spark, tdir
+    ).collect()
+    assert [r["event_type"] for r in out] == ["pair"]
+
+
+# ------------------------------------------------------------- x218
+
+
+def test_fk_integrity_planted_orphans(spark, tdir):
+    """Copy the sf0.001 catalog, then replace nation with a version
+    holding one orphan n_regionkey (99) carrying two nations and one
+    NULL key — the nation->region edge must read exactly that, and
+    a clean edge (customer->nation via surviving keys) must stay
+    zero-orphan."""
+    import duckdb
+
+    from m5_competition_kaggle_spark.queries.extensions_r15 import (
+        _FK_EDGES,
+        _x218_oracle,
+        x218_fk_integrity,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    tables = {c for c, _, _, _ in _FK_EDGES} | {
+        p for _, _, p, _ in _FK_EDGES
+    }
+    for t in tables:
+        shutil.copytree(
+            os.path.join(sf, f"{t}.parquet"),
+            os.path.join(tdir, f"{t}.parquet"),
+        ) if os.path.isdir(
+            os.path.join(sf, f"{t}.parquet")
+        ) else shutil.copy(
+            os.path.join(sf, f"{t}.parquet"),
+            os.path.join(tdir, f"{t}.parquet"),
+        )
+    os.remove(os.path.join(tdir, "nation.parquet")) if os.path.isfile(
+        os.path.join(tdir, "nation.parquet")
+    ) else shutil.rmtree(os.path.join(tdir, "nation.parquet"))
+    spark.createDataFrame(
+        [
+            (0, "ALPHA", 0),
+            (1, "BETA", 99),
+            (2, "GAMMA", 99),
+            (3, "DELTA", None),
+        ],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.parquet(os.path.join(tdir, "nation.parquet"))
+
+    out = {
+        r["edge"]: r
+        for r in x218_fk_integrity(spark, tdir).collect()
+    }
+    nr = out["nation.n_regionkey->region.r_regionkey"]
+    assert (
+        nr["n_child_rows"],
+        nr["n_orphan_rows"],
+        nr["n_orphan_keys"],
+        nr["n_null_rows"],
+    ) == (4, 2, 1, 1)
+    # the fixture's own edges are referentially clean
+    li = out["lineitem.l_orderkey->orders.o_orderkey"]
+    assert li["n_orphan_rows"] == 0 and li["n_null_rows"] == 0
+
+    # differential on the PLANTED corpus too — the oracle must agree
+    # on the orphan readings, not just on clean data
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(tdir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{path}/*.parquet')"
+                if os.path.isdir(path)
+                else f"CREATE VIEW {t} AS SELECT * FROM"
+                f" read_parquet('{path}')"
+            )
+    oracle = {r[0]: r for r in con.execute(_x218_oracle()).fetchall()}
+    gr = oracle["nation.n_regionkey->region.r_regionkey"]
+    assert (gr[1], gr[3], gr[4], gr[5]) == (4, 2, 1, 1)
