@@ -42,6 +42,12 @@ with the same Spark-vs-DuckDB differential as
   quantized twiddle table — the frequency-domain seasonality
   certificate the lag-domain ACF (x170) and the hour-of-day shape
   (x190) don't carry; exact integers, DECIMAL(38,0) squares.
+- x219 EWMA forecast skill (added r14): one-step-ahead α = ½
+  exponential smoothing (weights exact powers of two over 2²⁰ − 1)
+  raced against the lag-1 naive per type — exact-integer SSEs via
+  cross-multiplied residuals, err_share_ppm bounded ≤ 10⁶ by
+  construction, win-day sign test beside it; the classical-baseline
+  audit under the reference's LightGBM forecaster.
 """
 
 from __future__ import annotations
@@ -851,6 +857,181 @@ FROM agg ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------- x219
+
+# EWMA (α = 1/2) truncated at EWMA_LAGS days: weights 2^(K−i) over
+# the exact geometric denominator 2^K − 1. Pure powers of two keep
+# every intermediate an exact integer — no float smoothing state.
+EWMA_LAGS = 20
+_EWMA_DEN = (1 << EWMA_LAGS) - 1  # 1048575
+
+
+def x219_ewma_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-step-ahead EWMA forecast skill per event type — the
+    classic exponential-smoothing baseline (α = ½, truncated at 20
+    lags so the weights are exact powers of two) raced against the
+    lag-1 naive on each type's zero-filled daily unit series.
+    Residuals are cross-multiplied to the common denominator
+    2²⁰ − 1, so both SSEs are exact integers and the headline
+    err_share_ppm = 10⁶·SSE_ewma / (SSE_ewma + SSE_naive) is a
+    DECIMAL(38,0) ratio bounded ≤ 10⁶ BY CONSTRUCTION (no DIV wrap
+    possible; < 500000 means smoothing beats naive). win_days counts
+    eval days where the EWMA's absolute scaled residual is strictly
+    smaller — the sign-test companion the ratio alone can't give.
+    The x168 MASE family judges a FIXED forecast column; this races
+    two engine-computed forecasters.
+
+    Missing days count as y = 0 (the x211 convention) via an
+    explicit per-type calendar spine; the first EWMA_LAGS spine days
+    are warm-up and excluded from evaluation.
+
+    Scale shape: one map-side-combining (type, day) aggregate, a
+    sequence() spine (calendar-bounded), 20 per-type lag() columns
+    over DAY cells, one per-type 1-row aggregate. Envelope: the
+    10⁶-scaled SSE numerator stays inside DECIMAL(38,0) up to
+    SSE ≈ 10³² (scaled-residual magnitude ~10¹⁵ per day at the
+    100×-dense probe, squares ~10³⁰ per day — ANSI raises loudly
+    past the envelope).
+
+    Reference parity: the reference's pipeline IS a per-store
+    forecaster (pipeline.py:258-266 trains LightGBM); this is the
+    engine's classical-baseline audit beside x168/x169/x195
+    (SURVEY §2 forecast family).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("t"),
+        F.expr("CAST(round(value) AS BIGINT)").alias("q"),
+    )
+    series = ev.groupBy("event_type", "t").agg(
+        F.sum("q").alias("y")
+    )
+    spine = (
+        series.groupBy("event_type")
+        .agg(F.min("t").alias("t0"), F.max("t").alias("t1"))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(t0, t1)")).alias("t"),
+        )
+    )
+    full = spine.join(series, ["event_type", "t"], "left").select(
+        "event_type",
+        "t",
+        F.coalesce("y", F.lit(0).cast("long")).alias("y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("t")
+    num = None
+    for i in range(1, EWMA_LAGS + 1):
+        term = F.lit(1 << (EWMA_LAGS - i)) * F.coalesce(
+            F.lag("y", i).over(w), F.lit(0).cast("long")
+        )
+        num = term if num is None else num + term
+    lagged = full.select(
+        "event_type",
+        "y",
+        F.row_number().over(w).alias("rn"),
+        num.alias("fc_num"),
+        F.coalesce(
+            F.lag("y", 1).over(w), F.lit(0).cast("long")
+        ).alias("y1"),
+    ).filter(F.col("rn") > EWMA_LAGS)
+    resid = lagged.select(
+        "event_type",
+        (F.lit(_EWMA_DEN) * F.col("y") - F.col("fc_num")).alias(
+            "r_e"
+        ),
+        (F.lit(_EWMA_DEN) * (F.col("y") - F.col("y1"))).alias(
+            "r_n"
+        ),
+    )
+    dec = "decimal(38,0)"
+    agg = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_days"),
+        F.sum(
+            F.when(
+                F.abs(F.col("r_e")) < F.abs(F.col("r_n")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("win_days"),
+        F.sum(F.expr(f"CAST(r_e AS {dec}) * r_e")).alias("__se"),
+        F.sum(F.expr(f"CAST(r_n AS {dec}) * r_n")).alias("__sn"),
+    )
+    return agg.select(
+        "event_type",
+        "n_eval_days",
+        "win_days",
+        F.expr(
+            "(1000000 * win_days) DIV n_eval_days"
+        ).alias("win_ppm"),
+        F.expr(
+            "CASE WHEN __se + __sn > 0 THEN CAST("
+            " (CAST(1000000 AS DECIMAL(38,0)) * __se)"
+            " DIV (__se + __sn) AS BIGINT) END"
+        ).alias("err_share_ppm"),
+    ).orderBy("event_type")
+
+
+ORACLE_X219 = f"""
+WITH series AS (
+    SELECT event_type,
+           epoch_ns(ts) // {NANOS_PER_DAY} AS t,
+           CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY event_type, epoch_ns(ts) // {NANOS_PER_DAY}
+),
+bounds AS (
+    SELECT event_type, min(t) AS t0, max(t) AS t1
+    FROM series GROUP BY event_type
+),
+spine AS (
+    SELECT b.event_type, CAST(g.t AS BIGINT) AS t
+    FROM bounds b, UNNEST(generate_series(b.t0, b.t1)) AS g(t)
+),
+full_series AS (
+    SELECT sp.event_type, sp.t, COALESCE(s.y, 0) AS y
+    FROM spine sp LEFT JOIN series s
+        ON s.event_type = sp.event_type AND s.t = sp.t
+),
+lagged AS (
+    SELECT event_type, y,
+           row_number() OVER (PARTITION BY event_type ORDER BY t)
+               AS rn,
+           {" + ".join(
+               f"CAST({1 << (EWMA_LAGS - i)} AS BIGINT)"
+               f" * COALESCE(lag(y, {i}) OVER (PARTITION BY"
+               " event_type ORDER BY t), 0)"
+               for i in range(1, EWMA_LAGS + 1)
+           )} AS fc_num,
+           COALESCE(lag(y, 1) OVER (PARTITION BY event_type
+               ORDER BY t), 0) AS y1
+    FROM full_series
+),
+resid AS (
+    SELECT event_type,
+           {_EWMA_DEN} * y - fc_num AS r_e,
+           {_EWMA_DEN} * (y - y1) AS r_n
+    FROM lagged WHERE rn > {EWMA_LAGS}
+),
+agg AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_eval_days,
+           CAST(sum(CASE WHEN abs(r_e) < abs(r_n) THEN 1 ELSE 0
+                    END) AS BIGINT) AS win_days,
+           sum(CAST(r_e AS HUGEINT) * r_e) AS se,
+           sum(CAST(r_n AS HUGEINT) * r_n) AS sn
+    FROM resid GROUP BY event_type
+)
+SELECT event_type, n_eval_days, win_days,
+       (1000000 * win_days) // n_eval_days AS win_ppm,
+       CASE WHEN se + sn > 0 THEN CAST(
+           (1000000 * se) // (se + sn) AS BIGINT) END
+           AS err_share_ppm
+FROM agg ORDER BY event_type
+"""
+
+
 QUERIES = {
     "x180_entropy_rate": x180_entropy_rate,
     "x181_runs_test": x181_runs_test,
@@ -859,6 +1040,7 @@ QUERIES = {
     "s28_stateful_transitions": s28_stateful_transitions,
     "x206_watermark_audit": x206_watermark_audit,
     "x211_weekly_spectrum": x211_weekly_spectrum,
+    "x219_ewma_forecast": x219_ewma_forecast,
 }
 
 ORACLES = {
@@ -869,4 +1051,5 @@ ORACLES = {
     "s28_stateful_transitions": ORACLE_S28,
     "x206_watermark_audit": ORACLE_X206,
     "x211_weekly_spectrum": ORACLE_X211,
+    "x219_ewma_forecast": ORACLE_X219,
 }

@@ -44,6 +44,12 @@ as ``scripts/check_oracle.py``.
   hazard 10⁶·d DIV n_risk added beside the product-limit surv_ppm —
   the unbiased retention curve a raw gap histogram (which silently
   drops open spells) can't give. Calendar-bounded rows.
+- x220 EMD drift (added r14): per-day 1-D Wasserstein distance to
+  the corpus value distribution in exact cross-multiplied integers
+  over the corpus value grid — the gap INTEGRAL beside KS's worst
+  point (x189/s18) and CvM's squared sum (x175/s26), the only one
+  that scales with how FAR mass moved; emd_milli bounded by
+  1000·range, day × range bounded cells.
 """
 
 from __future__ import annotations
@@ -935,6 +941,155 @@ FROM curve WHERE d > 0 ORDER BY dur_days
 """
 
 
+# --------------------------------------------------------------- x220
+
+
+def x220_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Earth Mover's Distance (1-D Wasserstein) between each
+    day's value distribution and the whole-corpus reference — the
+    third gap geometry on the distribution-drift family: KS (x189 /
+    s18) reads the WORST-point ECDF gap, CvM (x175/s26) the sum of
+    SQUARED gaps, EMD the INTEGRAL of absolute gaps — the only one
+    of the three that scales with HOW FAR the mass moved, not just
+    that it moved (a +1-unit shift and a +100-unit shift have the
+    same KS but 100× the EMD). Exact integers: EMD_1d =
+    Σ_grid |A_d(q)·N_c − A_c(q)·N_d|·Δq cross-multiplied over the
+    corpus value grid, normalized to emd_milli = 1000·Σ DIV
+    (N_d·N_c) — thousandths of a value unit, bounded by 1000·range
+    (no DIV wrap possible).
+
+    Scale shape: one map-side-combining (day, q) count and one (q)
+    count; the grid windows run over VALUE-range-bounded cells
+    (corpus grid) and day×grid cells (calendar × range bounded) —
+    never corpus rows. The corpus-grid cum/lead window is single-
+    partition over range-bounded cells (the x209 allowance class).
+
+    Reference parity: engine extension (SURVEY §2 drift family
+    beside x189/x175/s18/s26).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"ts_nanos DIV {NANOS_PER_DAY}").alias("day"),
+        F.expr("CAST(round(value) AS BIGINT)").alias("q"),
+    )
+    day_cells = ev.groupBy("day", "q").agg(
+        F.count(F.lit(1)).cast("long").alias("c_d")
+    )
+    corpus = ev.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("c_c")
+    )
+    w_corp = Window.orderBy("q")
+    grid = corpus.select(
+        "q",
+        F.sum("c_c")
+        .over(
+            w_corp.rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("a_c"),
+        F.coalesce(
+            F.lead("q").over(w_corp) - F.col("q"),
+            F.lit(0).cast("long"),
+        ).alias("dq"),
+    )
+    n_c = corpus.agg(F.sum("c_c").alias("n_corpus"))
+    days = day_cells.groupBy("day").agg(
+        F.sum("c_d").alias("n_day")
+    )
+    dxg = (
+        days.crossJoin(F.broadcast(grid))
+        .join(day_cells, ["day", "q"], "left")
+        .select(
+            "day",
+            "n_day",
+            "q",
+            "a_c",
+            "dq",
+            F.coalesce("c_d", F.lit(0).cast("long")).alias("c_d"),
+        )
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    terms = dxg.withColumn(
+        "a_d", F.sum("c_d").over(w_day)
+    ).crossJoin(F.broadcast(n_c)).select(
+        "day",
+        "n_day",
+        F.expr(
+            f"CAST(abs(CAST(a_d AS {dec}) * n_corpus"
+            f" - CAST(a_c AS {dec}) * n_day) * dq AS {dec})"
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("day", "n_day")
+        .agg(F.sum("term").alias("__num"))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "day",
+            "n_day",
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * __num)"
+                " DIV (CAST(n_day AS DECIMAL(38,0)) * n_corpus)"
+                " AS BIGINT)"
+            ).alias("emd_milli"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_X220 = f"""
+WITH ev AS (
+    SELECT epoch_ns(ts) // {NANOS_PER_DAY} AS day,
+           CAST(round(value) AS BIGINT) AS q
+    FROM events
+),
+day_cells AS (
+    SELECT day, q, CAST(count(*) AS BIGINT) AS c_d
+    FROM ev GROUP BY day, q
+),
+corpus AS (
+    SELECT q, CAST(count(*) AS BIGINT) AS c_c FROM ev GROUP BY q
+),
+grid AS (
+    SELECT q,
+           CAST(sum(c_c) OVER (ORDER BY q
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS a_c,
+           COALESCE(lead(q) OVER (ORDER BY q) - q, 0) AS dq
+    FROM corpus
+),
+n_c AS (SELECT CAST(sum(c_c) AS BIGINT) AS n_corpus FROM corpus),
+days AS (
+    SELECT day, CAST(sum(c_d) AS BIGINT) AS n_day
+    FROM day_cells GROUP BY day
+),
+dxg AS (
+    SELECT d.day, d.n_day, g.q, g.a_c, g.dq,
+           COALESCE(dc.c_d, 0) AS c_d
+    FROM days d CROSS JOIN grid g
+    LEFT JOIN day_cells dc ON dc.day = d.day AND dc.q = g.q
+),
+terms AS (
+    SELECT day, n_day,
+           abs(CAST(sum(c_d) OVER (PARTITION BY day ORDER BY q
+                    ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+               * (SELECT n_corpus FROM n_c)
+               - CAST(a_c AS HUGEINT) * n_day) * dq AS term
+    FROM dxg
+)
+SELECT t.day, t.n_day,
+       CAST((1000 * sum(t.term))
+            // (CAST(t.n_day AS HUGEINT) * n.n_corpus) AS BIGINT)
+           AS emd_milli
+FROM terms t CROSS JOIN n_c n
+GROUP BY t.day, t.n_day, n.n_corpus
+ORDER BY t.day
+"""
+
+
 QUERIES = {
     "x188_dedup_weighted_stats": x188_dedup_weighted_stats,
     "x189_source_ks_matrix": x189_source_ks_matrix,
@@ -943,6 +1098,7 @@ QUERIES = {
     "x201_degree_assortativity": x201_degree_assortativity,
     "x207_dedup_quality_shift": x207_dedup_quality_shift,
     "x214_km_hazard": x214_km_hazard,
+    "x220_emd_drift": x220_emd_drift,
 }
 
 ORACLES = {
@@ -953,4 +1109,5 @@ ORACLES = {
     "x201_degree_assortativity": _x201_oracle(),
     "x207_dedup_quality_shift": _x207_oracle(),
     "x214_km_hazard": ORACLE_X214,
+    "x220_emd_drift": ORACLE_X220,
 }

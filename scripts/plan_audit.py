@@ -119,6 +119,13 @@ ALLOWED_SINGLE_PARTITION = {
         " (operators/prefix_max.py), plan-asserted single-partition-"
         "free by tests/test_prefix_max.py"
     ),
+    "x220_emd_drift": (
+        "the corpus-grid cum/lead window walks the distinct"
+        " integer-value cells — bounded by the VALUE RANGE (~330"
+        " cells on this fixture; the x209 value-cell class), never"
+        " corpus rows; the per-day cum windows are partitioned by"
+        " day over the same range-bounded grid"
+    ),
     "x214_km_hazard": (
         "km_curve (the x124 kernel) walks the duration-CELL table"
         " with global windows — one row per DISTINCT inter-visit"

@@ -611,3 +611,112 @@ def test_fk_integrity_planted_orphans(spark, tdir):
     oracle = {r[0]: r for r in con.execute(_x218_oracle()).fetchall()}
     gr = oracle["nation.n_regionkey->region.r_regionkey"]
     assert (gr[1], gr[3], gr[4], gr[5]) == (4, 2, 1, 1)
+
+
+# ------------------------------------------------------------- x219
+
+
+def test_ewma_forecast_brute_force_twin(spark, tdir):
+    """A seeded 45-day series replayed through the same integer
+    arithmetic in pure Python bigints — every output column must
+    match the brute-force twin exactly."""
+    import random
+
+    from m5_competition_kaggle_spark.queries.extensions_r16 import (
+        EWMA_LAGS,
+        _EWMA_DEN,
+    )
+
+    rng = random.Random(1414)
+    ys = [rng.randrange(0, 500) for _ in range(45)]
+    rows = [
+        (i, (T0_DAY + i) * NS_PER_DAY, 1, "view", float(y))
+        for i, y in enumerate(ys)
+    ]
+    _write_events(spark, rows, tdir)
+    r = extensions_r16.x219_ewma_forecast(spark, tdir).collect()[0]
+
+    n_eval = win = se = sn = 0
+    for t in range(EWMA_LAGS, len(ys)):
+        fc_num = sum(
+            (1 << (EWMA_LAGS - i)) * ys[t - i]
+            for i in range(1, EWMA_LAGS + 1)
+        )
+        r_e = _EWMA_DEN * ys[t] - fc_num
+        r_n = _EWMA_DEN * (ys[t] - ys[t - 1])
+        n_eval += 1
+        win += 1 if abs(r_e) < abs(r_n) else 0
+        se += r_e * r_e
+        sn += r_n * r_n
+    assert (
+        r["n_eval_days"],
+        r["win_days"],
+        r["win_ppm"],
+        r["err_share_ppm"],
+    ) == (
+        n_eval,
+        win,
+        1_000_000 * win // n_eval,
+        1_000_000 * se // (se + sn),
+    )
+
+
+def test_ewma_constant_series_null_share(spark, tdir):
+    """A constant series makes BOTH forecasters exact (r_e = r_n = 0
+    every day) — err_share_ppm is NULL (guarded 0/0), win_days 0."""
+    rows = [
+        (i, (T0_DAY + i) * NS_PER_DAY, 1, "view", 50.0)
+        for i in range(30)
+    ]
+    _write_events(spark, rows, tdir)
+    r = extensions_r16.x219_ewma_forecast(spark, tdir).collect()[0]
+    assert (r["win_days"], r["err_share_ppm"]) == (0, None)
+
+
+def test_ewma_short_span_type_absent(spark, tdir):
+    """A type whose calendar span is within the warm-up window has
+    no eval days — absent from the output, not an error."""
+    rows = [
+        (i, (T0_DAY + i) * NS_PER_DAY, 1, "short", 5.0)
+        for i in range(10)
+    ] + [
+        (100 + i, (T0_DAY + i) * NS_PER_DAY, 1, "long", 5.0)
+        for i in range(30)
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r16.x219_ewma_forecast(spark, tdir).collect()
+    assert [r["event_type"] for r in out] == ["long"]
+
+
+# ------------------------------------------------------------- x220
+
+
+def test_emd_two_level_shift_closed_form(spark, tdir):
+    """Two days, each a point mass, 4 units apart: the corpus is the
+    50/50 mix, so each day's EMD to it is exactly 2 units →
+    emd_milli = 2000 on both days (and the KS gap would read the
+    SAME 0.5 for any shift size — the property EMD adds)."""
+    rows = [
+        (i, T0_DAY * NS_PER_DAY + i, 1, "view", 10.0)
+        for i in range(50)
+    ] + [
+        (100 + i, (T0_DAY + 1) * NS_PER_DAY + i, 1, "view", 14.0)
+        for i in range(50)
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r18.x220_emd_drift(spark, tdir).collect()
+    assert [(r["n_day"], r["emd_milli"]) for r in out] == [
+        (50, 2000),
+        (50, 2000),
+    ]
+
+
+def test_emd_identical_day_zero(spark, tdir):
+    """A single-day corpus is its own reference — EMD exactly 0."""
+    rows = [
+        (i, T0_DAY * NS_PER_DAY + i, 1, "view", float(v))
+        for i, v in enumerate((1, 5, 5, 9, 20))
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r18.x220_emd_drift(spark, tdir).collect()
+    assert [(r["n_day"], r["emd_milli"]) for r in out] == [(5, 0)]
