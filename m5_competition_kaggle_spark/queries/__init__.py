@@ -268,10 +268,11 @@ _MODULES = (
 # x65, x77, x94). 41 picks + 9 new = 50 exactly. Nothing may stale
 # mid-round. Leftover singles for r15: the 17 remaining r12 singles
 # (x98, x105, x108, x113, x156–x166, s23, s24) and the 8 r13
-# singles (x167–x170, s25, s30, x17b, x28b) — against r15's staged
-# registrations (x176–x179, s27, x205, plus the r14-session x212),
-# leaving ~43 slots, so the whole pool re-banks with spare slots for
-# the oldest r14-green singles.
+# singles (x167–x170, s25, s30, x17b, x28b) — against r15's 8
+# staged registrations (x176–x179, s27, x205, plus the r14-session
+# x212 JL-distortion and x218 FK-integrity additions), leaving 42
+# slots, so the whole pool re-banks with ~17 slots spare for the
+# oldest r14-green singles.
 _HEAD = (
     # oldest still-valid green of all: x17's r05 rows-only row
     # (planned r14 re-bank; x17b carries its hash evidence)

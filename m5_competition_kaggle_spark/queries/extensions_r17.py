@@ -41,6 +41,12 @@ surface a product/ops team actually asks —
   between event type and hour-of-day on x180's micro-nat kernel —
   the cross-type time-dependence number x190's per-type diurnal
   shapes don't carry; ≤ |types|·24 cells at any corpus size.
+- x221 transition lift (added r14): pointwise-MI matrix of the
+  event grammar — exact micro-nat over/under-representation of
+  every a→b transition vs marginal independence, with full count
+  context for support thresholds; the per-cell readout x180's
+  entropy rate averages away and x192's set co-occurrence can't
+  sequence. ≤ |types|² rows at any scale.
 
 No new streaming entry: this family's streaming counterparts already
 exist (s3 native sessions, s12 interval join, s28 stateful
@@ -827,6 +833,101 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------- x221
+
+
+def x221_transition_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Transition-lift (pointwise-MI) matrix of the event grammar:
+    for every observed consecutive pair a→b across user timelines,
+    lift_unat = L(T·c_ab) − L(r_a·s_b) in exact micro-nats — how
+    over- (positive) or under- (negative) represented the transition
+    is vs independence of (what users just did) × (what users do
+    next). The per-CELL readout underneath the two aggregate views:
+    x180's entropy rate averages these cells into per-state
+    predictability, x192's implication matrix reads set-level
+    co-occurrence with no sequencing. Emitted with the full count
+    context (c_ab, row marginal r_a, column marginal s_b, total T)
+    so a consumer can threshold by support before trusting a lift.
+
+    The oracle recomputes L identically (the x180/x213 micro-nat
+    kernel; marginal products evaluated in DOUBLE inside ln() — no
+    int64 product envelope). Output rows ≤ |types|² at any corpus
+    size.
+
+    Scale shape: one per-user lag window (the certified
+    transition_pairs operator), one map-side-combining (a, b)
+    count, then cell-local arithmetic over ≤ |types|² cells.
+
+    Reference parity: engine extension (SURVEY §2 journey /
+    info-theoretic families beside x171/x180/x186/x192/x213).
+    """
+    from m5_competition_kaggle_spark.operators.markov import (
+        transition_pairs,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    pairs = transition_pairs(
+        ev, "user_id", "event_type", ("ts_nanos", "event_id")
+    )
+    cab = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ra = cab.groupBy("a").agg(F.sum("c_ab").alias("r_a"))
+    sb = cab.groupBy("b").agg(F.sum("c_ab").alias("s_b"))
+    tot = cab.agg(F.sum("c_ab").alias("t_total"))
+    return (
+        cab.join(F.broadcast(ra), "a")
+        .join(F.broadcast(sb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "r_a",
+            "s_b",
+            "t_total",
+            F.expr(
+                f"CAST(round(ln(CAST(t_total AS DOUBLE) * c_ab)"
+                f" * {LOG_Q}) AS BIGINT)"
+                f" - CAST(round(ln(CAST(r_a AS DOUBLE) * s_b)"
+                f" * {LOG_Q}) AS BIGINT)"
+            ).alias("lift_unat"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+ORACLE_X221 = f"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS a
+    FROM events
+),
+cab AS (
+    SELECT a, event_type AS b, CAST(count(*) AS BIGINT) AS c_ab
+    FROM ordered WHERE a IS NOT NULL GROUP BY a, event_type
+),
+ra AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS r_a
+       FROM cab GROUP BY a),
+sb AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS s_b
+       FROM cab GROUP BY b),
+tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t_total FROM cab)
+SELECT cab.a, cab.b, cab.c_ab, ra.r_a, sb.s_b, tot.t_total,
+       CAST(round(ln(CAST(tot.t_total AS DOUBLE) * cab.c_ab)
+            * {LOG_Q}) AS BIGINT)
+       - CAST(round(ln(CAST(ra.r_a AS DOUBLE) * sb.s_b)
+              * {LOG_Q}) AS BIGINT) AS lift_unat
+FROM cab
+JOIN ra ON ra.a = cab.a
+JOIN sb ON sb.b = cab.b
+CROSS JOIN tot
+ORDER BY cab.a, cab.b
+"""
+
+
 QUERIES = {
     "x184_phrase_search": x184_phrase_search,
     "x185_followed_by": x185_followed_by,
@@ -835,6 +936,7 @@ QUERIES = {
     "x200_concurrency_profile": x200_concurrency_profile,
     "x208_funnel_steps": x208_funnel_steps,
     "x213_mutual_information": x213_mutual_information,
+    "x221_transition_lift": x221_transition_lift,
 }
 
 ORACLES = {
@@ -845,4 +947,5 @@ ORACLES = {
     "x200_concurrency_profile": ORACLE_X200,
     "x208_funnel_steps": ORACLE_X208,
     "x213_mutual_information": ORACLE_X213,
+    "x221_transition_lift": ORACLE_X221,
 }

@@ -720,3 +720,81 @@ def test_emd_identical_day_zero(spark, tdir):
     _write_events(spark, rows, tdir)
     out = extensions_r18.x220_emd_drift(spark, tdir).collect()
     assert [(r["n_day"], r["emd_milli"]) for r in out] == [(5, 0)]
+
+
+# ------------------------------------------------------------- x221
+
+
+def test_transition_lift_alternating_closed_form(spark, tdir):
+    """An A,B,A,B,A timeline has only cross transitions: every cell
+    reads lift = L(T·c) − L(r·s) = L(8) − L(4) ≈ +ln 2 micro-nats,
+    pinned against the Python recomputation."""
+    seq = ["A", "B", "A", "B", "A"]
+    rows = [
+        (i, T0_DAY * NS_PER_DAY + i * 1000, 1, s, 1.0)
+        for i, s in enumerate(seq)
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r17.x221_transition_lift(spark, tdir).collect()
+
+    def L(x: float) -> int:
+        return round(math.log(x) * 1_000_000)
+
+    assert [
+        (r["a"], r["b"], r["c_ab"], r["lift_unat"]) for r in out
+    ] == [
+        ("A", "B", 2, L(4.0 * 2) - L(2.0 * 2)),
+        ("B", "A", 2, L(4.0 * 2) - L(2.0 * 2)),
+    ]
+
+
+def test_transition_lift_product_form_zero(spark, tdir):
+    """A timeline whose pair counts sit in exact product form
+    (A,A,B,B,A → each of the four cells once; T = 4, every marginal
+    2) pins lift ≡ 0 in every cell — independence certifies with no
+    tolerance, the x213 property at transition granularity."""
+    seq = ["A", "A", "B", "B", "A"]
+    rows = [
+        (i, T0_DAY * NS_PER_DAY + i * 1000, 1, s, 1.0)
+        for i, s in enumerate(seq)
+    ]
+    _write_events(spark, rows, tdir)
+    out = extensions_r17.x221_transition_lift(spark, tdir).collect()
+    assert len(out) == 4
+    assert all(r["lift_unat"] == 0 for r in out)
+
+
+# ---------------------------------------------- empty-corpus guards
+
+
+@pytest.mark.parametrize(
+    "fn",
+    [
+        lambda s, d: extensions_r16.x211_weekly_spectrum(s, d),
+        lambda s, d: extensions_r17.x213_mutual_information(s, d),
+        lambda s, d: extensions_r17.x221_transition_lift(s, d),
+        lambda s, d: extensions_r18.x214_km_hazard(s, d),
+        lambda s, d: extensions_r18.x220_emd_drift(s, d),
+        lambda s, d: extensions_r19.x216_benford_digits(s, d),
+        lambda s, d: extensions_r19.s31_stream_entropy(s, d),
+        lambda s, d: extensions_r20.x215_mad_outliers(s, d),
+        lambda s, d: extensions_r20.x217_changepoint_split(s, d),
+        lambda s, d: extensions_r16.x219_ewma_forecast(s, d),
+    ],
+    ids=[
+        "x211", "x213", "x221", "x214", "x220", "x216", "s31",
+        "x215", "x217", "x219",
+    ],
+)
+def test_new_queries_empty_events(spark, tdir, fn):
+    """Every r14-session events query yields a well-formed EMPTY
+    result on an empty events table — no throw, no fabricated row
+    (the x208 empty-corpus ADVICE class, guarded up front)."""
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tdir, "events.parquet")
+    )
+    assert fn(spark, tdir).count() == 0
