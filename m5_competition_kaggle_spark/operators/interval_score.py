@@ -24,10 +24,19 @@ undoes the integral α-multiplication). Coverage is reported alongside
 as cover_permille = 1000·n_in DIV n_eval — a calibrated (1−α)
 interval should land near 1000−α.
 
-Scale design mirrors pinball.py: the series aggregate is lazily
-checkpointed once (four consuming branches, no ReusedExchange), the
-per-key rank window runs over TRAIN rows only, the (tiny) alpha table
-joins broadcast, and everything downstream is keyed on the series.
+Scale design mirrors pinball.py (reworked in the r14 optimization
+round — results bit-identical, plan not): the series is lazily
+checkpointed once, the global split period is a bounded 1-row
+aggregate collected to the driver (the A3 convergence-scalar shape),
+and ALL per-key work — the rank window, the lag diffs, the
+partition-wide train stats and the per-alpha interval-end pick — runs
+under ONE hash exchange on the key. The interval ends come from a
+literal-array ``filter``/``explode`` against each train row's own
+rank (role 'lo'/'hi' per alpha) folded by one keyed aggregate,
+replacing the two (alphas × keys) joins back into the ranked table.
+Before/after at sf0.1: 4 hash + 4 single-partition exchanges,
+8 broadcasts, 5 BNLJ → 2 hash exchanges, 0 broadcasts, 0 BNLJ (see
+plans/r14/x143_interval_score_*.txt).
 """
 
 from __future__ import annotations
@@ -61,60 +70,70 @@ def scaled_interval_score(
         if not 2 <= int(a) <= 998:
             raise ValueError("alphas are permille in [2, 998]")
     series = series.localCheckpoint(eager=False)
-    split = series.agg(
-        (F.max(order_col) - F.lit(int(horizon))).alias("__cut")
-    )
-    s = series.crossJoin(F.broadcast(split))
-    train = s.filter(F.col(order_col) <= F.col("__cut"))
-    ev = s.filter(F.col(order_col) > F.col("__cut"))
+    # Global split period: bounded 1-row aggregate collected to the
+    # driver — embeds as a literal, so the main plan carries no
+    # broadcast exchange or nested-loop join for it.
+    row = series.agg(F.max(order_col).alias("__m")).collect()[0]
+    cut = None if row["__m"] is None else int(row["__m"]) - int(horizon)
+    cut_lit = F.lit(cut).cast("long")
+    train = series.filter(F.col(order_col) <= cut_lit)
+    ev = series.filter(F.col(order_col) > cut_lit)
 
-    w_rank = Window.partitionBy(key_col).orderBy(
-        F.col(value_col), F.col(order_col)
-    )
-    w_lag = Window.partitionBy(key_col).orderBy(order_col)
-    ranked = train.select(
-        key_col,
-        F.col(value_col).alias("__y"),
-        F.row_number().over(w_rank).alias("__rn"),
-    )
-    tr_stats = train.select(
-        key_col,
-        F.col(value_col).alias("__y"),
-        F.lag(value_col, 1).over(w_lag).alias("__prev"),
-    ).groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_train"),
-        F.sum(F.abs(F.col("__y") - F.col("__prev")))
-        .cast("long")
-        .alias("scale_num"),
-        F.count("__prev").alias("n_diff"),
-    )
-    alphas = F.broadcast(
-        spark.createDataFrame(
-            [(int(a),) for a in alphas_permille], "alpha bigint"
-        ).coalesce(1)
-    )
     # interval ends as type-1 empirical quantiles at α/2, 1 − α/2;
     # permille halving keeps k integral: lo_u = α DIV 2 (α even by
     # the classical levels; odd α just shifts the lower tail by half
-    # a permille), hi_u = 1000 − lo_u.
-    bounds = (
-        tr_stats.crossJoin(alphas)
-        .withColumn("__lo_u", F.expr("alpha DIV 2"))
-        .withColumn("__hi_u", F.lit(1000) - F.col("__lo_u"))
-        .withColumn("__k_lo", F.expr("(__lo_u * n_train + 999) DIV 1000"))
-        .withColumn("__k_hi", F.expr("(__hi_u * n_train + 999) DIV 1000"))
+    # a permille), hi_u = 1000 − lo_u. k(u) = ceil(u·n/1000); a train
+    # row is the 'lo' end for every alpha whose k_lo equals its own
+    # rank and the 'hi' end likewise — one literal-array expansion +
+    # keyed fold instead of two joins back into the ranked table.
+    w_key = Window.partitionBy(key_col)
+    alphas_sql = ", ".join(
+        f"CAST({int(a)} AS BIGINT)" for a in alphas_permille
     )
-    lo = bounds.join(ranked, on=key_col).filter(
-        F.col("__rn") == F.col("__k_lo")
-    ).select(
-        key_col, "alpha", "n_train", "scale_num", "n_diff",
-        "__k_hi", F.col("__y").alias("lo"),
+    ends = (
+        train.select(
+            key_col,
+            F.col(value_col).alias("__y"),
+            F.col(order_col).alias("__t"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy("__y", "__t")
+            ),
+        )
+        .withColumn("__prev", F.lag("__y", 1).over(w_key.orderBy("__t")))
+        .withColumn("n_train", F.count(F.lit(1)).over(w_key))
+        .withColumn(
+            "scale_num",
+            F.sum(F.abs(F.col("__y") - F.col("__prev")))
+            .over(w_key)
+            .cast("long"),
+        )
+        .withColumn("n_diff", F.count("__prev").over(w_key))
+        .withColumn(
+            "__m",
+            F.expr(
+                f"filter(transform(array({alphas_sql}),"
+                " a -> struct(a AS alpha,"
+                " ((a DIV 2) * n_train + 999) DIV 1000 = __rn AS is_lo,"
+                " ((1000 - a DIV 2) * n_train + 999) DIV 1000 = __rn"
+                " AS is_hi)),"
+                " s -> s.is_lo OR s.is_hi)"
+            ),
+        )
+        .select(
+            key_col, "n_train", "scale_num", "n_diff", "__y",
+            F.explode("__m").alias("__e"),
+        )
     )
-    both = lo.join(ranked, on=key_col).filter(
-        F.col("__rn") == F.col("__k_hi")
-    ).select(
-        key_col, "alpha", "n_train", "scale_num", "n_diff", "lo",
-        F.col("__y").alias("hi"),
+    both = ends.groupBy(
+        key_col,
+        F.col("__e.alpha").alias("alpha"),
+        "n_train", "scale_num", "n_diff",
+    ).agg(
+        F.max(F.when(F.col("__e.is_lo"), F.col("__y"))).alias("lo"),
+        F.max(F.when(F.col("__e.is_hi"), F.col("__y"))).alias("hi"),
     )
     scored = (
         ev.select(key_col, F.col(value_col).alias("__y"))

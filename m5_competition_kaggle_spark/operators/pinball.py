@@ -22,10 +22,19 @@ Everything is integer arithmetic, so the certificate hashes:
   (ΣP ≤ 1000·|y|·h; the 1000·ΣP·N product stays < 2^63 while
   |y| < ~4e12).
 
-Scale design: the rank is one per-key window over TRAIN rows only,
-the (tiny) level table joins broadcast, and every aggregate is keyed
-on the series — nothing global but the 1-row max-period scalar that
-defines the split (the A3 broadcast-scalar shape).
+Scale design (reworked in the r14 optimization round — results are
+bit-identical, the plan is not): everything per-key happens under ONE
+hash exchange on the series key — the rank window, the lag diffs and
+the partition-wide train stats are window functions over the same
+partitioning, and the per-level quantile pick is a literal-array
+``filter`` + ``explode`` against the row's own rank instead of a
+(levels × keys) join back into the ranked table. The global split
+period is a bounded 1-row aggregate collected to the driver (the
+same A3 convergence-scalar shape the graph loops use) rather than a
+broadcast-crossJoin, which removes every BroadcastNestedLoopJoin and
+single-partition exchange from the main plan. Before/after at sf0.1:
+3 hash + 3 single-partition exchanges, 6 broadcasts, 4 BNLJ → 2 hash
+exchanges, 0 broadcasts, 0 BNLJ (see plans/r14/x140_pinball_*.txt).
 """
 
 from __future__ import annotations
@@ -59,53 +68,64 @@ def scaled_pinball_loss(
     for u in levels_permille:
         if not 1 <= int(u) <= 999:
             raise ValueError("levels are permille in [1, 999]")
-    # The series aggregate feeds FOUR branches (the split scalar, the
-    # rank window, the scale stats and the eval join) and Catalyst
-    # plants no ReusedExchange across them — without truncation the
-    # corpus-sized source would be re-scanned per branch. The series
-    # itself is calendar × key bounded, so one lazy localCheckpoint
-    # (the x58/x130 lesson) caps the cost at a single scan.
+    # The series feeds three consumers (the split scalar, the train
+    # windows and the eval join) and Catalyst plants no ReusedExchange
+    # across them — without truncation the corpus-sized source would
+    # be re-scanned per branch. The series itself is calendar × key
+    # bounded, so one lazy localCheckpoint (the x58/x130 lesson) caps
+    # the cost at a single scan; the split scalar's collect is what
+    # materializes it.
     series = series.localCheckpoint(eager=False)
-    split = series.agg(
-        (F.max(order_col) - F.lit(int(horizon))).alias("__cut")
-    )
-    s = series.crossJoin(F.broadcast(split))
-    train = s.filter(F.col(order_col) <= F.col("__cut"))
-    ev = s.filter(F.col(order_col) > F.col("__cut"))
+    # Global split period: a bounded 1-row aggregate. Collecting it
+    # (the A3 convergence-scalar shape) embeds the cut as a literal —
+    # no broadcast exchange, no nested-loop join in the main plan.
+    row = series.agg(F.max(order_col).alias("__m")).collect()[0]
+    cut = None if row["__m"] is None else int(row["__m"]) - int(horizon)
+    cut_lit = F.lit(cut).cast("long")
+    train = series.filter(F.col(order_col) <= cut_lit)
+    ev = series.filter(F.col(order_col) > cut_lit)
 
-    w_rank = Window.partitionBy(key_col).orderBy(
-        F.col(value_col), F.col(order_col)
+    # ONE hash exchange on the key: rank window, lag window and the
+    # partition-wide train stats all share the partitioning.
+    w_key = Window.partitionBy(key_col)
+    levels_sql = ", ".join(
+        f"CAST({int(u)} AS BIGINT)" for u in levels_permille
     )
-    w_lag = Window.partitionBy(key_col).orderBy(order_col)
-    ranked = train.select(
-        key_col,
-        F.col(value_col).alias("__y"),
-        F.row_number().over(w_rank).alias("__rn"),
-    )
-    tr_stats = train.select(
-        key_col,
-        F.col(value_col).alias("__y"),
-        F.lag(value_col, 1).over(w_lag).alias("__prev"),
-    ).groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_train"),
-        F.sum(F.abs(F.col("__y") - F.col("__prev")))
-        .cast("long")
-        .alias("scale_num"),
-        F.count("__prev").alias("n_diff"),
-    )
-    levels = F.broadcast(
-        spark.createDataFrame(
-            [(int(u),) for u in levels_permille], "u bigint"
-        ).coalesce(1)
-    )
-    # k = ceil(u*n/1000); pick the k-th smallest train value per key
+    # k(u) = ceil(u*n/1000); a train row is the forecast for every
+    # level whose k equals its own rank — a literal-array filter +
+    # explode instead of a (levels × keys) join back into the ranks.
     fcst = (
-        tr_stats.crossJoin(levels)
-        .withColumn("__k", F.expr("(u * n_train + 999) DIV 1000"))
-        .join(ranked, on=key_col)
-        .filter(F.col("__rn") == F.col("__k"))
+        train.select(
+            key_col,
+            F.col(value_col).alias("__y"),
+            F.col(order_col).alias("__t"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy("__y", "__t")
+            ),
+        )
+        .withColumn("__prev", F.lag("__y", 1).over(w_key.orderBy("__t")))
+        .withColumn("n_train", F.count(F.lit(1)).over(w_key))
+        .withColumn(
+            "scale_num",
+            F.sum(F.abs(F.col("__y") - F.col("__prev")))
+            .over(w_key)
+            .cast("long"),
+        )
+        .withColumn("n_diff", F.count("__prev").over(w_key))
+        .withColumn(
+            "__us",
+            F.expr(
+                f"filter(array({levels_sql}),"
+                " u -> (u * n_train + 999) DIV 1000 = __rn)"
+            ),
+        )
         .select(
-            key_col, "u", "n_train", "scale_num", "n_diff",
+            key_col,
+            F.explode("__us").alias("u"),
+            "n_train", "scale_num", "n_diff",
             F.col("__y").alias("fcst"),
         )
     )
