@@ -42,27 +42,39 @@ def basket_pair_lift(
     item_a, item_b, pair_cnt, cnt_a, cnt_b, n_baskets,
     lift_num = pair_cnt * n_baskets, lift_den = cnt_a * cnt_b
     (lift > 1 ⇔ lift_num > lift_den).
+
+    r14 shape: ONE keyed aggregate condenses each basket to its sorted
+    distinct item array; pairs are generated array-locally (bounded by
+    basket size², exactly the old keyed self-join's fan-out) and the
+    item/basket counts explode the same arrays — so the input is
+    grouped once and the three consumer branches all hang off the same
+    exchange (ReuseExchange) instead of four scan+distinct subtrees.
     """
-    present = df.select(basket_col, item_col).distinct()
-    a = present.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_a")
-    )
-    b = present.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("item_b")
+    baskets = df.groupBy(F.col(basket_col).alias("__b")).agg(
+        F.sort_array(F.collect_set(F.col(item_col))).alias("__items")
     )
     pairs = (
-        a.join(b, "__b")
-        .filter(F.col("item_a") < F.col("item_b"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__items, (x, i) ->"
+                    " transform(slice(__items, i + 2,"
+                    " size(__items) - i - 1),"
+                    " y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.item_a", "__p.item_b")
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= int(min_pair_count))
     )
-    item_cnt = present.groupBy(item_col).agg(
-        F.count(F.lit(1)).alias("__cnt")
+    item_cnt = (
+        baskets.select(F.explode("__items").alias(item_col))
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
     )
-    totals = present.select(basket_col).distinct().agg(
-        F.count(F.lit(1)).alias("n_baskets")
-    )
+    totals = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
     return (
         pairs.join(
             item_cnt.select(
