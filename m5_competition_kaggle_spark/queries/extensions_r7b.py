@@ -197,14 +197,24 @@ def x100_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Quintile scores are VALUE-THRESHOLD based: the 20/40/60/80-permille
     cut values come from the certified distributed rank rule
-    (``operators/quantiles.py`` internals — per-value counts + the
+    (``operators/quantiles.py`` semantics — per-value counts + the
     two-phase prefix scan, NO single-partition sort, unlike a global
-    ntile which the plan audit rightly flags), broadcast as 4 rows per
-    metric; score = 1 + #cuts strictly below the user's value. Ties at
-    a cut share a score — the standard threshold-quantile semantics."""
-    from m5_competition_kaggle_spark.operators.quantiles import (
-        _rank_table,
-        _value_at_ranks,
+    ntile which the plan audit rightly flags); score = 1 + #cuts
+    strictly below the user's value. Ties at a cut share a score — the
+    standard threshold-quantile semantics.
+
+    r14 shape: the three metric distributions are MELTED into one
+    (metric, value) stream, so the per-value counts ride ONE keyed
+    exchange and ONE two-phase prefix scan (ordered by (metric,
+    value); per-metric cumulative = global cumulative − the previous
+    metrics' totals, recovered from the same scan). All 12 cut values
+    condense to a single broadcast row of three arrays; scoring is one
+    map-side array filter per metric — the old per-metric ×4
+    cut-fanout + full re-grouping of the user table (three extra
+    user-keyed shuffles) is gone, as are the three separate eager
+    prefix-scan pipelines (12 events scans → 2)."""
+    from m5_competition_kaggle_spark.operators.prefix import (
+        global_running_sum,
     )
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -218,39 +228,87 @@ def x100_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("m_milli"),
     )
 
-    def score_col(metric: str, alias: str):
-        units = rfm.select(F.col(metric).alias("v"))
-        counts = units.groupBy("v").agg(F.count(F.lit(1)).alias("__c"))
-        ranks = _rank_table(units, (200, 400, 600, 800))
-        cuts = _value_at_ranks(counts, "v", ranks).select(
-            F.col("__min_v").alias(f"__cut_{alias}")
+    melt = rfm.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("m"), F.col("r_day").alias("v")
+                ),
+                F.struct(
+                    F.lit("f").alias("m"), F.col("f_cnt").alias("v")
+                ),
+                F.struct(
+                    F.lit("m").alias("m"), F.col("m_milli").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.m", "e.v")
+    counts = melt.groupBy("m", "v").agg(F.count(F.lit(1)).alias("__c"))
+    # ONE two-phase prefix scan over all three distributions; the cum
+    # table hangs off an eager localCheckpoint, so the branches below
+    # re-read the materialization, not the events pipeline.
+    cum = global_running_sum(counts, "__c", ("m", "v"), "__cum")
+    maxes = cum.groupBy("m").agg(F.max("__cum").alias("__hi"))
+    # offset(metric) = global cumulative through the preceding metrics
+    # = max __hi among metrics ordered before it (3×3 broadcast join).
+    a, b = maxes.alias("a"), maxes.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b.m") < F.col("a.m"), "left")
+        .groupBy(F.col("a.m").alias("m"), F.col("a.__hi").alias("__hi"))
+        .agg(F.coalesce(F.max("b.__hi"), F.lit(0)).alias("__off"))
+    )
+    ranks = offs.select(
+        "m",
+        "__off",
+        F.explode(
+            F.array(*[F.lit(p) for p in (200, 400, 600, 800)])
+        ).alias("permille"),
+        (F.col("__hi") - F.col("__off")).alias("__n"),
+    ).select(
+        "m",
+        "__off",
+        "permille",
+        F.expr("(permille * __n + 999) div 1000")
+        .cast("long")
+        .alias("__r"),
+    )
+    # Keyed by (m, permille), NOT (m, rank): two permilles can land on
+    # the same rank for tiny N, and each must contribute its own cut
+    # row (the score counts cuts as a multiset).
+    cuts = (
+        cum.join(
+            F.broadcast(ranks),
+            (cum["m"] == ranks["m"])
+            & (F.col("__cum") - F.col("__off") >= F.col("__r")),
         )
-        return cuts
+        .groupBy(cum["m"], "permille")
+        .agg(F.min("v").alias("__cut"))
+    )
+    cuts_row = cuts.agg(
+        *[
+            F.collect_list(
+                F.when(F.col("m") == tag, F.col("__cut"))
+            ).alias(f"__cuts_{tag}")
+            for tag in ("r", "f", "m")
+        ]
+    )
 
-    scored = rfm
-    for metric, alias in (
-        ("r_day", "r"), ("f_cnt", "f"), ("m_milli", "m")
-    ):
-        cuts = score_col(metric, alias)
-        scored = scored.join(F.broadcast(cuts)).groupBy(
-            *[c for c in scored.columns]
-        ).agg(
-            (
-                F.lit(1)
-                + F.sum(
-                    F.when(
-                        F.col(metric) > F.col(f"__cut_{alias}"), 1
-                    ).otherwise(0)
-                )
-            ).cast("long").alias(f"{alias}_s")
-        )
+    def score(metric: str, tag: str):
+        return F.lit(1) + F.size(
+            F.filter(
+                F.col(f"__cuts_{tag}"),
+                lambda c: F.col(metric) > c,
+            )
+        ).cast("long")
+
     return (
-        scored.withColumn(
+        rfm.join(F.broadcast(cuts_row))
+        .withColumn(
             "segment",
             (
-                F.lit(100) * F.col("r_s")
-                + F.lit(10) * F.col("f_s")
-                + F.col("m_s")
+                F.lit(100) * score("r_day", "r")
+                + F.lit(10) * score("f_cnt", "f")
+                + score("m_milli", "m")
             ).cast("long"),
         )
         .groupBy("segment")
