@@ -52,15 +52,29 @@ def cms_build(
     items: DataFrame,
     item_col: str,
     group_cols: tuple[str, ...] = (),
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Sketch cells (group..., d, pos, cnt) from one row per item
-    OCCURRENCE. Output ≤ D·W rows per group regardless of input size;
-    the aggregation is map-side combinable (plain count)."""
+    OCCURRENCE — or, with ``weight_col``, one row per item carrying
+    its occurrence count (a pre-aggregated term-frequency table):
+    cells are plain sums, so the weighted build is cell-for-cell
+    identical to the per-occurrence build over the expanded input
+    (the monoid property the module docstring states; property-tested
+    in tests/test_cms.py). Output ≤ D·W rows per group regardless of
+    input size; the aggregation is map-side combinable."""
     probes = items.select(
-        *group_cols, F.explode(_probe_structs(item_col)).alias("__p")
-    ).select(*group_cols, "__p.d", "__p.pos")
+        *group_cols,
+        *([weight_col] if weight_col else []),
+        F.explode(_probe_structs(item_col)).alias("__p"),
+    ).select(
+        *group_cols,
+        *([weight_col] if weight_col else []),
+        "__p.d", "__p.pos",
+    )
     return probes.groupBy(*group_cols, "d", "pos").agg(
-        F.count(F.lit(1)).alias("cnt")
+        (
+            F.sum(weight_col) if weight_col else F.count(F.lit(1))
+        ).alias("cnt")
     )
 
 

@@ -369,7 +369,16 @@ def s11_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming path — same signature arithmetic under a watermarked
     windowed aggregate + stream-static probe join — is proven equal
     bit-for-bit in tests/test_streaming_neardup.py; this query
-    certifies the collision set against DuckDB."""
+    certifies the collision set against DuckDB.
+
+    r14 note: examined and deliberately LEFT in the two-branch form.
+    The parity split means each document is tokenized exactly once
+    across the two branches (no duplicated work to share), and a
+    probed single-subtree variant (signatures over the whole table,
+    parity filters above the aggregate) measured 3.4× SLOWER: the
+    self-join realias blocks filter pushdown through the band unpivot
+    on the build side, so that side signature-aggregates the FULL
+    corpus."""
     from m5_competition_kaggle_spark.streaming.neardup import (
         corpus_lsh_index,
         near_dup_collisions,
@@ -508,7 +517,19 @@ def x69_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path, with x66 as its audit. Exact distinct-token
     overlap rides along for error accounting (the certify-the-error
     pattern of x45/x46; a production run drops the exact flank).
-    All-integer arithmetic end to end."""
+    All-integer arithmetic end to end.
+
+    r14 plan shape: ONE distinct (source, token) table — materialized
+    (eager localCheckpoint, the dedup-family convention; plan-subtree
+    reuse does not fire across DataFrame consumers here) — feeds BOTH
+    flanks: the register max over duplicate tokens equals the max over
+    distinct tokens (rank is a pure function of the token hash), so
+    the corpus is tokenized ONCE where the old plan tokenized it once
+    per flank. The pair-union sketch is computed registerwise on
+    per-source dense 64-long arrays (O(sources) rows, themselves
+    checkpointed and crossJoined under a broadcast) instead of joining
+    the 64×S dense register table with itself on bucket (64·S²
+    shuffled rows + two more exchanges)."""
     from m5_competition_kaggle_spark.functions.text import h64, tokens
     from m5_competition_kaggle_spark.queries.llm_curation import (
         HLL_M,
@@ -520,7 +541,8 @@ def x69_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(tokens("text")).alias("t"))
         .filter(F.col("t") != "")
     )
-    hashed = tf.select("source", h64(F.col("t")).alias("h")).select(
+    dt = tf.distinct().localCheckpoint(eager=True)
+    hashed = dt.select("source", h64(F.col("t")).alias("h")).select(
         "source",
         F.pmod("h", F.lit(HLL_M)).alias("bucket"),
         F.expr(f"h div {HLL_M}").alias("val"),
@@ -536,44 +558,55 @@ def x69_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket")
         .agg(F.max("rank").alias("mj"))
     )
-    grid = (
-        docs.select("source")
-        .distinct()
-        .crossJoin(
-            F.broadcast(
-                spark.range(HLL_M).select(F.col("id").alias("bucket"))
-            )
+    # Dense 64-register array per source; sources with no tokens keep
+    # an all-zero array (the old grid/left-join/coalesce semantics).
+    dense = (
+        docs.select("source").distinct()
+        .join(
+            regs.groupBy("source").agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("bucket", "mj"))
+                ).alias("mm")
+            ),
+            "source", "left",
         )
-    )
-    full = grid.join(regs, ["source", "bucket"], "left").select(
-        "source", "bucket", F.coalesce("mj", F.lit(0)).alias("m0")
+        .select(
+            "source",
+            F.expr(
+                f"transform(sequence(0, {HLL_M - 1}),"
+                f" b -> coalesce(try_element_at(mm, cast(b as bigint)), 0L))"
+            ).alias("r"),
+        )
+        .localCheckpoint(eager=True)
     )
 
-    def sketch_agg(df, keys):
-        return df.groupBy(*keys).agg(
-            F.count(F.when(F.col("m0") > 0, 1)).alias("used_buckets"),
-            F.sum(
-                F.expr(f"shiftleft(1L, cast({HLL_RANK_CAP} - m0 as int))")
-            ).alias("sum_scaled"),
+    used_expr = "size(filter({c}, x -> x > 0L))"
+    scaled_expr = (
+        "aggregate({c}, 0L,"
+        f" (acc, x) -> acc + shiftleft(1L, cast({HLL_RANK_CAP} - x as int)))"
+    )
+
+    def sketch_cols(df, arr_col):
+        return df.withColumn(
+            "used_buckets", F.expr(used_expr.format(c=arr_col))
+        ).withColumn(
+            "sum_scaled", F.expr(scaled_expr.format(c=arr_col))
         )
 
-    per_src = sketch_agg(full, ["source"]).withColumn(
+    per_src = sketch_cols(dense, "r").withColumn(
         "est", _hll_est_expr("used_buckets", "sum_scaled")
     ).select("source", "est")
 
-    a = full.select(F.col("source").alias("source_a"), "bucket",
-                    F.col("m0").alias("ma"))
-    b = full.select(F.col("source").alias("source_b"), "bucket",
-                    F.col("m0").alias("mb"))
-    pair_regs = (
-        a.join(b, "bucket")
+    a = dense.select(F.col("source").alias("source_a"),
+                     F.col("r").alias("ra"))
+    b = dense.select(F.col("source").alias("source_b"),
+                     F.col("r").alias("rb"))
+    pair_arr = (
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("source_a") < F.col("source_b"))
-        .select(
-            "source_a", "source_b",
-            F.greatest("ma", "mb").alias("m0"),
-        )
+        .withColumn("u", F.expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
     )
-    pair_union = sketch_agg(pair_regs, ["source_a", "source_b"]) \
+    pair_union = sketch_cols(pair_arr, "u") \
         .withColumn("est_union",
                     _hll_est_expr("used_buckets", "sum_scaled")) \
         .select("source_a", "source_b", "est_union")
@@ -582,8 +615,6 @@ def x69_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("est").alias("est_a"))
     eb = per_src.select(F.col("source").alias("source_b"),
                         F.col("est").alias("est_b"))
-
-    dt = tf.select("source", "t").distinct()
     xa = dt.select(F.col("source").alias("source_a"), "t")
     xb = dt.select(F.col("source").alias("source_b"), "t")
     exact = (
@@ -737,19 +768,22 @@ def x70_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = docs.select(
         F.explode(tokens("text")).alias("__item")
     ).filter(F.col("__item") != "")
-    sketch = cms_build(items, "__item")
-    distinct_items = items.distinct()
-    cand = cms_estimate(sketch, distinct_items, "__item").filter(
+    # r14: ONE tokenize pass. The per-token count table feeds all three
+    # stages — the weighted sketch build (cell-identical to the
+    # per-occurrence build: cells are sums), the candidate probe (its
+    # keys ARE the distinct items), and the exact verify (its counts
+    # ARE the exact counts) — where the old plan tokenized the corpus
+    # once per stage. The shared groupBy exchange is reused across
+    # consumers (ReuseExchange).
+    tf = items.groupBy("__item").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    sketch = cms_build(tf, "__item", weight_col="exact_cnt")
+    cand = cms_estimate(sketch, tf.select("__item"), "__item").filter(
         F.col("est_cnt") >= HH_THRESHOLD
     )
-    exact = (
-        items.join(F.broadcast(cand.select("__item")), "__item",
-                   "leftsemi")
-        .groupBy("__item")
-        .agg(F.count(F.lit(1)).alias("exact_cnt"))
-    )
     return (
-        cand.join(exact, "__item")
+        cand.join(tf, "__item")
         .filter(F.col("exact_cnt") >= HH_THRESHOLD)
         .select(
             F.col("__item").alias("token"),

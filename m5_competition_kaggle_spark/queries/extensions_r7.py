@@ -310,17 +310,26 @@ def x95_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey").distinct()
     bits = bloom_bits(build, "o_orderkey")
     cand = bloom_semi_filter(li, bits, "l_orderkey")
-    n_cand = cand.agg(F.count(F.lit(1)).alias("bloom_candidates"))
-    exact = cand.join(
-        build.withColumnRenamed("o_orderkey", "l_orderkey"),
+    # r14: ONE pass over the bloom candidates — the exact semi-join
+    # becomes a broadcast left join against the (distinct) build keys,
+    # and candidate count / exact count / exact sum come out of the
+    # same 1-row aggregate, instead of two probe subtrees (each a full
+    # lineitem scan + double bloom hash) joined at the end.
+    flagged = cand.join(
+        F.broadcast(
+            build.withColumnRenamed("o_orderkey", "l_orderkey")
+            .withColumn("__hit", F.lit(1))
+        ),
         "l_orderkey",
-        "leftsemi",
+        "left",
     )
-    agg = exact.agg(
-        F.count(F.lit(1)).alias("n_urgent_items"),
-        F.sum("price_micro").alias("sum_price_micro"),
-    )
-    return agg.join(F.broadcast(n_cand)).select(
+    return flagged.agg(
+        F.count("__hit").alias("n_urgent_items"),
+        F.sum(
+            F.when(F.col("__hit").isNotNull(), F.col("price_micro"))
+        ).alias("sum_price_micro"),
+        F.count(F.lit(1)).alias("bloom_candidates"),
+    ).select(
         "n_urgent_items",
         "sum_price_micro",
         "bloom_candidates",

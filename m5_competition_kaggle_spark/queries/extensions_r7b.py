@@ -121,10 +121,14 @@ def x98_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from m5_competition_kaggle_spark.operators.graph import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
+    # r14: the verified-pair table feeds BOTH the cluster loop and the
+    # straddle audit — materialize it once (eager localCheckpoint, the
+    # x29 reuse pattern) instead of re-running the whole shingle →
+    # minhash → band self-join pipeline for the leak join.
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=4,
         shingle_size=3, threshold=0.8,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
     assigned = docs.select("doc_id").join(clusters, "doc_id", "left")
     assigned = assigned.withColumn(
@@ -136,11 +140,14 @@ def x98_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             h64(F.concat(F.lit("split:"), col.cast("string"))), F.lit(100)
         )
 
+    # One row per doc, 3 consumers (sizes + both pair flanks) — cheap
+    # to recompute but cheaper still to cut here: without it each flank
+    # re-runs the docs∪clusters join and double bucket hash.
     splits = assigned.select(
         "doc_id",
         bucket(F.col("cid")).alias("cb"),
         bucket(F.col("doc_id")).alias("nb"),
-    )
+    ).localCheckpoint(eager=True)
     sized = splits.agg(
         F.sum(F.when(F.col("cb") < 80, 1).otherwise(0)).alias("n_train"),
         F.sum(

@@ -77,3 +77,16 @@ def test_grouped_sketch(spark):
     n_groups = sk.select("source").distinct().count()
     assert n_groups == docs.select("source").distinct().count()
     assert sk.count() <= n_groups * CMS_D * CMS_W
+
+
+def test_weighted_build_equals_occurrence_build(spark):
+    """cms_build over a pre-aggregated (item, count) table with
+    weight_col must be cell-for-cell identical to the per-occurrence
+    build — the equivalence the x70 single-pass plan rests on."""
+    toks = _tokens(spark).select("token")
+    occ = cms_build(toks, "token").collect()
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    wtd = cms_build(tf, "token", weight_col="cnt").collect()
+    assert sorted((r["d"], r["pos"], r["cnt"]) for r in occ) == sorted(
+        (r["d"], r["pos"], r["cnt"]) for r in wtd
+    )
