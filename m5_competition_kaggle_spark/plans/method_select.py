@@ -56,6 +56,13 @@ def routed_forecast_eval(
     (µ-unit sum abs error over all ``horizon`` periods), sae_zero
     (the always-zero baseline's), beats_zero."""
     h = int(horizon)
+    # r14: the demand table feeds SIX consumers (cutoff scalar, SBC
+    # classes, both forecasters, eval stats, eval join); without a cut
+    # each consumer re-runs the caller's base-table scan + keyed
+    # aggregate. Materialize once — demand is bounded by keys×periods
+    # (the family's own scale contract), so the eager localCheckpoint
+    # is the dedup-family convention, not a corpus-sized cache.
+    demand = demand.localCheckpoint(eager=True)
     cut = demand.agg(
         (F.max(F.col(t_col)) - F.lit(h)).alias("__cutoff")
     )

@@ -802,9 +802,12 @@ def x199_dedup_config_stability(
             F.coalesce(F.col("cb"), F.col("doc_id")).alias("cb"),
         )
     )
+    # r14: cont feeds three reductions (pairs_both, pairs_a, pairs_b);
+    # without a cut each re-runs the docs∪ca∪cb join. Bounded by the
+    # cluster count — eager localCheckpoint per the family convention.
     cont = assign.groupBy("ca", "cb").agg(
         F.count(F.lit(1)).alias("nij")
-    )
+    ).localCheckpoint(eager=True)
     both = cont.agg(
         F.sum(F.expr("nij * (nij - 1) DIV 2"))
         .cast("long")
