@@ -81,7 +81,7 @@ def vocab_growth_deciles(
         F.count(F.lit(1)).alias("new_ty")
     )
     from m5_competition_kaggle_spark.operators.prefix import (
-        global_running_sum,
+        global_running_sums,
     )
 
     joined = per_doc.join(new_types, "d", "left").select(
@@ -93,16 +93,13 @@ def vocab_growth_deciles(
     n_docs = F.broadcast(
         joined.agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    scanned = global_running_sum(
-        global_running_sum(
-            global_running_sum(joined, "nt", ("d",), "tokens_cum"),
-            "new_ty",
-            ("d",),
-            "types_cum",
-        ),
-        "__one",
+    # r14: the three scans share one order ("d") — one range exchange /
+    # window / checkpoint / offset pass instead of three chained ones.
+    scanned = global_running_sums(
+        joined,
+        ("nt", "new_ty", "__one"),
         ("d",),
-        "r",
+        ("tokens_cum", "types_cum", "r"),
     )
     cum = scanned.crossJoin(n_docs).select(
         "r", "tokens_cum", "types_cum", "n_docs"

@@ -45,6 +45,66 @@ def _ranged_local_sums(
     return ranged.withColumn("__local", F.sum(value_col).over(w))
 
 
+def global_running_sums(
+    df: DataFrame,
+    value_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    out_cols: tuple[str, ...],
+) -> DataFrame:
+    """Global cumulative sums of SEVERAL value columns over ONE shared
+    ``order_cols`` order — one range exchange, one per-partition
+    window sort, one frozen materialization and one driver-side offset
+    pass for the whole batch, where chaining ``global_running_sum``
+    per column would repeat all four per column (r14: x157's Heaps
+    scan chained three — 3 range exchanges + 3 checkpoints + 3
+    collects collapsed to 1 each). Same bigint/unique-order contract
+    and eager-localCheckpoint policy as ``global_running_sum`` (see
+    its docstring and the checkpoint rationale below); identical
+    per-column results (property-tested in tests/test_prefix_ops.py).
+    """
+    assert len(value_cols) == len(out_cols) and value_cols
+    n = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("__pid", F.spark_partition_id())
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for i, vc in enumerate(value_cols):
+        ranged = ranged.withColumn(f"__local_{i}", F.sum(vc).over(w))
+    # Frozen materialization — same rationale as global_running_sum's
+    # checkpoint site below (sampled range boundaries must not move
+    # between the totals pass and the offset join).
+    ranged = ranged.localCheckpoint(eager=True)
+    totals = (
+        ranged.groupBy("__pid")
+        .agg(*[
+            F.sum(vc).alias(f"__total_{i}")
+            for i, vc in enumerate(value_cols)
+        ])
+        .collect()
+    )
+    running = [0] * len(value_cols)
+    offsets = []
+    for row in sorted(totals, key=lambda r: r["__pid"]):
+        offsets.append((row["__pid"], *running))
+        for i in range(len(value_cols)):
+            running[i] += row[f"__total_{i}"] or 0
+    off_schema = "__pid int, " + ", ".join(
+        f"__offset_{i} long" for i in range(len(value_cols))
+    )
+    off_df = df.sparkSession.createDataFrame(offsets, off_schema)
+    out = ranged.join(F.broadcast(off_df), "__pid")
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(
+            oc, F.col(f"__local_{i}") + F.col(f"__offset_{i}")
+        )
+    drop = ["__pid"] + [f"__local_{i}" for i in range(len(value_cols))]
+    drop += [f"__offset_{i}" for i in range(len(value_cols))]
+    return out.drop(*drop)
+
+
 def global_running_sum(
     df: DataFrame,
     value_col: str,

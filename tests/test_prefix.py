@@ -148,3 +148,40 @@ def test_pack_shards_matches_python_scan(spark, sizes, budget):
         expected[i] = offset // budget
         offset += s
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_multi_scan_equals_chained_singles(spark, rows):
+    """∀ inputs: global_running_sums over several value columns ==
+    chaining global_running_sum per column (the x157 collapse)."""
+    from m5_competition_kaggle_spark.operators.prefix import (
+        global_running_sum,
+        global_running_sums,
+    )
+
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(4)
+    multi = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in global_running_sums(
+            df, ("a", "b"), ("k",), ("ca", "cb")
+        ).collect()
+    }
+    chained = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in global_running_sum(
+            global_running_sum(df, "a", ("k",), "ca"), "b", ("k",), "cb"
+        ).collect()
+    }
+    assert multi == chained
