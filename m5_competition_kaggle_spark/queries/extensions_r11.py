@@ -56,25 +56,30 @@ def x156_trained_recall(
     exact = brute_force_topk(emb, qset, k=10).select(
         "query_id", "neighbor_id"
     )
-    n_exact = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    hits = (
+    # r14: denominator and hit count come out of ONE pass over the
+    # exact baseline (left join against the approx top-k with a match
+    # flag) — the old two-consumer shape ran the block-matmul brute
+    # force twice. The approx top-k has unique (query, neighbor) rows
+    # (rank ≤ k), so the left join cannot fan out.
+    return (
         exact.join(
-            approx.select("query_id", "neighbor_id"),
+            approx.select(
+                "query_id", "neighbor_id", F.lit(1).alias("__m")
+            ),
             ["query_id", "neighbor_id"],
+            "left",
         )
         .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return (
-        n_exact.join(hits, "query_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("__m").alias("n_hit"),
+        )
         .select(
             "query_id",
             "n_exact",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_hit").cast("long").alias("n_hit"),
             F.expr(
-                "(1000 * coalesce(n_hit, 0)) DIV n_exact"
+                "(1000 * n_hit) DIV n_exact"
             ).alias("recall_permille"),
         )
         .orderBy("query_id")

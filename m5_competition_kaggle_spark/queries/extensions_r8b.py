@@ -260,25 +260,46 @@ def x116_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             emb, qset, k=10, num_planes=4, num_tables=8, dim=64
         ),
     }
-    n_exact = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
-    parts = []
+    # r14: ONE pass over the exact baseline — the old plan ran the
+    # block-matmul brute force three times (denominator + one hit
+    # join per method). Each method left-joins a match flag onto the
+    # exact rows (approx top-k rows are unique per (query, neighbor),
+    # so no fan-out), one groupBy yields the denominator and both hit
+    # counts, and a literal-array explode unpivots to per-method rows.
+    flagged = exact
     for method, df in approx.items():
-        hits = (
-            exact.join(
-                df.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
-            )
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
+        flagged = flagged.join(
+            df.select(
+                "query_id", "neighbor_id",
+                F.lit(1).alias(f"__m_{method}"),
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
         )
-        parts.append(
-            n_exact.join(hits, "query_id", "left")
-            .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
-            .withColumn("method", F.lit(method))
-        )
-    out = parts[0].unionAll(parts[1])
+    per_q = flagged.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        *[
+            F.count(f"__m_{m}").alias(f"__hit_{m}")
+            for m in approx
+        ],
+    )
+    out = per_q.select(
+        "query_id",
+        "n_exact",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(m).alias("method"),
+                    F.col(f"__hit_{m}").alias("n_hit"),
+                )
+                for m in approx
+            ])
+        ).alias("__e"),
+    ).select(
+        "query_id", "n_exact",
+        F.col("__e.method").alias("method"),
+        F.col("__e.n_hit").alias("n_hit"),
+    )
     return (
         out.withColumn(
             "recall_permille", F.expr("(1000 * n_hit) DIV n_exact")
