@@ -86,7 +86,9 @@ def audio_meta(
                 }
             )
 
-    return assets.mapInPandas(decode, AUDIO_META_SCHEMA)
+    # Guide §4: explicit prune — the kernel reads only (key, content).
+    return assets.select(key_col, "content").mapInPandas(
+        decode, AUDIO_META_SCHEMA)
 
 
 def segment_audio(

@@ -68,7 +68,9 @@ def decode_assets(
                 }
             )
 
-    return assets.mapInPandas(decode, ASSET_META_SCHEMA)
+    # Guide §4: explicit prune — the kernel reads only (key, content).
+    return assets.select(key_col, "content").mapInPandas(
+        decode, ASSET_META_SCHEMA)
 
 
 def sample_frames(

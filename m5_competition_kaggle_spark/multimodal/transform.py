@@ -78,7 +78,11 @@ def resize_assets(
                 }
             )
 
-    return assets.mapInPandas(resize, RESIZED_SCHEMA)
+    # Guide §4: mapInPandas is opaque to column pruning — ship only
+    # the two columns the kernel reads, so a wider caller frame never
+    # drags extra columns through the Arrow boundary (or the scan).
+    return assets.select(key_col, "content").mapInPandas(
+        resize, RESIZED_SCHEMA)
 
 
 def extract_features(
@@ -122,4 +126,6 @@ def extract_features(
                 }
             )
 
-    return assets.mapInPandas(extract, FEATURES_SCHEMA)
+    # Guide §4: explicit prune — the kernel reads only (key, content).
+    return assets.select(key_col, "content").mapInPandas(
+        extract, FEATURES_SCHEMA)
