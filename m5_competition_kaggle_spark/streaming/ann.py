@@ -48,12 +48,30 @@ def ann_top1(
 
     est = pq_topk(vectors, queries, k=None, m=m, n_codes=n_codes,
                   id_col=id_col, vec_col=vec_col, dim=dim)
-    best = est.groupBy("query_id").agg(
-        F.min(F.struct("est_dist", "vec_id")).alias("__b"))
+    # r14: rank-1 as min(est_dist * B + vec_id) with B = max(id) + 1
+    # (a broadcast 1-row scalar over the static corpus) — one LongType
+    # min, so the aggregate stays on the HASH-aggregate path with
+    # map-side partials; min(struct) falls to SortAggregate (the x72
+    # encode finding), which sorts the |Q|×|corpus| estimate table.
+    # Exact same (est_dist ASC, vec_id ASC) tie-break: ids are
+    # non-negative and < B, so packed order ⟺ lexicographic order;
+    # ANSI multiply raises loudly if est_dist·B ever left int64.
+    bmax = vectors.agg(
+        (F.max(F.col(id_col)) + F.lit(1)).alias("__b"))
+    best = (
+        est.join(F.broadcast(bmax))
+        .groupBy("query_id")
+        .agg(
+            F.min(
+                F.col("est_dist") * F.col("__b") + F.col("vec_id")
+            ).alias("__p"),
+            F.max("__b").alias("__b2"),
+        )
+    )
     return best.select(
         "query_id",
-        F.col("__b.vec_id").alias("vec_id"),
-        F.col("__b.est_dist").alias("est_dist"),
+        F.pmod("__p", F.col("__b2")).alias("vec_id"),
+        F.expr("__p div __b2").alias("est_dist"),
     )
 
 
