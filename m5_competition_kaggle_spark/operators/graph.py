@@ -53,9 +53,20 @@ def connected_components(
     # pagerank_int): the first labels round materializes the cache
     # immediately and every later round already plans over checkpointed
     # labels — measured A/B showed the eager cut buys nothing here.
+    # Cache the symmetrized edges PRE-PARTITIONED on the probe key "b"
+    # (guide §2.4 "two operations keyed the same way share one
+    # exchange"): every propagation round joins sym on b, so the cache
+    # satisfies the join's clustering and the per-round plan re-reads
+    # it without re-exchanging the edge list — the partitioning is
+    # paid once at cache fill. Locally neutral (labels broadcast at
+    # toy scale, so the round join never needed the exchange); at
+    # cluster scale, where labels outgrow broadcast and the round
+    # join is sort-merge, this removes the edge-list exchange from
+    # every round.
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
     sym = fwd.unionByName(
         fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    ).repartition(n_part, "b").persist()
     # Fold init + the first propagation round into ONE shuffle: with
     # initial labels = node ids, round 1 is exactly min(self, min nbr).
     # Checkpoints are LAZY (eager=False) so each round runs ONE action:
