@@ -87,6 +87,18 @@ def jaccard_prefix_join(
                 F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
             ).alias("token"),
         )
+    # The element table feeds FOUR subtrees (token df counts, the
+    # ranked/prefix pipeline, and both exact-verify flanks); the eager
+    # localCheckpoint shingles the corpus ONCE instead of once per
+    # consumer (guide §5 caching-when-reused; x98's pairs/splits
+    # convention — this is the operator's working set, reused by
+    # construction).
+    #
+    # .. note:: ``localCheckpoint`` stores to executor local storage —
+    #    cheaper than a reliable checkpoint but lost with an executor;
+    #    acceptable here because the operator re-derives it from the
+    #    source on failure.
+    tok = tok.localCheckpoint(eager=True)
     # Global rarest-first order: (df ASC, token ASC). Ties broken by the
     # token string so the order is total and engine-independent.
     tdf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tok_df"))
@@ -158,35 +170,64 @@ def source_jaccard_matrix(
 
     ``max_df`` is the 100 TB skew knob the exact form lacks: shingles
     present in more than ``max_df`` groups are dropped BEFORE the pair
-    join. A shingle in g groups contributes C(g,2) join rows, so the
-    near-universal shingles dominate the shuffle while carrying almost
-    no discriminative signal — capping df bounds per-shingle fan-out at
-    C(max_df,2) and biases Jaccard toward the distinctive overlap
-    (set sizes shrink consistently too: sizes are computed AFTER the
-    cap so inter <= union still holds and permille stays in [0, 1000]).
-    ``None`` keeps the exact measure (the certified x66 path).
+    generation. A shingle in g groups contributes C(g,2) pair rows, so
+    the near-universal shingles dominate the fan-out while carrying
+    almost no discriminative signal — capping df bounds per-shingle
+    fan-out at C(max_df,2) and biases Jaccard toward the distinctive
+    overlap (set sizes shrink consistently too: sizes are computed
+    AFTER the cap so inter <= union still holds and permille stays in
+    [0, 1000]). ``None`` keeps the exact measure (the certified x66
+    path).
+
+    r14 shape (the x75 basket rewrite applied here): ONE keyed
+    ``collect_set`` condenses each shingle to its sorted distinct
+    group array — the group-set per shingle is bounded by the group
+    count, which the operator's contract already assumes is small
+    (output is groups² rows). Pairs are generated array-locally
+    (exactly the old shingle-keyed self-join's C(g,2) fan-out, without
+    the second corpus-wide exchange), and the per-group set sizes
+    explode the same arrays — so the corpus is shingled ONCE and both
+    consumer branches hang off the same shingle-keyed exchange
+    (ReuseExchange) instead of three scan+distinct subtrees.
     """
     from m5_competition_kaggle_spark.operators.dedup import doc_shingles
 
     sh = doc_shingles(df, id_col, text_col, shingle_size)
-    ssh = (
+    grp = (
         sh.join(df.select(id_col, group_col), id_col)
         .select(group_col, "shingle")
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(group_col)).alias("__gs"))
     )
     if max_df is not None:
-        gdf = ssh.groupBy("shingle").agg(
-            F.count(F.lit(1)).alias("__gdf"))
-        ssh = (
-            ssh.join(gdf.filter(F.col("__gdf") <= max_df), "shingle",
-                     "leftsemi")
-        )
-    sizes = ssh.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
-    a = ssh.select(F.col(group_col).alias("source_a"), "shingle")
-    b = ssh.select(F.col(group_col).alias("source_b"), "shingle")
+        grp = grp.filter(F.size("__gs") <= max_df)
+    # grp (one row per distinct shingle, bounded group arrays) feeds
+    # the pair explode AND the size flank; the eager localCheckpoint
+    # shingles the corpus ONCE instead of once per consumer (measured:
+    # without it no ReuseExchange fires and the scan+join+collect_set
+    # pipeline replays per consumer). Same executor-local caveat as
+    # ``jaccard_prefix_join``'s element table.
+    grp = grp.localCheckpoint(eager=True)
+    # sizes is bounded by the group count (tiny); checkpointing it
+    # stops the two broadcast flanks (na, nb) from re-running the
+    # explode+aggregate over the checkpointed shingle table twice.
+    sizes = (
+        grp.select(F.explode("__gs").alias(group_col))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("source_a") < F.col("source_b"))
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__gs, (x, i) ->"
+                    " transform(slice(__gs, i + 2, size(__gs) - i - 1),"
+                    " y -> struct(x AS source_a, y AS source_b))))"
+                )
+            ).alias("__p")
+        )
+        .select("__p.source_a", "__p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )

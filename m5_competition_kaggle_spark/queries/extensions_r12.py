@@ -528,9 +528,14 @@ def x166_bm25_rerank_eval(
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # The BM25 shortlist (<= n_terms*k = 100 rows) feeds FIVE subtrees
+    # (anchor, rerank dots, both RBO/nDCG flanks, the term spine); an
+    # eager localCheckpoint runs the corpus-wide BM25 pipeline ONCE
+    # instead of once per consumer (guide §5 caching-when-reused; the
+    # x154 demand-table convention). Bounded rows — driver-safe.
     short = bm25_topk(
         docs, "doc_id", "text", n_terms=5, min_token_len=4, k=20
-    ).select("term", "doc_id", "rank")
+    ).select("term", "doc_id", "rank").localCheckpoint(eager=True)
     qe = emb.select(
         F.col("vec_id").alias("doc_id"),
         quantize_expr("embedding").alias("v"),
@@ -557,12 +562,15 @@ def x166_bm25_rerank_eval(
     w_rr = Window.partitionBy("term").orderBy(
         F.desc("dot"), F.asc("doc_id")
     )
+    # rr (<= 10 rows/term) feeds both the RBO flank and the nDCG flank;
+    # checkpointing it runs the shortlist x embeddings rerank once.
     rr = (
         dots.withColumn(
             "rank", F.row_number().over(w_rr).cast("long")
         )
         .filter(F.col("rank") <= 10)
         .select("term", "doc_id", "rank")
+        .localCheckpoint(eager=True)
     )
     bm10 = short.filter(F.col("rank") <= 10)
     rbo = rbo_prefix(bm10, rr, "term", "doc_id", "rank")

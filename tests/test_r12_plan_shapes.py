@@ -82,9 +82,23 @@ def test_bm25_rerank_takeordered_and_broadcasts(spark):
     df = extensions_r12.QUERIES["x166_bm25_rerank_eval"](spark, SF)
     ex = _executed(df)
     assert "CartesianProduct" not in ex
-    assert "TakeOrderedAndProject" in ex  # vocab top-N, not a sort
     for marker in PY_MARKERS:
         assert marker not in ex, marker
+    # r14: the BM25 shortlist is eagerly checkpointed (it feeds five
+    # subtrees), so the vocab top-N no longer appears in the composed
+    # plan — assert it where it now lives, on the shortlist pipeline
+    # itself: TakeOrdered (per-partition top-N + bounded merge), never
+    # a global sort.
+    from m5_competition_kaggle_spark.operators.retrieval import (
+        bm25_topk,
+    )
+    from m5_competition_kaggle_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    short = bm25_topk(
+        docs, "doc_id", "text", n_terms=5, min_token_len=4, k=20
+    )
+    assert "TakeOrderedAndProject" in _executed(short)
 
 
 def test_trend_twins_keyed_kernels(spark):
