@@ -85,11 +85,23 @@ def incremental_near_dups(
     sh_new = doc_shingles(
         new_df, key_col, text_col, shingle_size
     ).localCheckpoint(eager=True)
-    sh_corp = doc_shingles(corpus_df, key_col, text_col, shingle_size)
+    # The corpus shingle table feeds BOTH its signature/band pipeline
+    # and the exact-verify union — without the checkpoint the corpus
+    # is shingled twice (r14; guide §5 caching-when-reused). Same
+    # executor-local caveat as sh_new above. (Production incremental
+    # ingest precomputes corpus signatures — this materialization is
+    # the single-job stand-in for that store.)
+    sh_corp = doc_shingles(
+        corpus_df, key_col, text_col, shingle_size
+    ).localCheckpoint(eager=True)
+    # b_new (new-batch band buckets, |new|·bands rows — bounded) is
+    # consumed three times (the cross join side and both within-batch
+    # sides); checkpointing it runs the signature aggregate + band
+    # unpivot once (r14).
     b_new = minhash_band_buckets(
         _signatures(sh_new, key_col, num_hashes), key_col, num_hashes,
         bands,
-    )
+    ).localCheckpoint(eager=True)
     b_corp = minhash_band_buckets(
         _signatures(sh_corp, key_col, num_hashes), key_col, num_hashes,
         bands,

@@ -646,11 +646,22 @@ def x198_dim_truncation_recall(
     half_q = queries.withColumn(
         "embedding", F.expr("slice(embedding, 1, 32)")
     )
-    full_top = brute_force_topk(emb, queries, k=10).select(
-        "query_id", "neighbor_id"
+    # Both exact top-10 tables are bounded (|Q|·k rows) and consumed
+    # twice each (overlap semi-join + per-query denominator, and per_q
+    # itself feeds the corpus-total broadcast AND the final crossJoin)
+    # — without the eager checkpoints every consumer replays an
+    # O(|Q|·|N|) block-matmul pass (measured: 12 parquet scans / 18
+    # windows in the composed plan). Guide §5 caching-when-reused;
+    # x166's bounded-shortlist convention.
+    full_top = (
+        brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
-    trunc_top = brute_force_topk(half, half_q, k=10).select(
-        "query_id", "neighbor_id"
+    trunc_top = (
+        brute_force_topk(half, half_q, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     matched = (
         full_top.join(
@@ -672,6 +683,7 @@ def x198_dim_truncation_recall(
                 "coalesce(n_matched, 0) * 1000 DIV k_full"
             ).alias("recall_permille"),
         )
+        .localCheckpoint(eager=True)
     )
     tot = F.broadcast(
         per_q.agg(
