@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from m5_competition_kaggle_spark.functions.text import h64, tokens
 from m5_competition_kaggle_spark.operators.dedup import doc_shingles
@@ -140,14 +141,20 @@ def dup_span_features(
     the signal used to drop or trim documents that are mostly boilerplate
     shared with the rest of the crawl.
 
-    Scale shape: the explode emits one 16-byte (key, span_hash) row per
-    token position; span multiplicities are one map-side-combinable hash
-    aggregate; the back-join is keyed on span_hash and the rollup on key.
-    Nothing global, no Python. (A suffix array computes the same decision
-    bits exactly; the hashed fixed-width window is the standard
-    distributed approximation.) Documents shorter than ``window`` tokens
-    contribute their whole text as a single span — same convention as
-    ``doc_shingles``.
+    Scale shape (r14 one-pass form): the explode emits one 16-byte
+    (key, span_hash) row per token position; ONE map-side-combinable
+    aggregate collapses positions to (span_hash, key, c_ks); the corpus
+    multiplicity of a span is a window SUM over its span_hash partition
+    (c_s = Σ_k c_ks — bounded by the number of documents containing the
+    span, not its position count); the rollup on key then counts a
+    position as duplicated iff c_s > 1. Nothing global, no Python, no
+    join — the previous shape derived the position pipeline TWICE (once
+    for the multiplicity aggregate, once for the back-join's probe side)
+    and shuffled full position rows through the join. (A suffix array
+    computes the same decision bits exactly; the hashed fixed-width
+    window is the standard distributed approximation.) Documents shorter
+    than ``window`` tokens contribute their whole text as a single span
+    — same convention as ``doc_shingles``.
     """
     spans = (
         f"transform(sequence(1, size(__toks) - {window - 1}), "
@@ -162,13 +169,20 @@ def dup_span_features(
         .select(key_col, F.explode(F.expr(guarded)).alias("__span"))
         .select(key_col, h64(F.col("__span")).alias("span_h"))
     )
-    counts = pos.groupBy("span_h").agg(F.count(F.lit(1)).alias("__cnt"))
+    per_doc = pos.groupBy("span_h", key_col).agg(
+        F.count(F.lit(1)).alias("__c_ks")
+    )
+    w = Window.partitionBy("span_h")
     return (
-        pos.join(counts, "span_h")
+        per_doc.withColumn("__c_s", F.sum("__c_ks").over(w))
         .groupBy(key_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.count(F.when(F.col("__cnt") > 1, 1)).alias("dup_spans"),
+            F.sum("__c_ks").alias("n_spans"),
+            F.sum(
+                F.when(F.col("__c_s") > 1, F.col("__c_ks")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("dup_spans"),
         )
         .withColumn(
             "dup_frac",

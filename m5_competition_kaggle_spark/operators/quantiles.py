@@ -115,3 +115,62 @@ def hist_quantiles(
         "permille",
         (F.col("__min_bin") * F.lit(bin_units)).alias("est_units"),
     )
+
+
+def quantile_error_profile(
+    df: DataFrame,
+    value_col: str,
+    permilles: tuple[int, ...] = (250, 500, 750, 900, 990),
+    bin_units: int = DEFAULT_BIN_UNITS,
+) -> DataFrame:
+    """x52's exact-vs-sketch comparison in ONE pass: (permille,
+    exact_units, est_units, err_units), row-identical to joining
+    ``exact_quantiles`` with ``hist_quantiles``.
+
+    The composed form scans the input four times (value counts, bin
+    counts, and one count(*) per rank table) and runs TWO prefix scans.
+    Here everything derives from a single per-value count table and its
+    one cumulative scan (already frozen by ``global_running_sum``'s
+    internal localCheckpoint):
+
+    - N = max(__cum) — the scan's last value IS the row count;
+    - exact_units: min v with __cum >= r, as before;
+    - bin cumulative: since ``v div bin_units`` is monotone in v, the
+      cumulative count at a bin's END equals max(__cum) within the bin
+      — so the bin table folds out of the same scan instead of its own.
+
+    Equivalence is property-tested against the composed operators in
+    tests/test_quantiles.py.
+    """
+    spark = df.sparkSession
+    units = df.select(_micro(value_col).alias("v"))
+    counts = units.groupBy("v").agg(F.count(F.lit(1)).alias("__c"))
+    cum = global_running_sum(counts, "__c", ("v",), "__cum")
+    n = cum.agg(F.coalesce(F.max("__cum"), F.lit(0)).alias("__n"))
+    qs = spark.createDataFrame([(p,) for p in permilles], "permille int")
+    ranks = qs.crossJoin(F.broadcast(n)).select(
+        "permille",
+        F.expr("(permille * __n + 999) div 1000").cast("long").alias("__r"),
+    )
+    exact = (
+        cum.join(F.broadcast(ranks), F.col("__cum") >= F.col("__r"))
+        .groupBy("permille")
+        .agg(F.min("v").alias("exact_units"))
+    )
+    bcum = cum.groupBy(F.expr(f"v div {bin_units}").alias("bin")).agg(
+        F.max("__cum").alias("__bcum")
+    )
+    est = (
+        bcum.join(F.broadcast(ranks), F.col("__bcum") >= F.col("__r"))
+        .groupBy("permille")
+        .agg((F.min("bin") * F.lit(bin_units)).alias("est_units"))
+    )
+    return (
+        exact.join(est, "permille")
+        .select(
+            "permille",
+            "exact_units",
+            "est_units",
+            (F.col("exact_units") - F.col("est_units")).alias("err_units"),
+        )
+    )

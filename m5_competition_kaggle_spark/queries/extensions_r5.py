@@ -781,23 +781,17 @@ def x52_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     [0, bin_width)."""
     from m5_competition_kaggle_spark.operators.quantiles import (
         DEFAULT_BIN_UNITS,
-        exact_quantiles,
-        hist_quantiles,
+        quantile_error_profile,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    exact = exact_quantiles(ev, "value")
-    est = hist_quantiles(ev, "value", bin_units=DEFAULT_BIN_UNITS)
-    return (
-        exact.join(est, "permille")
-        .select(
-            "permille",
-            "exact_units",
-            "est_units",
-            (F.col("exact_units") - F.col("est_units")).alias("err_units"),
-        )
-        .orderBy("permille")
-    )
+    # r14: one-pass form — the composed exact_quantiles ⋈ hist_quantiles
+    # plan scanned events 4x and ran two prefix scans; N, the exact rank
+    # lookup and the bin cumulative all fold out of ONE per-value scan
+    # (equivalence argument + property test in operators/quantiles.py).
+    return quantile_error_profile(
+        ev, "value", bin_units=DEFAULT_BIN_UNITS
+    ).orderBy("permille")
 
 
 _HIST_QUANTILES_ORACLE = """

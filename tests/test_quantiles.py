@@ -80,3 +80,53 @@ def test_no_single_partition_exchange(spark):
             assert "partial_count" in nxt, line + "\n" + nxt
         if "Window " in line:
             assert "__pid" in line, line
+
+
+def test_one_pass_profile_equals_composed(spark):
+    """quantile_error_profile (x52's r14 one-pass form) must be
+    row-identical to the composed exact_quantiles ⋈ hist_quantiles —
+    on the real table AND on sign-mixed values (v div bin_units must
+    stay monotone through zero for the bin-end-cumulative fold)."""
+    from m5_competition_kaggle_spark.operators.quantiles import (
+        quantile_error_profile,
+    )
+
+    def composed(df, col):
+        exact = exact_quantiles(df, col, PERMILLES)
+        est = hist_quantiles(df, col, PERMILLES)
+        return (
+            exact.join(est, "permille")
+            .select(
+                "permille",
+                "exact_units",
+                "est_units",
+                (F.col("exact_units") - F.col("est_units")).alias(
+                    "err_units"
+                ),
+            )
+        )
+
+    ev = load_table(spark, SF, "events")
+    got = sorted(
+        map(tuple, quantile_error_profile(ev, "value", PERMILLES).collect())
+    )
+    want = sorted(map(tuple, composed(ev, "value").collect()))
+    assert got == want
+
+    neg = spark.range(0, 500).select(
+        ((F.col("id") - 250) * 0.173).alias("value")
+    )
+    got = sorted(
+        map(tuple, quantile_error_profile(neg, "value", PERMILLES).collect())
+    )
+    want = sorted(map(tuple, composed(neg, "value").collect()))
+    assert got == want
+
+
+def test_one_pass_profile_empty(spark):
+    from m5_competition_kaggle_spark.operators.quantiles import (
+        quantile_error_profile,
+    )
+
+    e = spark.createDataFrame([], "value double")
+    assert quantile_error_profile(e, "value").count() == 0
