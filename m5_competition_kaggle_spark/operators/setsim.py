@@ -211,10 +211,13 @@ def source_jaccard_matrix(
     # sizes is bounded by the group count (tiny); checkpointing it
     # stops the two broadcast flanks (na, nb) from re-running the
     # explode+aggregate over the checkpointed shingle table twice.
+    # coalesce(1): one row per group, one checkpoint block (r15
+    # checkpoint-site audit).
     sizes = (
         grp.select(F.explode("__gs").alias(group_col))
         .groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     inter = (

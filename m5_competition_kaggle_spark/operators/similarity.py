@@ -245,6 +245,7 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_pred=None,
 ) -> DataFrame:
     """Approximate top-k: multi-table random-hyperplane LSH, exact
     quantized-dot ranking over the union of bucket candidates.
@@ -271,13 +272,39 @@ def lsh_topk(
     would grow linearly with data — AQE still chooses a broadcast join at
     runtime whenever the built side is actually small, which is the right
     decision point for an unbounded |Q|.
+
+    ``query_pred`` (r15, guide §4 — halve the Python boundary): when the
+    query set IS the corpus filtered by a row predicate on ``id_col``
+    (the certified x10/x116 shape, ``vec_id % 50 == 0``), pass that
+    predicate as a callable ``Column -> Column`` and the corpus is
+    bucketized ONCE — the query-side buckets are a filter over the same
+    Arrow pass instead of a second ``mapInPandas`` stage over the query
+    vectors. The caller must still pass ``queries`` equal to
+    ``vectors.filter(query_pred(id))`` (used for the exact-dot vector
+    attach); results are identical because the bucket function is
+    deterministic per (id, vector). The shared bucket table is eagerly
+    checkpointed — (id, table, bucket) int64 triples, corpus·L rows —
+    so both consumers read one materialization (the between-queries
+    release valve frees the blocks at the next query entry).
     """
-    cand = _bucketize_arrow(
-        vectors, "neighbor_id", id_col, vec_col, num_planes, num_tables, dim,
-    )
-    q = _bucketize_arrow(
-        queries, "query_id", id_col, vec_col, num_planes, num_tables, dim,
-    )
+    if query_pred is not None:
+        bk = _bucketize_arrow(
+            vectors, "neighbor_id", id_col, vec_col, num_planes,
+            num_tables, dim,
+        ).localCheckpoint(eager=True)
+        cand = bk
+        q = bk.filter(query_pred(F.col("neighbor_id"))).select(
+            F.col("neighbor_id").alias("query_id"), "table", "bucket"
+        )
+    else:
+        cand = _bucketize_arrow(
+            vectors, "neighbor_id", id_col, vec_col, num_planes,
+            num_tables, dim,
+        )
+        q = _bucketize_arrow(
+            queries, "query_id", id_col, vec_col, num_planes, num_tables,
+            dim,
+        )
     pairs = (
         cand.join(q, ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -350,12 +350,35 @@ def _reorder(merged: dict, require_all: bool = False) -> dict:
     return {**head, **tail}
 
 
+def _with_block_release(fn):
+    """Wrap a query entry so building it first frees the PREVIOUS
+    queries' leftover checkpoint/persist blocks (r15: the between-
+    queries release valve — see ``m5_competition_kaggle_spark.blocks``).
+    The release runs before the query constructs anything, so it can
+    never free a block the current query needs; it runs *inside* the
+    caller's timed region, so the bench pays the (few-ms) cost
+    honestly."""
+    import functools
+
+    from m5_competition_kaggle_spark.blocks import (
+        release_persistent_blocks,
+    )
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        release_persistent_blocks(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def all_queries():
     merged = {}
     for mod in _MODULES:
         overlap = merged.keys() & mod.QUERIES.keys()
         assert not overlap, f"duplicate query names: {sorted(overlap)}"
         merged.update(mod.QUERIES)
+    merged = {k: _with_block_release(fn) for k, fn in merged.items()}
     return _reorder(merged, require_all=True)
 
 

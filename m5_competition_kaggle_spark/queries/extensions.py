@@ -134,7 +134,12 @@ def x10_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally pytest-verified against x9's exact top-k."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    out = lsh_topk(emb, queries, k=10, num_planes=4, num_tables=8, dim=64)
+    # query_pred: queries ⊂ corpus by this predicate, so the corpus is
+    # bucketized in ONE Arrow pass instead of two (r15, guide §4).
+    out = lsh_topk(
+        emb, queries, k=10, num_planes=4, num_tables=8, dim=64,
+        query_pred=lambda c: c % 50 == 0,
+    )
     return out.orderBy("query_id", "rank")
 
 

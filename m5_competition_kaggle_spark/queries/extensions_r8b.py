@@ -257,7 +257,10 @@ def x116_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "ivf": ivf_topk(emb, qset, k=10, nprobe=4, n_centroids=16),
         "lsh": lsh_topk(
-            emb, qset, k=10, num_planes=4, num_tables=8, dim=64
+            emb, qset, k=10, num_planes=4, num_tables=8, dim=64,
+            # qset ⊂ corpus by this predicate → one bucketize Arrow
+            # pass instead of two (r15, guide §4).
+            query_pred=lambda c: c % 50 == 0,
         ),
     }
     # r14: ONE pass over the exact baseline — the old plan ran the

@@ -59,6 +59,17 @@ def get_spark(
         # stdout, and \r progress bars pollute the capture window
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # The between-queries release valve (blocks.py) nudges the JVM
+        # GC so the ContextCleaner drains broadcast/shuffle state a
+        # long session accumulates; make that explicit GC a CONCURRENT
+        # G1 cycle instead of a stop-the-world full GC so the nudge
+        # never pauses a timed query (r15; the r14 periodic-GC knob
+        # failed its A/B precisely because full-GC pauses landed
+        # inside queries).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
