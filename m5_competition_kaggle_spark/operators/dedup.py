@@ -194,6 +194,7 @@ def minhash_lsh_pairs(
     shingle_size: int = 3,
     threshold: float = 0.8,
     tokens_col: str | None = None,
+    eager_checkpoint: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash → LSH bands → exact-jaccard verify.
 
@@ -220,15 +221,19 @@ def minhash_lsh_pairs(
     # and dropped when the DataFrame becomes unreachable. Lineage is
     # truncated — a lost block fails the job instead of recomputing,
     # acceptable for a deterministic batch operator whose jobs retry.
-    # eager=True, matching prefix.py: the non-eager variant materializes
-    # via a supplementary job at first action, whose task completions
-    # race the cleanup of the parent query's SQL-metric accumulators
-    # (measured: hundreds of benign-but-noisy "non-existent accumulator"
-    # DAGScheduler errors per run). The eager job runs while those
-    # accumulators are still live, so the logs stay clean.
+    # eager=True default, matching prefix.py: the non-eager variant
+    # materializes via a supplementary job at first action, whose task
+    # completions race the cleanup of the parent query's SQL-metric
+    # accumulators (measured: hundreds of benign-but-noisy "non-existent
+    # accumulator" DAGScheduler errors per run). The eager job runs
+    # while those accumulators are still live, so the logs stay clean.
+    # ``eager_checkpoint=False`` (r15, the x29 action-collapse): callers
+    # composing this into a pipeline whose next blocking action consumes
+    # the pairs anyway can let the shingle blocks materialize inside
+    # that action — one job fewer, identical blocks and results.
     sh = doc_shingles(
         df, key_col, text_col, shingle_size, tokens_col=tokens_col
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=eager_checkpoint)
     aggs = [
         F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))

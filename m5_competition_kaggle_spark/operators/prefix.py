@@ -110,6 +110,7 @@ def global_running_sum(
     value_col: str,
     order_cols: tuple[str, ...],
     out_col: str = "running_sum",
+    eager: bool = True,
 ) -> DataFrame:
     """Global cumulative sum of ``value_col`` in ``order_cols`` order,
     without a single-partition exchange. ``order_cols`` must be a unique
@@ -151,7 +152,14 @@ def global_running_sum(
     # CacheManager entry. Tradeoff: lineage is truncated, so a lost
     # block fails the job instead of recomputing — acceptable for a
     # deterministic batch operator whose jobs simply retry.
-    ranged = ranged.localCheckpoint(eager=True)
+    # ``eager=False`` (r15, the x29 action-collapse): the checkpoint RDD
+    # is created NOW either way (the plan — and hence the range
+    # boundaries' sampling target — is frozen at this line); non-eager
+    # merely lets the totals collect below be the job that computes and
+    # caches every partition, saving one serialized action. All
+    # partitions ARE materialized by that collect (it aggregates the
+    # full table), so the offset join still reads frozen blocks.
+    ranged = ranged.localCheckpoint(eager=eager)
 
     totals = (
         ranged.groupBy("__pid")
@@ -177,6 +185,7 @@ def pack_into_shards(
     size_col: str,
     order_cols: tuple[str, ...],
     shard_budget: int,
+    eager: bool = True,
 ) -> DataFrame:
     """Sequence packing: assign rows (chunks) to fixed-token-budget
     shards by walking them in a deterministic global order —
@@ -185,7 +194,7 @@ def pack_into_shards(
     to the shard in which its START offset falls, so a shard may overrun
     the budget by at most one item — a deterministic rule any engine
     reproduces; trimming/padding the boundary item is downstream's call."""
-    out = global_running_sum(df, size_col, order_cols, "__cum")
+    out = global_running_sum(df, size_col, order_cols, "__cum", eager=eager)
     return out.withColumn(
         "shard_id",
         F.expr(f"(__cum - {size_col}) div {shard_budget}").cast("long"),

@@ -255,13 +255,17 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize+persist: the cache lands already spread, so no consumer
     # needs to re-shuffle the (wide) token arrays.
     sc = spark.sparkContext
+    # r15 (VERDICT item 5 — collapse x29's serialized actions): surv is
+    # LAZY — its blocks materialize inside the corpus fill job below
+    # (corpus consumes surv via both the filter and the hits flank), so
+    # the two materializations ride ONE action instead of two.
     surv = (
         quality_features(docs, "text")
         .filter(F.col("quality_score") >= 0.55)
         .select("doc_id", "text")
         .repartition(sc.defaultParallelism, "doc_id")
         .select("doc_id", tokens("text").alias("__toks"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bench_pred = (F.col("doc_id") % 97) == 0
     hits = contamination_hits(
@@ -273,9 +277,16 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "doc_id", "left_anti")
         .localCheckpoint(eager=True)
     )
+    # eager_checkpoint=False / eager=False (r15, VERDICT item 5): the
+    # shingle blocks materialize inside the CC loop's first convergence
+    # collect, and the prefix scan's frozen blocks inside its own totals
+    # collect — x29's serialized driver actions drop from 7 to 4
+    # (corpus fill · fused CC init+round-1 collect · prefix totals
+    # collect · the sink), identical blocks and results.
     pairs = minhash_lsh_pairs(
         corpus, "doc_id", None, num_hashes=16, bands=4,
         shingle_size=3, threshold=0.8, tokens_col="__toks",
+        eager_checkpoint=False,
     ).select("id_a", "id_b")
     non_canon = (
         dedup_clusters(pairs)
@@ -288,7 +299,8 @@ def x29_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_col="__toks",
     ).select("doc_id", "chunk_idx", "n_chunk_tokens")
     return pack_into_shards(
-        chunks, "n_chunk_tokens", ("doc_id", "chunk_idx"), 4096
+        chunks, "n_chunk_tokens", ("doc_id", "chunk_idx"), 4096,
+        eager=False,
     ).orderBy("doc_id", "chunk_idx")
 
 
