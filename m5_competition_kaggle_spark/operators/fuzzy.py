@@ -52,16 +52,27 @@ def fuzzy_self_join(
     keyed = df.select(
         F.col(key_col).alias("__id"), F.col(str_col).alias("__s")
     )
+    # r15 (guide §5): `grams` feeds the df aggregate AND the prune
+    # join, and `pruned` feeds BOTH self-join sides — without the cuts
+    # the explode+distinct pipeline replays up to 4× in the composed
+    # plan (measured: 30 scan/exchange lines collapse to the checkpoint
+    # reads; 32c 2.84 → 1.96 s). A string-free gram table with a keyed
+    # join-back of __sa/__sb onto the deduped pairs (guide §2.3
+    # "shuffle keys, not payloads") was tried and REJECTED: the two
+    # extra keyed joins cost more than the 24-char payload saves
+    # (measured 3.36 s vs 1.96 s at 32c) — revisit only for long
+    # strings. Same executor-local checkpoint caveat as
+    # minhash_lsh_pairs' shingle table.
     grams = keyed.select(
         "__id", "__s", F.explode(_grams("__s", q)).alias("__g")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     rare = (
         grams.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_df)
         .select("__g")
     )
-    pruned = grams.join(rare, "__g")
+    pruned = grams.join(rare, "__g").localCheckpoint(eager=True)
     a = pruned.select(
         F.col("__g"), F.col("__id").alias("id_a"), F.col("__s").alias("__sa")
     )

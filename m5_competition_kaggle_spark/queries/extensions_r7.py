@@ -267,13 +267,19 @@ def x94_dedup_eval(
             F.pmod(F.xxhash64(F.col("doc_id"), F.lit(94)), F.lit(1000))
             < F.lit(int(sample_permille))
         )
+    # r15: both pair tables feed TWO consumers each (the tp semi-join
+    # and their own count) — without a cut the whole post-shingle LSH
+    # pipeline and the whole exact quadratic flank replay per consumer
+    # (guide §5; the x199 pairs convention). Both are pair tables,
+    # far smaller than the corpus; partitioning kept (pair counts
+    # scale with the corpus).
     lsh = minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=4,
         shingle_size=3, threshold=0.8,
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     exact = ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_size=3, threshold=0.8
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     tp = lsh.join(exact, ["id_a", "id_b"], "leftsemi")
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
