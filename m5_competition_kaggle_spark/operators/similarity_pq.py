@@ -62,7 +62,17 @@ def pq_topk(
     vector is excluded. ``dim`` must divide by ``m``. ``k=None``
     returns the FULL estimate table without the ranking window — the
     streaming-safe form (``streaming/ann.py`` cuts it with an
-    aggregate instead)."""
+    aggregate instead).
+
+    .. note:: Calling this function runs a small Spark job IMMEDIATELY:
+       the ≤ ``n_codes``-row codebook is collected and broadcast for
+       the Arrow-side corpus encode (r15, guide §4.2) — a
+       constant-bounded driver pull (n_codes·dim int64s, a few KB),
+       the same bounded-broadcast budget the module docstring's scale
+       shape already assumed for the codebook."""
+    import numpy as np
+    import pandas as pd
+
     sub = dim // m
     assert sub * m == dim, "m must divide dim"
 
@@ -84,7 +94,6 @@ def pq_topk(
             ).alias("__e"),
         ).select("__id", "__e.s", "__e.sv")
 
-    corp = subspaces(vectors, id_col, vec_col)
     cents = (
         subspaces(vectors.filter(F.col(id_col) < n_codes),
                   id_col, vec_col)
@@ -92,30 +101,70 @@ def pq_topk(
                 F.col("sv").alias("cv"))
     )
 
-    # Argmin as min(d * n_codes + cid) — one LongType min, so the
-    # aggregate is hash-based and partially aggregated MAP-SIDE: the
-    # exchange carries one row per (vector, subspace) instead of the
-    # full ×n_codes candidate fan-out the old row_number window
-    # shuffled and sorted. The packing preserves the (distance, cid)
-    # tie-break exactly: cid < n_codes by the codebook seed rule, so
-    # distinct (d, cid) order ⇔ packed order. (A min(struct) aggregate
-    # would keep the tie-break too, but struct min falls off the hash
-    # aggregate path to SortAggregate — measured 3× slower here.)
-    # Envelope: d·n_codes must fit int64 — d ≤ (dim/m)·max_component²
-    # in quant² units, ~1e9 here; ANSI multiply raises loudly on
-    # overflow rather than wrapping.
-    codes = (
-        corp.join(F.broadcast(cents), "s")
-        .withColumn("__d", _sub_l2("sv", "cv"))
-        .groupBy("__id", "s")
-        .agg(
-            F.min(
-                F.col("__d") * F.lit(n_codes) + F.col("cid")
-            ).alias("__p")
-        )
-        .select(F.col("__id").alias("vec_id"), "s",
-                F.pmod("__p", F.lit(n_codes)).alias("code"))
+    # Corpus encode (r15, guide §4.2): the r14 form evaluated
+    # aggregate(zip_with(...)) — an INTERPRETED higher-order lambda —
+    # once per (vector, subspace, centroid) row, i.e. corpus·m·n_codes
+    # times (2M interpreted evals ≈ 2.1 s of x72's 3.7 s at sf0.1).
+    # One Arrow batch now computes every subspace distance with exact
+    # int64 numpy (x² − 2xy + y² via integer einsum — no floats, no
+    # BLAS rounding) and takes the argmin per (vector, subspace).
+    # np.argmin returns the FIRST minimum, i.e. the lowest cid —
+    # identical to the old min(d·n_codes + cid) packed tie-break.
+    # Overflow envelope: |component| ≤ ~2·QUANT ⇒ d ≤ sub·(2·2000)²
+    # ≈ 6.4e7 — far inside int64; the codebook is n_codes·dim int64s
+    # (a few KB), broadcast once per task via sc.broadcast.
+    cb_rows = (
+        vectors.filter(F.col(id_col) < n_codes)
+        .select(F.col(id_col).alias("cid"),
+                quantize_expr(vec_col).alias("cv"))
+        .collect()
     )
+    # Compact codebook over the PRESENT cids only, sorted ascending —
+    # a missing id < n_codes contributes no centroid (exactly the old
+    # join semantics), and ascending order keeps argmin's first-min
+    # tie-break ⇔ lowest cid.
+    cb_rows.sort(key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in cb_rows], dtype=np.int64)
+    if cb_rows:
+        cb = np.array([r["cv"] for r in cb_rows], dtype=np.int64)
+        # (m, k, sub): subspace s covers dims [s·sub, (s+1)·sub)
+        cbm = cb.reshape(len(cb_rows), m, sub).transpose(1, 0, 2).copy()
+    else:
+        cbm = np.zeros((m, 0, sub), dtype=np.int64)
+    sc = vectors.sparkSession.sparkContext
+    bc, bc_ids = sc.broadcast(cbm), sc.broadcast(cids)
+
+    staged = vectors.select(
+        F.col(id_col).alias("vec_id"), quantize_expr(vec_col).alias("__v")
+    )
+
+    def encode(batches):
+        cbm, cid_arr = bc.value, bc_ids.value  # (m, k, sub), (k,)
+        if cbm.shape[1] == 0:  # no centroids ⇒ no codes (old join)
+            return
+        cb2 = (cbm * cbm).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["__v"].to_numpy()).astype(np.int64)
+            v = v.reshape(len(pdf), m, sub)
+            v2 = (v * v).sum(axis=2)  # (n, m)
+            cross = np.einsum("nms,mks->nmk", v, cbm)  # exact int64
+            d = v2[:, :, None] - 2 * cross + cb2[None, :, :]
+            code = cid_arr[d.argmin(axis=2)]  # first min ⇒ lowest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy(), m
+                    ),
+                    "s": np.tile(
+                        np.arange(m, dtype=np.int64), len(pdf)
+                    ),
+                    "code": code.reshape(-1).astype(np.int64),
+                }
+            )
+
+    codes = staged.mapInPandas(encode, "vec_id long, s long, code long")
 
     adc = (
         subspaces(queries, id_col, vec_col)
